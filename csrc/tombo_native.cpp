@@ -1,0 +1,137 @@
+// Native host kernels for tombo_tpu.
+//
+// TPU-native architecture note: device (XLA) code computes changepoint
+// scores for whole read batches; the greedy minimum-spacing selection that
+// follows (reference behavior: tombo/_c_helper.pyx:89-202) is sequential in
+// descending-score order, so it runs here on the host — vectorized sort +
+// tight selection loop, threaded across the reads of a batch.  This replaces
+// the reference's per-read Cython loops with a batch-oriented library the
+// ingest pipeline can overlap with device work.
+//
+// Build: csrc/Makefile -> tombo_tpu/native/libtombo_native.so (ctypes).
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// Greedy top-k changepoint selection with spacing blacklist.
+//
+// scores:      n_cands candidate scores (padding candidates must be < all
+//              real scores, e.g. -1 for non-negative score functions)
+// min_base_obs: spacing; an accepted candidate at p blacklists
+//              [p - min_base_obs + 1, p + min_base_obs - 1]
+// num_cpts:    number of changepoints to select
+// out:         num_cpts accepted candidate positions (unshifted, in
+//              acceptance order)
+// returns 0 on success, 1 if fewer than num_cpts valid candidates exist.
+//
+// Tie-breaking matches numpy stable argsort reversed: equal scores are
+// visited higher-index first.
+int greedy_cpts(const double* scores, int64_t n_cands, int64_t min_base_obs,
+                int64_t num_cpts, int64_t* out) {
+  if (num_cpts <= 0) return 0;
+  if (n_cands <= 0) return 1;
+
+  std::vector<int64_t> order(n_cands);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+                   [scores](int64_t a, int64_t b) {
+                     if (scores[a] != scores[b])
+                       return scores[a] > scores[b];
+                     return a > b;
+                   });
+
+  std::vector<uint8_t> blacklist(n_cands, 0);
+  int64_t n_accepted = 0;
+  for (int64_t i = 0; i < n_cands; ++i) {
+    const int64_t cand = order[i];
+    if (blacklist[cand]) continue;
+    out[n_accepted++] = cand;
+    if (n_accepted == num_cpts) return 0;
+    const int64_t lo = std::max<int64_t>(0, cand - min_base_obs + 1);
+    const int64_t hi = std::min<int64_t>(n_cands, cand + min_base_obs);
+    std::memset(blacklist.data() + lo, 1, static_cast<size_t>(hi - lo));
+  }
+  return 1;
+}
+
+// Batched greedy selection over a padded score matrix, threaded.
+//
+// scores:     row-major (batch, max_cands)
+// n_cands:    per-read true candidate counts
+// num_cpts:   per-read number of changepoints to pick
+// out:        row-major (batch, max_cpts); rows are sorted ascending and
+//             shifted by `shift` (running_stat_width), matching the
+//             reference wrapper (tombo/tombo_helper.py:76-82)
+// status:     per-read status (0 ok, 1 not enough changepoints)
+void greedy_cpts_batch(const double* scores, int64_t batch, int64_t max_cands,
+                       const int64_t* n_cands, const int64_t* num_cpts,
+                       int64_t max_cpts, int64_t shift, int64_t min_base_obs,
+                       int64_t* out, int32_t* status, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, batch);
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= batch) return;
+      int64_t* row_out = out + b * max_cpts;
+      const int64_t k = std::min(num_cpts[b], max_cpts);
+      status[b] = greedy_cpts(scores + b * max_cands, n_cands[b],
+                              min_base_obs, k, row_out);
+      if (status[b] == 0) {
+        std::sort(row_out, row_out + k);
+        for (int64_t i = 0; i < k; ++i) row_out[i] += shift;
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(static_cast<size_t>(n_threads));
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Uncapped changepoint selection (reference behavior:
+// tombo/_c_helper.pyx:122-142 c_valid_cpts): accepts every candidate not
+// blacklisted, visiting in descending-score order.  Quirks preserved: the
+// first (best) candidate does NOT blacklist its neighborhood, and the
+// blacklist extends one extra position to the right.
+// Returns the number of accepted positions written to out (caller provides
+// n_cands capacity).  Output is in acceptance order, unshifted.
+int64_t greedy_cpts_uncapped(const double* scores, int64_t n_cands,
+                             int64_t min_base_obs, int64_t* out) {
+  if (n_cands <= 0) return 0;
+  std::vector<int64_t> order(n_cands);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(),
+                   [scores](int64_t a, int64_t b) {
+                     if (scores[a] != scores[b])
+                       return scores[a] > scores[b];
+                     return a > b;
+                   });
+  std::vector<uint8_t> blacklist(n_cands, 0);
+  int64_t n_accepted = 0;
+  out[n_accepted++] = order[0];
+  for (int64_t i = 1; i < n_cands; ++i) {
+    const int64_t cand = order[i];
+    if (blacklist[cand]) continue;
+    out[n_accepted++] = cand;
+    const int64_t lo = std::max<int64_t>(0, cand - min_base_obs + 1);
+    const int64_t hi = std::min<int64_t>(n_cands, cand + min_base_obs + 1);
+    std::memset(blacklist.data() + lo, 1, static_cast<size_t>(hi - lo));
+  }
+  return n_accepted;
+}
+
+}  // extern "C"

@@ -1,0 +1,57 @@
+"""Native greedy changepoint selection vs the numpy oracle."""
+import numpy as np
+
+from tombo_tpu import native
+from tombo_tpu.ops import ref_impl as ri
+
+
+def test_native_matches_oracle_capped():
+    rng = np.random.default_rng(7)
+    B = 8
+    lens = rng.integers(500, 3000, B)
+    C = int(lens.max())
+    scores = np.full((B, C), -1.0)
+    n_cands = np.zeros(B, dtype=np.int64)
+    num_cpts = np.zeros(B, dtype=np.int64)
+    for b in range(B):
+        n = int(lens[b])
+        scores[b, :n] = rng.random(n) * 100
+        n_cands[b] = n
+        num_cpts[b] = n // 12
+
+    out, status = native.greedy_cpts_batch(
+        scores, n_cands, num_cpts, shift=5, min_base_obs=3)
+    assert np.all(status == 0)
+    for b in range(B):
+        oracle = np.sort(ri.greedy_select_cpts(
+            scores[b, :n_cands[b]], 3, int(num_cpts[b]))) + 5
+        np.testing.assert_array_equal(out[b, :num_cpts[b]], oracle)
+
+
+def test_native_status_on_too_few():
+    scores = np.array([[5.0, 4.0, 3.0, 2.0, 1.0]])
+    out, status = native.greedy_cpts_batch(
+        scores, np.array([5]), np.array([4]), shift=0, min_base_obs=3)
+    assert status[0] == 1
+
+
+def test_full_valid_cpts_w_cap_pipeline():
+    """ref_impl.valid_cpts_w_cap == device scores + native greedy."""
+    from tombo_tpu.ops import segment as seg
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    sig = np.repeat(rng.normal(0, 1, 300), rng.integers(3, 9, 300)).astype(
+        np.float64)
+    sig += rng.normal(0, 0.1, sig.shape[0])
+    w, min_obs, num_cpts = 5, 3, sig.shape[0] // 7
+
+    oracle = ri.valid_cpts_w_cap(sig, min_obs, w, num_cpts)
+
+    d_scores = np.asarray(seg.cpt_scores_diff_batch(
+        jnp.asarray(sig[None]), jnp.asarray(np.array([sig.shape[0]])), w))
+    out, status = native.greedy_cpts_batch(
+        d_scores, np.array([sig.shape[0] - 2 * w]), np.array([num_cpts]),
+        shift=w, min_base_obs=min_obs)
+    assert status[0] == 0
+    np.testing.assert_array_equal(out[0], oracle)

@@ -1,0 +1,142 @@
+"""ctypes bindings for the native host library (csrc/tombo_native.cpp).
+
+The library is built on demand with the repo Makefile; if a toolchain is
+unavailable the module transparently falls back to the float64 numpy oracle
+implementations (tombo_tpu/ops/ref_impl.py) — identical results, slower.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LIB_NAME = "libtombo_native.so"
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, _LIB_NAME)
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(_HERE)), "csrc")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _try_build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _CSRC], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None on failure."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_LIB_PATH) and not _try_build():
+            _build_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            _build_failed = True
+            return None
+
+        lib.greedy_cpts.restype = ctypes.c_int
+        lib.greedy_cpts.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.greedy_cpts_batch.restype = None
+        lib.greedy_cpts_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64]
+        lib.greedy_cpts_uncapped.restype = ctypes.c_int64
+        lib.greedy_cpts_uncapped.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        _lib = lib
+        return _lib
+
+
+def _as_c(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def greedy_cpts_batch(scores: np.ndarray, n_cands: np.ndarray,
+                      num_cpts: np.ndarray, shift: int, min_base_obs: int,
+                      n_threads: int = 0):
+    """Batched greedy changepoint selection.
+
+    scores: (B, C) float64 padded score matrix (padding < any real score)
+    n_cands, num_cpts: (B,) int64
+    Returns (cpts (B, max_cpts) int64 sorted+shifted rows, status (B,) int32).
+    """
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    n_cands = np.ascontiguousarray(n_cands, dtype=np.int64)
+    num_cpts = np.ascontiguousarray(num_cpts, dtype=np.int64)
+    B, C = scores.shape
+    max_cpts = int(num_cpts.max()) if B else 0
+    out = np.zeros((B, max_cpts), dtype=np.int64)
+    status = np.zeros(B, dtype=np.int32)
+
+    lib = get_lib()
+    if lib is not None:
+        lib.greedy_cpts_batch(
+            _as_c(scores, ctypes.c_double), B, C,
+            _as_c(n_cands, ctypes.c_int64), _as_c(num_cpts, ctypes.c_int64),
+            max_cpts, shift, min_base_obs,
+            _as_c(out, ctypes.c_int64), _as_c(status, ctypes.c_int32),
+            n_threads)
+        return out, status
+
+    # numpy fallback (identical semantics)
+    from ..ops import ref_impl
+    from ..errors import TomboTpuError
+    for b in range(B):
+        try:
+            cpts = ref_impl.greedy_select_cpts(
+                scores[b, :n_cands[b]], min_base_obs, int(num_cpts[b]))
+            cpts = np.sort(cpts) + shift
+            out[b, :cpts.shape[0]] = cpts
+        except TomboTpuError:
+            status[b] = 1
+    return out, status
+
+
+def greedy_cpts_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
+    """Uncapped changepoint selection; returns accepted positions
+    (unshifted, acceptance order)."""
+    scores = np.ascontiguousarray(scores, dtype=np.float64)
+    n = scores.shape[0]
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(n, dtype=np.int64)
+        count = lib.greedy_cpts_uncapped(
+            _as_c(scores, ctypes.c_double), n, min_base_obs,
+            _as_c(out, ctypes.c_int64))
+        return out[:count]
+    return _np_uncapped(scores, min_base_obs)
+
+
+def _np_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
+    order = np.argsort(scores, kind="stable")[::-1]
+    n = scores.shape[0]
+    blacklist = np.zeros(n + 2 * min_base_obs + 2, dtype=bool)
+    accepted = [order[0]]
+    for cand in order[1:]:
+        if blacklist[cand + min_base_obs]:
+            continue
+        accepted.append(cand)
+        blacklist[cand + 1:cand + 2 * min_base_obs + 1] = True
+    return np.array(accepted, dtype=np.int64)

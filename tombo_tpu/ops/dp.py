@@ -156,6 +156,14 @@ def adaptive_banded_dp(
     dtype = event_means.dtype
     half_bw = bw // 2
 
+    # normalize integer dtypes so the scan carry is stable
+    n_events = n_events.astype(jnp.int32)
+    seq_lens = seq_lens.astype(jnp.int32)
+    prefix_starts = prefix_starts.astype(jnp.int32)
+    prefix_valid_start = prefix_valid_start.astype(jnp.int32)
+    prefix_end = prefix_end.astype(jnp.int64)
+    start_rows = start_rows.astype(jnp.int32)
+
     # Precompute prefix-phase z-scores: (B, P, bw).
     def prefix_z_one(read_means, n_ev, starts, valid_start, ends):
         windows = jax.vmap(
