@@ -1,0 +1,89 @@
+"""Batched TPU lane vs single-read reference path: results must agree."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tombo_tpu import config
+from tombo_tpu.io.model_io import KmerModel
+from tombo_tpu.pipeline import resquiggle as rsq
+from tombo_tpu.pipeline.aligner import ExactAligner
+from tombo_tpu.pipeline.batch import BatchedResquiggler
+from tombo_tpu.testing import random_reference, simulate_read
+from tombo_tpu.types import SeqSampleType, SequenceData
+
+
+def _prep_reads(n_reads, samp_type, seed=7, **sim_kw):
+    rng = np.random.default_rng(seed)
+    model = KmerModel.load_default(samp_type)
+    fasta = random_reference(np.random.default_rng(seed + 1), 30000)
+    aligner = ExactAligner(fasta)
+    seq_samp_type = SeqSampleType(samp_type,
+                                  samp_type == config.RNA_SAMP_TYPE)
+    params = config.load_resquiggle_parameters(samp_type)
+    map_results, reads = [], []
+    for i in range(n_reads):
+        read = simulate_read(rng, fasta, model,
+                             read_id="p_%03d" % i, **sim_kw)
+        seq_data = SequenceData(read.seq, read.read_id, 12.0)
+        mr = rsq.map_read(seq_data, aligner, model, seq_samp_type)
+        mr = mr.replace(raw_signal=read.raw_signal)
+        mr = rsq.adjust_map_res(mr, seq_samp_type, params)
+        map_results.append(mr)
+        reads.append(read)
+    return model, params, seq_samp_type, map_results, reads
+
+
+@pytest.mark.parametrize("samp_type,sim_kw", [
+    (config.DNA_SAMP_TYPE, dict(read_len=650)),
+])
+def test_batch_matches_single(samp_type, sim_kw):
+    model, params, sst, map_results, _ = _prep_reads(6, samp_type,
+                                                     **sim_kw)
+    # single-read reference results
+    singles = []
+    for mr in map_results:
+        res = rsq.resquiggle_read_with_retries(
+            mr, model, params,
+            config.load_resquiggle_parameters(
+                samp_type, use_save_bandwidth=True),
+            outlier_thresh=config.OUTLIER_THRESH, seq_samp_type=sst)
+        singles.append(res)
+
+    # batched (float64 on CPU so results are comparable beyond fp ties)
+    br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                            dtype=jnp.float64)
+    batch_out = br.resquiggle_batch(map_results)
+
+    for i, ((b_res, b_err), s_res) in enumerate(zip(batch_out, singles)):
+        assert b_err is None, (i, b_err)
+        assert b_res.segs.shape[0] == s_res.segs.shape[0]
+        assert b_res.read_start_rel_to_raw == s_res.read_start_rel_to_raw
+        # identical except possibly a few co-optimal DP tie positions
+        frac_eq = np.mean(b_res.segs == s_res.segs)
+        assert frac_eq > 0.99, (i, frac_eq)
+        # co-optimal tie boundaries shift event means slightly, so scores
+        # and fitted scale parameters agree only to ~1e-2
+        assert abs(b_res.sig_match_score - s_res.sig_match_score) < 1e-2
+        sc = s_res.scale_values.scale
+        assert abs(b_res.scale_values.shift -
+                   s_res.scale_values.shift) / sc < 2e-3
+        assert abs(b_res.scale_values.scale - sc) / sc < 2e-3
+        assert b_res.genome_seq == s_res.genome_seq
+
+
+def test_batch_rna():
+    model, params, sst, map_results, _ = _prep_reads(
+        3, config.RNA_SAMP_TYPE, read_len=1700, mean_dwell=12.0,
+        rev_sig=True, adapter_len=(600, 900))
+    br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                            dtype=jnp.float64)
+    out = br.resquiggle_batch(map_results)
+    for i, (res, err) in enumerate(out):
+        assert err is None, (i, err)
+        single = rsq.resquiggle_read_with_retries(
+            map_results[i], model, params,
+            config.load_resquiggle_parameters(
+                config.RNA_SAMP_TYPE, use_save_bandwidth=True),
+            outlier_thresh=config.OUTLIER_THRESH, seq_samp_type=sst)
+        assert np.mean(res.segs == single.segs) > 0.99
+        assert abs(res.sig_match_score - single.sig_match_score) < 1e-2

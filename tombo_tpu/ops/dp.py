@@ -99,25 +99,31 @@ def _row_update(prev_fwd: jnp.ndarray, shifted_z: jnp.ndarray,
     return fwd, moves
 
 
-def _band_z_scores(event_means: jnp.ndarray, n_events: jnp.ndarray,
+def _band_z_scores(em_shift: jnp.ndarray, n_events: jnp.ndarray,
                    band_start: jnp.ndarray, ref_mean: jnp.ndarray,
                    ref_sd: jnp.ndarray, p: DpParams) -> jnp.ndarray:
     """Shifted winsorized z-scores for one adaptive band row of each read
-    (reference: pyx:360-386).  Positions past the events array are filled
-    with ``mask_fill_z_score``."""
+    (reference: pyx:360-386).  Positions outside [0, n_events) are filled
+    with ``mask_fill_z_score``.
+
+    ``em_shift`` is the events array left-padded with ``bandwidth`` zeros so
+    negative band starts (which the reference's start-masked prefix plan
+    produces intentionally; reference: tombo/resquiggle.py:627-629) index
+    correctly — a raw ``dynamic_slice`` would clamp and silently shift the
+    window."""
     bw = p.bandwidth
-    B = event_means.shape[0]
 
     def one(read_means, n_ev, start, mu, sd):
-        window = lax.dynamic_slice(read_means, (start,), (bw,))
+        window = lax.dynamic_slice(read_means, (start + bw,), (bw,))
         z = jnp.abs((window - mu) / sd)
         if p.max_half_z_score > 0:
             z = jnp.minimum(z, p.max_half_z_score)
         shifted = p.z_shift - z
         abs_pos = start + jnp.arange(bw)
-        return jnp.where(abs_pos < n_ev, shifted, p.mask_fill_z_score)
+        return jnp.where((abs_pos >= 0) & (abs_pos < n_ev), shifted,
+                         p.mask_fill_z_score)
 
-    return jax.vmap(one)(event_means, n_events, band_start, ref_mean, ref_sd)
+    return jax.vmap(one)(em_shift, n_events, band_start, ref_mean, ref_sd)
 
 
 @functools.partial(
@@ -164,17 +170,24 @@ def adaptive_banded_dp(
     prefix_end = prefix_end.astype(jnp.int64)
     start_rows = start_rows.astype(jnp.int32)
 
+    # Events left/right-padded by one bandwidth so negative band starts
+    # (reference: tombo/resquiggle.py:627-629) and end-overrunning bands
+    # slice without clamping; out-of-range positions are masked explicitly.
+    zpad = jnp.zeros((B, bw), dtype)
+    em_shift = jnp.concatenate([zpad, event_means, zpad], axis=1)
+
     # Precompute prefix-phase z-scores: (B, P, bw).
-    def prefix_z_one(read_means, n_ev, starts, valid_start, ends):
+    def prefix_z_one(read_means_shift, n_ev, starts, valid_start, ends):
         windows = jax.vmap(
-            lambda s: lax.dynamic_slice(read_means, (s,), (bw,)))(starts)
+            lambda s: lax.dynamic_slice(
+                read_means_shift, (s + bw,), (bw,)))(starts)
         abs_pos = starts[:, None] + jnp.arange(bw)[None, :]
         valid = ((abs_pos >= valid_start) & (abs_pos < ends[:, None]) &
-                 (abs_pos < n_ev))
+                 (abs_pos >= 0) & (abs_pos < n_ev))
         return windows, valid
 
     prefix_windows, prefix_valid = jax.vmap(prefix_z_one)(
-        event_means, n_events, prefix_starts, prefix_valid_start, prefix_end)
+        em_shift, n_events, prefix_starts, prefix_valid_start, prefix_end)
     # z-scores need the per-row ref level: rows 0..P-1 use ref_means[:, :P]
     pz = jnp.abs((prefix_windows - ref_means[:, :prefix_rows, None]) /
                  ref_sds[:, :prefix_rows, None])
@@ -213,7 +226,7 @@ def adaptive_banded_dp(
         # ---- row z-scores
         mu = jnp.take(ref_means, r, axis=1)
         sd = jnp.take(ref_sds, r, axis=1)
-        adapt_z = _band_z_scores(event_means, n_events, band_start, mu, sd,
+        adapt_z = _band_z_scores(em_shift, n_events, band_start, mu, sd,
                                  params)
         pref_z = prefix_z[:, pref_idx]
         z_row = jnp.where(is_prefix[:, None], pref_z, adapt_z)

@@ -1,0 +1,538 @@
+"""Batched re-squiggle: the TPU performance lane.
+
+Reads are bucketed by length, padded to static shapes, and driven through
+device kernels in stages; each stage is one jitted call over the whole
+batch.  All irregular/sequential pieces (greedy changepoint selection, tiny
+deletion-fix DP windows, per-read planning) stay on the host, overlapped
+with device work by construction (host prepares batch N+1 while the device
+runs batch N under JAX async dispatch).
+
+This replaces the reference's N-process × M-thread CPU fan-out
+(reference: tombo/resquiggle.py:1859-1948 ``resquiggle_all_reads``) with a
+single host feeding a device (and, via pipeline/sharding.py, a mesh of
+devices with batches sharded data-parallel).
+
+Stage map (mirrors the single-read path in pipeline/resquiggle.py):
+  1. normalize + changepoint scores          [device]
+  2. greedy changepoint selection            [host, native C++]
+  3. event means + start-discovery DP        [device]
+  4. start planning + masked band plan       [host]
+  5. adaptive banded DP + traceback          [device]
+  6. deletion fix + Theil-Sen rescale        [host]
+  -> iterate scaling (<=3) on changed reads
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..config import MASK_FILL_Z_SCORE, ResquiggleParams, SIG_MATCH_THRESH
+from ..errors import TomboTpuError
+from ..native import greedy_cpts_batch
+from ..ops import dp as dpo
+from ..ops import normalize as nrm
+from ..ops import ref_impl
+from ..ops import segment as seg
+from ..types import ResquiggleResults, ScaleValues, SeqSampleType
+from . import resquiggle as rsq
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class _ReadState:
+    """Per-read mutable state as it flows through the stages."""
+    idx: int
+    map_res: ResquiggleResults
+    raw: np.ndarray
+    num_events: int
+    error: Optional[str] = None
+    # stage products
+    scale_values: Optional[ScaleValues] = None
+    norm: Optional[np.ndarray] = None
+    cpts: Optional[np.ndarray] = None
+    event_means: Optional[np.ndarray] = None
+    ref_means: Optional[np.ndarray] = None
+    ref_sds: Optional[np.ndarray] = None
+    genome_seq_trim: Optional[str] = None
+    use_static: bool = False
+    mapped_start: int = 0
+    events_per_base: float = 0.0
+    result: Optional[ResquiggleResults] = None
+
+
+@functools.partial(jax.jit, static_argnames=("outlier_thresh", "w"))
+def _stage_norm_scores_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
+                           sv_lower, sv_upper, outlier_thresh: float, w: int):
+    """DNA stage 1: normalize (median/MAD, or per-read provided scale values
+    on rescaling iterations) then changepoint scores — one fused call."""
+    norm, shift, scale, lower, upper = nrm.normalize_median_batch(
+        raw, sig_lens, outlier_thresh)
+    shift = jnp.where(has_sv, sv_shift, shift)
+    scale = jnp.where(has_sv, sv_scale, scale)
+    lower = jnp.where(has_sv, sv_lower, lower)
+    upper = jnp.where(has_sv, sv_upper, upper)
+    norm_sv = jnp.clip((raw - shift[:, None]) / scale[:, None],
+                       lower[:, None], upper[:, None])
+    idx = jnp.arange(raw.shape[1])[None, :]
+    norm_sv = jnp.where(idx < sig_lens[:, None], norm_sv, 0.0)
+    norm = jnp.where(has_sv[:, None], norm_sv, norm)
+    scores = seg.cpt_scores_diff_batch(norm, sig_lens, w)
+    return norm, shift, scale, lower, upper, scores
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _stage_scores_rna(raw, sig_lens, w: int):
+    """RNA stage 1a: t-test changepoint scores on raw signal."""
+    return seg.cpt_scores_t_test_batch(raw, sig_lens, w)
+
+
+@jax.jit
+def _stage_event_means(norm, segs, n_segs):
+    return nrm.compute_base_means_batch(norm, segs, n_segs)
+
+
+class BatchedResquiggler:
+    """Drive batches of mapped reads through the device kernels.
+
+    Produces results identical to ``pipeline.resquiggle.resquiggle_read``
+    (up to floating-point-tie co-optimal DP paths); cross-checked in
+    tests/test_batch_parity.py.
+    """
+
+    def __init__(self, std_ref, rsqgl_params: ResquiggleParams,
+                 seq_samp_type: SeqSampleType,
+                 outlier_thresh: Optional[float] = config.OUTLIER_THRESH,
+                 dtype=jnp.float32):
+        self.std_ref = std_ref
+        self.params = rsqgl_params
+        self.seq_samp_type = seq_samp_type
+        self.outlier_thresh = outlier_thresh
+        self.dtype = dtype
+        self.save_params = rsqgl_params.replace(
+            bandwidth=config.load_resquiggle_parameters(
+                seq_samp_type.name, use_save_bandwidth=True).bandwidth)
+
+    # ------------------------------------------------------- stage drivers
+    def _segment_batch(self, states: List[_ReadState]):
+        """Stages 1-3: normalize, changepoint-select, event means."""
+        p = self.params
+        live = [s for s in states if s.error is None]
+        if not live:
+            return
+        S_max = _round_up(max(s.raw.shape[0] for s in live), 256)
+        B = len(live)
+        raw_pad = np.zeros((B, S_max), np.float64)
+        sig_lens = np.array([s.raw.shape[0] for s in live], np.int64)
+        for i, s in enumerate(live):
+            raw_pad[i, :s.raw.shape[0]] = s.raw
+        raw_j = jnp.asarray(raw_pad.astype(self.dtype))
+        lens_j = jnp.asarray(sig_lens)
+
+        w = p.running_stat_width
+        if p.use_t_test_seg:
+            scores = np.asarray(
+                _stage_scores_rna(raw_j, lens_j, w), np.float64)
+        else:
+            has_sv = np.array(
+                [s.map_res.scale_values is not None for s in live])
+            sv_shift = np.zeros(B); sv_scale = np.ones(B)
+            sv_lower = np.full(B, -nrm.POS_LARGE)
+            sv_upper = np.full(B, nrm.POS_LARGE)
+            for i, s in enumerate(live):
+                sv = s.map_res.scale_values
+                if sv is not None:
+                    sv_shift[i], sv_scale[i] = sv.shift, sv.scale
+                    if sv.lower_lim is not None:
+                        sv_lower[i] = sv.lower_lim
+                    if sv.upper_lim is not None:
+                        sv_upper[i] = sv.upper_lim
+            (norm_j, shift, scale, lower, upper, scores_j) = \
+                _stage_norm_scores_dna(
+                    raw_j, lens_j, jnp.asarray(has_sv),
+                    jnp.asarray(sv_shift.astype(self.dtype)),
+                    jnp.asarray(sv_scale.astype(self.dtype)),
+                    jnp.asarray(sv_lower.astype(self.dtype)),
+                    jnp.asarray(sv_upper.astype(self.dtype)),
+                    float(self.outlier_thresh), w)
+            scores = np.asarray(scores_j, np.float64)
+            shift = np.asarray(shift); scale = np.asarray(scale)
+            lower = np.asarray(lower); upper = np.asarray(upper)
+
+        n_cands = sig_lens - 2 * w
+        num_cpts = np.array([s.num_events for s in live], np.int64)
+        cpts, status = greedy_cpts_batch(
+            scores, n_cands, num_cpts, shift=w, min_base_obs=p.min_obs_per_base)
+
+        for i, s in enumerate(live):
+            if status[i] != 0:
+                s.error = "Fewer changepoints found than requested"
+                continue
+            valid_cpts = cpts[i, :s.num_events]
+            if s.map_res.stall_ints is not None:
+                valid_cpts = rsq.remove_stall_cpts(
+                    s.map_res.stall_ints, valid_cpts)
+            s.cpts = valid_cpts
+
+        # normalization
+        if p.use_t_test_seg:
+            for i, s in enumerate(live):
+                if s.error is not None:
+                    continue
+                if s.map_res.scale_values is not None:
+                    sv = s.map_res.scale_values
+                elif config.USE_RNA_EVENT_SCALE:
+                    sv = rsq.get_scale_values_from_events(
+                        s.raw, s.cpts, self.outlier_thresh,
+                        num_events=config.RNA_SCALE_NUM_EVENTS,
+                        max_frac_events=config.RNA_SCALE_MAX_FRAC_EVENTS)
+                else:
+                    sv = None
+                s.norm, s.scale_values = rsq.normalize_raw_signal(
+                    s.raw, scale_values=sv)
+        else:
+            norm_np = np.asarray(norm_j, np.float64)
+            for i, s in enumerate(live):
+                if s.error is not None:
+                    continue
+                s.norm = norm_np[i, :s.raw.shape[0]]
+                prev_sv = s.map_res.scale_values
+                s.scale_values = ScaleValues(
+                    float(shift[i]), float(scale[i]), float(lower[i]),
+                    float(upper[i]),
+                    prev_sv.outlier_thresh if prev_sv is not None
+                    else self.outlier_thresh)
+
+        # event means (host cumsum-diff; cheap relative to DP)
+        for s in live:
+            if s.error is None:
+                s.event_means = ref_impl.new_means(s.norm, s.cpts)
+
+    def _plan_reads(self, states: List[_ReadState]):
+        """Expected levels + start discovery routing."""
+        p = self.params
+        for s in states:
+            if s.error is not None:
+                continue
+            std_ref = self.std_ref
+            dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
+            try:
+                r_means, r_sds = std_ref.get_exp_levels_from_seq(
+                    s.map_res.genome_seq)
+            except TomboTpuError as e:
+                s.error = str(e)
+                continue
+            s.ref_means, s.ref_sds = r_means, r_sds
+            s.genome_seq_trim = s.map_res.genome_seq[
+                std_ref.central_pos:-dnstrm]
+            if len(s.genome_seq_trim) != r_means.shape[0]:
+                s.error = "Discordant reference and sequence lengths."
+                continue
+            if (s.event_means.shape[0] < p.start_bw + p.start_n_bases or
+                    r_means.shape[0] < p.start_n_bases):
+                s.use_static = True
+
+    def _start_discovery(self, states: List[_ReadState], start_bw: int,
+                         check_score: bool):
+        """Batched static-band start discovery (device)."""
+        p = self.params
+        live = [s for s in states if s.error is None and not s.use_static]
+        if not live:
+            return []
+        nb = p.start_n_bases
+        ne = start_bw
+        B = len(live)
+        need = nb + ne
+        em_pad = np.zeros((B, need), np.float64)
+        rm_pad = np.ones((B, nb), np.float64)
+        rs_pad = np.ones((B, nb), np.float64)
+        for i, s in enumerate(live):
+            em_pad[i] = s.event_means[:need]
+            rm_pad[i] = s.ref_means[:nb]
+            rs_pad[i] = s.ref_sds[:nb]
+        sp = dpo.StartDpParams(
+            z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
+            max_half_z_score=p.max_half_z_score or -1.0,
+            num_bases=nb, num_events=ne)
+        segs, top, _ = dpo.start_band_dp(
+            jnp.asarray(em_pad.astype(self.dtype)),
+            jnp.asarray(rm_pad.astype(self.dtype)),
+            jnp.asarray(rs_pad.astype(self.dtype)), sp)
+        segs = np.asarray(segs, np.int64)
+
+        failed = []
+        for i, s in enumerate(live):
+            start_tb = segs[i]
+            try:
+                if check_score and rsq.score_valid_bases(
+                        start_tb, s.event_means, s.ref_means, s.ref_sds) > \
+                        SIG_MATCH_THRESH[self.seq_samp_type.name]:
+                    raise TomboTpuError(
+                        "Poor raw to expected signal matching in beginning "
+                        "of read.")
+            except TomboTpuError:
+                failed.append(s)
+                continue
+            s.events_per_base = (start_tb[-1] - start_tb[0]) / len(start_tb)
+            s.mapped_start = int(start_tb[0])
+        return failed
+
+    def _adaptive_batch(self, states: List[_ReadState]):
+        """Stage 5: masked-start prefix + adaptive DP + traceback."""
+        p = self.params
+        live = []
+        for s in states:
+            if s.error is not None or s.use_static:
+                continue
+            if s.events_per_base == 0:
+                s.error = ("Very poor signal quality. Read likely includes "
+                           "open pore.")
+                continue
+            half_bw = p.bandwidth // 2
+            if s.mapped_start < half_bw:
+                s.events_start_clip = 0
+                s.mapped_start_offset = s.mapped_start
+            else:
+                s.events_start_clip = s.mapped_start - half_bw
+                s.mapped_start_offset = half_bw
+            if (int((half_bw + 1) / s.events_per_base) >=
+                    s.ref_means.shape[0] or
+                    s.event_means.shape[0] - s.mapped_start_offset -
+                    s.events_start_clip < p.bandwidth):
+                s.use_static = True
+                continue
+            try:
+                starts, valid_start, row_end = rsq.build_masked_start_plan(
+                    s.event_means.shape[0] - s.events_start_clip,
+                    s.mapped_start_offset, p, s.events_per_base)
+            except TomboTpuError as e:
+                s.error = str(e)
+                continue
+            s.prefix_starts = starts
+            s.prefix_valid_start = valid_start
+            s.prefix_end = row_end
+            live.append(s)
+        if not live:
+            return
+
+        bw = p.bandwidth
+        L_max = _round_up(max(s.ref_means.shape[0] for s in live), 64)
+        P_max = max(s.prefix_starts.shape[0] for s in live)
+        E_max = _round_up(
+            max(s.event_means.shape[0] - s.events_start_clip
+                for s in live) + bw, 64)
+        B = len(live)
+
+        em = np.zeros((B, E_max), np.float64)
+        rm = np.ones((B, L_max), np.float64)
+        rs = np.ones((B, L_max), np.float64)
+        n_events = np.zeros(B, np.int64)
+        seq_lens = np.zeros(B, np.int64)
+        pstarts = np.zeros((B, P_max), np.int64)
+        pvalid = np.zeros(B, np.int64)
+        pend = np.full((B, P_max), 2 ** 62, np.int64)
+        start_rows = np.zeros(B, np.int64)
+        for i, s in enumerate(live):
+            cem = s.event_means[s.events_start_clip:]
+            em[i, :cem.shape[0]] = cem
+            n_events[i] = cem.shape[0]
+            L = s.ref_means.shape[0]
+            rm[i, :L] = s.ref_means
+            rs[i, :L] = s.ref_sds
+            seq_lens[i] = L
+            P = s.prefix_starts.shape[0]
+            pstarts[i, :P] = s.prefix_starts
+            # pad prefix rows with the last start (rows >= start_rows unused)
+            pstarts[i, P:] = s.prefix_starts[-1]
+            pvalid[i] = s.prefix_valid_start
+            pend[i, :P] = s.prefix_end
+            start_rows[i] = P
+
+        dpp = dpo.DpParams(
+            z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
+            mask_fill_z_score=MASK_FILL_Z_SCORE,
+            max_half_z_score=p.max_half_z_score or -1.0, bandwidth=bw)
+        tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+            jnp.asarray(em.astype(self.dtype)), jnp.asarray(n_events),
+            jnp.asarray(rm.astype(self.dtype)),
+            jnp.asarray(rs.astype(self.dtype)),
+            jnp.asarray(seq_lens), jnp.asarray(pstarts),
+            jnp.asarray(pvalid), jnp.asarray(pend),
+            jnp.asarray(start_rows), dpp, L_max, P_max)
+        top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+        segs_j, bound_err = dpo.banded_traceback(
+            tb, band_starts, jnp.asarray(seq_lens), top,
+            p.band_bound_thresh, bw, L_max)
+        segs_np = np.asarray(segs_j, np.int64)
+        band_err = np.asarray(band_err)
+        bound_err = np.asarray(bound_err)
+
+        for i, s in enumerate(live):
+            if band_err[i]:
+                s.error = ("Adaptive signal to sequence alignment extended "
+                           "beyond raw signal")
+                continue
+            if bound_err[i]:
+                s.error = ("Read event to sequence alignment extends beyond "
+                           "bandwidth")
+                continue
+            L = s.ref_means.shape[0]
+            read_tb = segs_np[i, :L + 1].copy()
+            read_tb = rsq._trim_traceback(
+                read_tb,
+                events_len=s.event_means.shape[0] - s.events_start_clip)
+            seq_segs, rsrtr = rsq.get_rel_raw_coords(
+                s.cpts[s.events_start_clip:], read_tb)
+            s.dp_segs = seq_segs
+            s.dp_rsrtr = rsrtr
+
+    def _static_reads(self, states: List[_ReadState]):
+        """Short-read static-band fallback (host; rare)."""
+        for s in states:
+            if s.error is not None or not s.use_static:
+                continue
+            try:
+                seq_events = rsq.find_static_base_assignment(
+                    s.event_means, s.ref_means, s.ref_sds, self.params)
+                seq_segs, rsrtr = rsq.get_rel_raw_coords(s.cpts, seq_events)
+                s.dp_segs = seq_segs
+                s.dp_rsrtr = rsrtr
+            except TomboTpuError as e:
+                s.error = str(e)
+
+    def _finalize(self, states: List[_ReadState], skip_seq_scaling=False):
+        """Stage 6: deletion fix, rescale, score (host)."""
+        from ..types import DpResults
+        for s in states:
+            if s.error is not None or s.result is not None:
+                continue
+            if not hasattr(s, "dp_segs"):
+                s.error = s.error or "DP did not produce a path"
+                continue
+            try:
+                dp_res = DpResults(
+                    s.dp_rsrtr, s.dp_segs, s.ref_means, s.ref_sds,
+                    s.genome_seq_trim)
+                norm_signal = s.norm[
+                    dp_res.read_start_rel_to_raw:
+                    dp_res.read_start_rel_to_raw + dp_res.segs[-1]]
+                segs = rsq.resolve_skipped_bases_with_raw(
+                    dp_res, norm_signal, self.params)
+                new_scale_values = s.scale_values
+                if skip_seq_scaling:
+                    norm_params_changed = False
+                else:
+                    (shift, scale, shift_corr, scale_corr) = \
+                        rsq.calc_kmer_fitted_shift_scale(
+                            new_scale_values.shift, new_scale_values.scale,
+                            ref_impl.new_means(norm_signal, segs),
+                            dp_res.ref_means, method="theil_sen")
+                    new_scale_values = new_scale_values.replace(
+                        shift=shift, scale=scale,
+                        outlier_thresh=self.outlier_thresh)
+                    norm_signal = (norm_signal - shift_corr) / scale_corr
+                    norm_params_changed = (
+                        abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
+                        abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
+                sig_match_score = rsq.get_read_seg_score(
+                    ref_impl.new_means(norm_signal, segs), dp_res.ref_means,
+                    dp_res.ref_sds)
+                if segs.shape[0] != len(dp_res.genome_seq) + 1:
+                    raise TomboTpuError(
+                        "Aligned sequence does not match number of segments "
+                        "produced")
+                s.result = s.map_res.replace(
+                    read_start_rel_to_raw=dp_res.read_start_rel_to_raw,
+                    segs=segs, genome_seq=dp_res.genome_seq,
+                    raw_signal=norm_signal, scale_values=new_scale_values,
+                    sig_match_score=sig_match_score,
+                    norm_params_changed=norm_params_changed)
+            except TomboTpuError as e:
+                s.error = str(e)
+
+    # ------------------------------------------------------------ run API
+    def _run_pass(self, states: List[_ReadState]):
+        self._segment_batch(states)
+        self._plan_reads(states)
+        failed_start = self._start_discovery(
+            states, self.params.start_bw, check_score=True)
+        # save-bandwidth start retry without score check
+        # (reference: tombo/resquiggle.py:996-1006)
+        for s in failed_start:
+            if (s.event_means.shape[0] <
+                    self.params.start_save_bw + self.params.start_n_bases):
+                s.use_static = True
+        retry = [s for s in failed_start if not s.use_static]
+        if retry:
+            still_failed = self._start_discovery(
+                retry, self.params.start_save_bw, check_score=False)
+            for s in still_failed:
+                s.error = "Read start discovery failed"
+        self._adaptive_batch(states)
+        self._static_reads(states)
+        self._finalize(states)
+
+    def resquiggle_batch(self, map_results: Sequence[ResquiggleResults],
+                         max_scaling_iters: int = config.MAX_SCALING_ITERS
+                         ) -> List[Tuple[Optional[ResquiggleResults],
+                                         Optional[str]]]:
+        """Re-squiggle a batch of mapped reads (raw_signal already adjusted
+        via ``adjust_map_res``).  Returns per-read (result, error)."""
+        states = []
+        for idx, mr in enumerate(map_results):
+            raw = np.asarray(mr.raw_signal, np.float64)
+            num_mapped_bases = (len(mr.genome_seq) -
+                                self.std_ref.kmer_width + 1)
+            st = _ReadState(idx=idx, map_res=mr, raw=raw, num_events=0)
+            num_events = rsq.compute_num_events(
+                raw.shape[0], num_mapped_bases,
+                self.params.mean_obs_per_event)
+            if num_events / self.params.bandwidth > num_mapped_bases:
+                st.error = "Too much raw signal for mapped sequence"
+            st.num_events = num_events
+            states.append(st)
+
+        self._run_pass(states)
+
+        # iterative sequence-fitted rescaling
+        for _ in range(max_scaling_iters - 1):
+            redo = [s for s in states
+                    if s.result is not None and s.result.norm_params_changed]
+            if not redo:
+                break
+            for s in redo:
+                s.map_res = s.map_res.replace(
+                    scale_values=s.result.scale_values)
+                s.result = None
+                s.scale_values = None
+                s.use_static = False
+                if hasattr(s, "dp_segs"):
+                    del s.dp_segs
+            self._run_pass(redo)
+
+        # failed reads retried with the save bandwidth
+        # (reference: tombo/resquiggle.py:1586-1588); skip if already in the
+        # save lane to avoid retry recursion
+        retry = ([] if self.params.bandwidth == self.save_params.bandwidth
+                 else [s for s in states if s.result is None])
+        if retry:
+            saver = BatchedResquiggler(
+                self.std_ref, self.save_params, self.seq_samp_type,
+                self.outlier_thresh, self.dtype)
+            retry_map = [s.map_res.replace(scale_values=None) for s in retry]
+            retry_out = saver.resquiggle_batch(
+                retry_map, max_scaling_iters=max_scaling_iters)
+            for s, (res, err) in zip(retry, retry_out):
+                if res is not None:
+                    s.result = res
+                    s.error = None
+
+        return [(s.result, s.error) for s in states]
