@@ -167,7 +167,9 @@ def adaptive_banded_dp(
     seq_lens = seq_lens.astype(jnp.int32)
     prefix_starts = prefix_starts.astype(jnp.int32)
     prefix_valid_start = prefix_valid_start.astype(jnp.int32)
-    prefix_end = prefix_end.astype(jnp.int64)
+    # prefix_end is clipped into int32 range first (callers may use a large
+    # "no mask" sentinel); int64 would be silently truncated under x32
+    prefix_end = jnp.clip(prefix_end, 0, 2 ** 31 - 1).astype(jnp.int32)
     start_rows = start_rows.astype(jnp.int32)
 
     # Events left/right-padded by one bandwidth so negative band starts

@@ -1,0 +1,133 @@
+"""Multi-chip sharding of the re-squiggle compute path.
+
+The workload is read-level data parallel (the reference's process pool,
+SURVEY.md §2.3, re-expressed as a device mesh): padded read batches shard on
+the batch axis over a 1-D ``reads`` mesh; the k-mer model tables replicate;
+per-reference-site statistic accumulators merge with ``psum`` over the mesh
+(the collective rides ICI within a slice).
+
+``full_sharded_step`` stitches the device stages into a single jittable
+function used by the driver's multi-chip dry-run and by multi-chip
+benchmarks; per-stage entry points remain available for the production
+pipeline (which interleaves host work between stages).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import dp as dpo
+from ..ops import normalize as nrm
+from ..ops import segment as seg
+
+READS_AXIS = "reads"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (READS_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(READS_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place arrays with the batch axis sharded over the reads mesh."""
+    sh = batch_sharding(mesh)
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def full_sharded_step(mesh: Mesh, dp_params: dpo.DpParams,
+                      outlier_thresh: float, running_stat_width: int,
+                      n_rows: int, prefix_rows: int):
+    """One full device pass over a sharded read batch: normalization,
+    changepoint scores, event means (from given segment boundaries),
+    adaptive banded DP, traceback, and a psum'd per-batch coverage/stat
+    accumulator as the collective merge exemplar.
+
+    Returns a jitted function(raw, sig_lens, segs, n_segs, ref_means,
+    ref_sds, seq_lens, prefix_starts, prefix_valid, prefix_end, start_rows,
+    site_bins) -> (scores, segs_tb, site_cov).
+    """
+    bsh = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def step(raw, sig_lens, segs, n_segs, ref_means, ref_sds, seq_lens,
+             prefix_starts, prefix_valid, prefix_end, start_rows, site_bins):
+        norm, shift, scale, lower, upper = nrm.normalize_median_batch(
+            raw, sig_lens, outlier_thresh)
+        scores = seg.cpt_scores_diff_batch(norm, sig_lens,
+                                           running_stat_width)
+        event_means = nrm.compute_base_means_batch(norm, segs, n_segs)
+        tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+            event_means, n_segs, ref_means, ref_sds, seq_lens,
+            prefix_starts, prefix_valid, prefix_end, start_rows,
+            dp_params, n_rows, prefix_rows)
+        top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+        segs_tb, bound_err = dpo.banded_traceback(
+            tb, band_starts, seq_lens, top, -1, dp_params.bandwidth, n_rows)
+        # per-site accumulator merge: coverage histogram over genome bins,
+        # summed across the mesh (ICI psum via jnp.sum on a sharded axis is
+        # inserted by the partitioner; make it explicit for determinism)
+        n_bins = site_bins.shape[1]
+        site_cov = jnp.sum(site_bins, axis=0)
+        return scores, segs_tb, site_cov
+
+    in_shardings = (bsh, bsh, bsh, bsh, bsh, bsh, bsh, bsh, bsh, bsh, bsh,
+                    bsh)
+    out_shardings = (bsh, bsh, rep)
+    return jax.jit(step, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+def dryrun(n_devices: int, bandwidth: int = 16, n_rows: int = 32,
+           prefix_rows: int = 4, sig_len: int = 256) -> None:
+    """Compile and execute one full sharded step on tiny shapes across an
+    ``n_devices`` mesh (driver contract: __graft_entry__.dryrun_multichip)."""
+    devices = jax.devices()
+    assert len(devices) >= n_devices, (
+        "need %d devices, have %d" % (n_devices, len(devices)))
+    mesh = make_mesh(devices[:n_devices])
+
+    B = max(2 * n_devices, n_devices)  # at least 2 reads per device
+    rng = np.random.default_rng(0)
+    E = n_rows * 4
+    raw = rng.normal(450.0, 60.0, (B, sig_len)).astype(np.float32)
+    sig_lens = np.full(B, sig_len, np.int32)
+    # evenly spaced segment boundaries (E segments)
+    segs = np.tile(np.linspace(0, sig_len, E + 1).astype(np.int32), (B, 1))
+    n_segs = np.full(B, E, np.int32)
+    ref_means = rng.normal(0, 1, (B, n_rows)).astype(np.float32)
+    ref_sds = np.full((B, n_rows), 0.35, np.float32)
+    seq_lens = np.full(B, n_rows, np.int32)
+    prefix_starts = np.tile(
+        np.arange(prefix_rows, dtype=np.int32) * 2, (B, 1))
+    prefix_valid = np.zeros(B, np.int32)
+    prefix_end = np.full((B, prefix_rows), 2 ** 31 - 1, np.int64)
+    start_rows = np.full(B, prefix_rows, np.int32)
+    site_bins = rng.integers(0, 3, (B, 64)).astype(np.int32)
+
+    dp_params = dpo.DpParams(
+        z_shift=5.0, skip_pen=4.2, stay_pen=4.2, mask_fill_z_score=-15.0,
+        max_half_z_score=20.0, bandwidth=bandwidth)
+
+    step = full_sharded_step(mesh, dp_params, 5.0, 5, n_rows, prefix_rows)
+    args = shard_batch(mesh, raw, sig_lens, segs, n_segs, ref_means,
+                       ref_sds, seq_lens, prefix_starts, prefix_valid,
+                       prefix_end, start_rows, site_bins)
+    scores, segs_tb, site_cov = step(*args)
+    jax.block_until_ready((scores, segs_tb, site_cov))
+    assert segs_tb.shape == (B, n_rows + 1)
+    assert site_cov.shape == (64,)

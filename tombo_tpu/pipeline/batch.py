@@ -338,7 +338,7 @@ class BatchedResquiggler:
         seq_lens = np.zeros(B, np.int64)
         pstarts = np.zeros((B, P_max), np.int64)
         pvalid = np.zeros(B, np.int64)
-        pend = np.full((B, P_max), 2 ** 62, np.int64)
+        pend = np.full((B, P_max), 2 ** 31 - 1, np.int64)
         start_rows = np.zeros(B, np.int64)
         for i, s in enumerate(live):
             cem = s.event_means[s.events_start_clip:]

@@ -1,0 +1,208 @@
+"""Re-squiggle orchestration: FAST5 directories in, corrected groups +
+index out.
+
+TPU-first replacement for the reference's N-process x M-thread CPU fan-out
+(reference: tombo/resquiggle.py:1859-1948 ``resquiggle_all_reads``): a
+thread pool performs FAST5 I/O and mapping (host), batches of mapped reads
+stream through the device lane (pipeline/batch.py), and writeback + indexing
+happen on the host.  Failure taxonomy matches the reference: every per-read
+error is recorded (FAST5 status attr + failed-read list) and the run
+continues (SURVEY.md §5.3).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from collections import Counter, defaultdict
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import config
+from ..errors import TomboTpuError
+from ..io import fast5 as f5io
+from ..io.index import ReadsIndex
+from ..io.model_io import KmerModel
+from ..types import ReadData, ResquiggleResults, SeqSampleType
+from . import resquiggle as rsq
+from .batch import BatchedResquiggler
+
+
+@dataclass
+class RunConfig:
+    corrected_group: str = config.DEFAULT_CORRECTED_GROUP
+    basecall_group: str = config.DEFAULT_BASECALL_GROUP
+    basecall_subgroups: Tuple[str, ...] = (
+        config.DEFAULT_BASECALL_SUBGROUP,)
+    overwrite: bool = False
+    ignore_read_locks: bool = False
+    q_score_thresh: float = 0.0
+    signal_length_range: Optional[Tuple[int, int]] = None
+    sequence_length_range: Optional[Tuple[int, int]] = None
+    sig_match_thresh: Optional[float] = None
+    obs_filter: Optional[List[Tuple[float, float]]] = None
+    batch_size: int = 64
+    num_io_threads: int = 8
+    skip_index: bool = False
+    compute_sd: bool = False
+    dry_run: bool = False
+    max_scaling_iters: int = config.MAX_SCALING_ITERS
+    outlier_thresh: float = config.OUTLIER_THRESH
+
+
+@dataclass
+class RunSummary:
+    n_success: int = 0
+    n_failed: int = 0
+    failure_modes: Counter = field(default_factory=Counter)
+
+    def as_dict(self):
+        return dict(n_success=self.n_success, n_failed=self.n_failed,
+                    failure_modes=dict(self.failure_modes))
+
+
+def _load_and_map_one(fast5_fn: str, aligner, std_ref,
+                      seq_samp_type: SeqSampleType, rc: RunConfig,
+                      rsqgl_params):
+    """Host I/O + mapping for one read (thread-pool work item); mirrors
+    reference: tombo/resquiggle.py:1385-1481 ``_io_and_map_read``."""
+    import h5py
+    with h5py.File(fast5_fn, "r") as fast5_data:
+        raw = f5io.get_raw_signal(fast5_data)
+        if not (rc.signal_length_range is None or
+                rc.signal_length_range[0] < raw.shape[0] <
+                rc.signal_length_range[1]):
+            raise TomboTpuError("Raw signal not within --signal-length-range")
+        seq_data = f5io.get_read_seq(
+            fast5_data, rc.basecall_group, rc.basecall_subgroups[0],
+            seq_samp_type.name == config.RNA_SAMP_TYPE, rc.q_score_thresh)
+    map_res = rsq.map_read(seq_data, aligner, std_ref, seq_samp_type,
+                           rc.basecall_subgroups[0],
+                           rc.sequence_length_range)
+    if invalid := _invalid_seq(map_res.genome_seq):
+        raise TomboTpuError(
+            "Reference mapping contains non-canonical bases")
+    map_res = map_res.replace(raw_signal=raw.astype(np.float64))
+    map_res = rsq.adjust_map_res(map_res, seq_samp_type, rsqgl_params)
+    return map_res
+
+
+def _invalid_seq(seq: str) -> bool:
+    from ..seq import invalid_seq
+    return invalid_seq(seq)
+
+
+def resquiggle_all_reads(
+        fast5s_dir: str, aligner, std_ref: KmerModel,
+        seq_samp_type: SeqSampleType, rsqgl_params,
+        rc: Optional[RunConfig] = None,
+        resquiggler: Optional[BatchedResquiggler] = None
+        ) -> Tuple[RunSummary, Optional[ReadsIndex]]:
+    """Re-squiggle every FAST5 under ``fast5s_dir``.
+
+    Returns (summary, reads_index or None if skip_index).
+    """
+    rc = rc or RunConfig()
+    sig_match_thresh = (rc.sig_match_thresh if rc.sig_match_thresh is not None
+                        else config.SIG_MATCH_THRESH[seq_samp_type.name])
+    lock_fns = f5io.lock_dirs([fast5s_dir], rc.ignore_read_locks)
+    summary = RunSummary()
+    reads_index = (None if rc.skip_index else
+                   ReadsIndex([fast5s_dir],
+                              corrected_group=rc.corrected_group,
+                              for_writing=True))
+    try:
+        if resquiggler is None:
+            resquiggler = BatchedResquiggler(
+                std_ref, rsqgl_params, seq_samp_type, rc.outlier_thresh)
+
+        all_fns = list(f5io.iter_fast5_reads(fast5s_dir))
+        bc_subgrp = rc.basecall_subgroups[0]
+
+        # --- threaded host stage: prep + read + map
+        def map_worker(fn):
+            try:
+                if not rc.dry_run:
+                    f5io.prep_fast5(fn, rc.corrected_group, rc.overwrite,
+                                    rc.basecall_group)
+                mr = _load_and_map_one(fn, aligner, std_ref, seq_samp_type,
+                                       rc, rsqgl_params)
+                return fn, mr, None
+            except TomboTpuError as e:
+                return fn, None, str(e)
+            except Exception as e:  # unexpected: record, don't crash run
+                return fn, None, "Unexpected error: " + repr(e)
+
+        from concurrent.futures import ThreadPoolExecutor
+        mapped: List[Tuple[str, ResquiggleResults]] = []
+        with ThreadPoolExecutor(max_workers=rc.num_io_threads) as pool:
+            for fn, mr, err in pool.map(map_worker, all_fns):
+                if err is not None:
+                    summary.n_failed += 1
+                    summary.failure_modes[err] += 1
+                    _write_status(fn, rc, bc_subgrp, err)
+                else:
+                    mapped.append((fn, mr))
+
+        # --- device-batched resquiggle + writeback
+        for i in range(0, len(mapped), rc.batch_size):
+            chunk = mapped[i:i + rc.batch_size]
+            results = resquiggler.resquiggle_batch(
+                [mr for _, mr in chunk],
+                max_scaling_iters=rc.max_scaling_iters)
+            for (fn, mr), (res, err) in zip(chunk, results):
+                if err is not None:
+                    summary.n_failed += 1
+                    summary.failure_modes[err] += 1
+                    _write_status(fn, rc, bc_subgrp, err)
+                    continue
+                try:
+                    if not rc.dry_run:
+                        f5io.write_new_fast5_group(
+                            fn, rc.corrected_group, res, "median",
+                            rc.compute_sd, rna=seq_samp_type.rev_sig)
+                except Exception as e:
+                    summary.n_failed += 1
+                    summary.failure_modes["FAST5 write error"] += 1
+                    continue
+                summary.n_success += 1
+                if reads_index is not None:
+                    is_filtered = False
+                    if res.sig_match_score > sig_match_thresh:
+                        is_filtered = True
+                        summary.failure_modes[
+                            "Poor raw to expected signal matching "
+                            "(revert with `filter clear_filters`)"] += 1
+                    elif rc.obs_filter:
+                        base_lens = np.diff(res.segs)
+                        is_filtered = any(
+                            np.percentile(base_lens, pctl) > thresh
+                            for pctl, thresh in rc.obs_filter)
+                    mapped_end = res.genome_loc.start + len(res.segs) - 1
+                    reads_index.add_read_data(
+                        res.genome_loc.chrom, res.genome_loc.strand,
+                        ReadData(
+                            res.genome_loc.start, mapped_end, is_filtered,
+                            res.read_start_rel_to_raw,
+                            res.genome_loc.strand, fn,
+                            rc.corrected_group + "/" + bc_subgrp,
+                            seq_samp_type.rev_sig, res.sig_match_score,
+                            res.mean_q_score, res.align_info.read_id))
+
+        if reads_index is not None and not rc.dry_run:
+            reads_index.write_index_file()
+    finally:
+        f5io.clear_locks(lock_fns)
+
+    return summary, reads_index
+
+
+def _write_status(fn: str, rc: RunConfig, bc_subgrp: str, err: str):
+    if rc.dry_run:
+        return
+    try:
+        f5io.write_error_status(fn, rc.corrected_group, bc_subgrp, err)
+    except Exception:
+        pass
