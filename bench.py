@@ -1,0 +1,100 @@
+"""Benchmark: batched TPU re-squiggle throughput (reads/s/chip).
+
+Runs the full batched lane (device normalize/scores/DP/traceback + host
+greedy selection, deletion fix, Theil-Sen) on synthetic E. coli-like DNA
+reads, and compares against the single-read host path executed on one CPU
+core — the stand-in for the reference's single-core Cython pipeline (the
+reference publishes no numbers and is not runnable in this environment;
+BASELINE.md).
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from tombo_tpu import config
+from tombo_tpu.io.model_io import KmerModel
+from tombo_tpu.pipeline import resquiggle as rsq
+from tombo_tpu.pipeline.aligner import ExactAligner
+from tombo_tpu.pipeline.batch import BatchedResquiggler
+from tombo_tpu.testing import random_reference, simulate_read
+from tombo_tpu.types import SeqSampleType, SequenceData
+
+READ_LEN = 1000          # bases per read (E. coli-like)
+BATCH_SIZE = 64
+N_BATCHES = 4
+N_CPU_READS = 8          # single-read host-path sample for the baseline
+
+
+def build_dataset(n_reads):
+    rng = np.random.default_rng(1234)
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    fasta = random_reference(np.random.default_rng(5), 60000)
+    aligner = ExactAligner(fasta)
+    sst = SeqSampleType(config.DNA_SAMP_TYPE, False)
+    params = config.load_resquiggle_parameters(config.DNA_SAMP_TYPE)
+    map_results = []
+    for i in range(n_reads):
+        read = simulate_read(rng, fasta, model, read_len=READ_LEN,
+                             read_id="bench_%05d" % i)
+        seq_data = SequenceData(read.seq, read.read_id, 12.0)
+        mr = rsq.map_read(seq_data, aligner, model, sst)
+        mr = mr.replace(raw_signal=read.raw_signal.astype(np.float64))
+        mr = rsq.adjust_map_res(mr, sst, params)
+        map_results.append(mr)
+    return model, params, sst, map_results
+
+
+def main():
+    backend = jax.default_backend()
+    n_reads = BATCH_SIZE * (N_BATCHES + 1)
+    model, params, sst, map_results = build_dataset(n_reads)
+
+    br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                            dtype=jnp.float32)
+
+    # warmup / compile
+    warm = br.resquiggle_batch(map_results[:BATCH_SIZE])
+    n_ok = sum(1 for r, e in warm if r is not None)
+    assert n_ok >= BATCH_SIZE * 0.9, "too many warmup failures: %d" % n_ok
+
+    t0 = time.perf_counter()
+    total = 0
+    for b in range(1, N_BATCHES + 1):
+        out = br.resquiggle_batch(
+            map_results[b * BATCH_SIZE:(b + 1) * BATCH_SIZE])
+        total += sum(1 for r, e in out if r is not None)
+    dt = time.perf_counter() - t0
+    tpu_rate = total / dt
+
+    # single-core host-path baseline (reference-equivalent algorithm)
+    save_params = config.load_resquiggle_parameters(
+        config.DNA_SAMP_TYPE, use_save_bandwidth=True)
+    t0 = time.perf_counter()
+    for mr in map_results[:N_CPU_READS]:
+        rsq.resquiggle_read_with_retries(
+            mr, model, params, save_params,
+            outlier_thresh=config.OUTLIER_THRESH, seq_samp_type=sst)
+    cpu_dt = time.perf_counter() - t0
+    cpu_rate = N_CPU_READS / cpu_dt
+
+    print(json.dumps({
+        "metric": "resquiggle_reads_per_s_per_chip_%s" % backend,
+        "value": round(tpu_rate, 3),
+        "unit": "reads/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -135,3 +135,68 @@ int64_t greedy_cpts_uncapped(const double* scores, int64_t n_cands,
 }
 
 }  // extern "C"
+
+// Theil-Sen estimator: median of all-pairs slopes between event means and
+// model means (reference behavior: tombo/_c_helper.pyx:362-377
+// c_compute_slopes + numpy median in tombo/tombo_stats.py:417-419).
+// Equal event means contribute max_slope.  Returns (slope, intercept) where
+// intercept = median(model - slope * event).
+static void theil_sen_one(const double* ev, const double* mod, int64_t n,
+                          double max_slope, double* out_slope,
+                          double* out_inter) {
+  const int64_t n_pairs = n * (n - 1) / 2;
+  std::vector<double> slopes;
+  slopes.reserve(static_cast<size_t>(n_pairs));
+  for (int64_t i = 0; i < n; ++i) {
+    const double evi = ev[i], modi = mod[i];
+    for (int64_t j = i + 1; j < n; ++j) {
+      const double de = evi - ev[j];
+      slopes.push_back(de == 0.0 ? max_slope : (modi - mod[j]) / de);
+    }
+  }
+  auto median_of = [](std::vector<double>& v) {
+    const size_t m = v.size() / 2;
+    std::nth_element(v.begin(), v.begin() + m, v.end());
+    double hi = v[m];
+    if (v.size() % 2 == 0) {
+      std::nth_element(v.begin(), v.begin() + m - 1, v.begin() + m);
+      return (hi + v[m - 1]) / 2.0;
+    }
+    return hi;
+  };
+  const double slope = median_of(slopes);
+  std::vector<double> inters(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) inters[i] = mod[i] - slope * ev[i];
+  *out_slope = slope;
+  *out_inter = median_of(inters);
+}
+
+extern "C" {
+
+// Batched Theil-Sen over padded (batch, max_n) arrays, threaded.
+// n_points[b] gives each row's true length (callers pre-sample to <= 1000
+// points, matching MAX_POINTS_FOR_THEIL_SEN).
+void theil_sen_batch(const double* ev, const double* mod, int64_t batch,
+                     int64_t max_n, const int64_t* n_points,
+                     double max_slope, double* out_slopes,
+                     double* out_inters, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, batch);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= batch) return;
+      theil_sen_one(ev + b * max_n, mod + b * max_n, n_points[b], max_slope,
+                    out_slopes + b, out_inters + b);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"

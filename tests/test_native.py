@@ -55,3 +55,25 @@ def test_full_valid_cpts_w_cap_pipeline():
         shift=w, min_base_obs=min_obs)
     assert status[0] == 0
     np.testing.assert_array_equal(out[0], oracle)
+
+
+def test_theil_sen_batch_parity():
+    """Native batched Theil-Sen == numpy oracle (median slope/intercept)."""
+    rng = np.random.default_rng(17)
+    B, max_n = 5, 200
+    ev = np.zeros((B, max_n))
+    mod = np.zeros((B, max_n))
+    n_pts = rng.integers(10, max_n + 1, B)
+    for b in range(B):
+        n = n_pts[b]
+        ev[b, :n] = rng.normal(0, 1, n)
+        mod[b, :n] = 0.8 * ev[b, :n] + 0.1 + rng.normal(0, 0.2, n)
+        if n > 4:  # force equal-event-mean pairs -> max_slope branch
+            ev[b, 2] = ev[b, 1]
+    slopes, inters = native.theil_sen_batch(ev, mod, n_pts)
+    for b in range(B):
+        n = n_pts[b]
+        sl = float(np.median(ri.compute_slopes(ev[b, :n], mod[b, :n])))
+        inter = float(np.median(mod[b, :n] - sl * ev[b, :n]))
+        assert abs(slopes[b] - sl) < 1e-12
+        assert abs(inters[b] - inter) < 1e-12

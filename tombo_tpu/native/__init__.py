@@ -65,6 +65,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.greedy_cpts_uncapped.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64)]
+        lib.theil_sen_batch.restype = None
+        lib.theil_sen_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -127,6 +133,34 @@ def greedy_cpts_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
             _as_c(out, ctypes.c_int64))
         return out[:count]
     return _np_uncapped(scores, min_base_obs)
+
+
+def theil_sen_batch(ev: np.ndarray, mod: np.ndarray, n_points: np.ndarray,
+                    max_slope: float = 1000.0, n_threads: int = 0):
+    """Batched Theil-Sen (median slope + median intercept) over padded
+    (B, max_n) float64 arrays.  Returns (slopes (B,), intercepts (B,))."""
+    ev = np.ascontiguousarray(ev, np.float64)
+    mod = np.ascontiguousarray(mod, np.float64)
+    n_points = np.ascontiguousarray(n_points, np.int64)
+    B, max_n = ev.shape
+    slopes = np.zeros(B)
+    inters = np.zeros(B)
+    lib = get_lib()
+    if lib is not None:
+        lib.theil_sen_batch(
+            _as_c(ev, ctypes.c_double), _as_c(mod, ctypes.c_double), B,
+            max_n, _as_c(n_points, ctypes.c_int64), max_slope,
+            _as_c(slopes, ctypes.c_double), _as_c(inters, ctypes.c_double),
+            n_threads)
+        return slopes, inters
+    from ..ops import ref_impl
+    for b in range(B):
+        n = int(n_points[b])
+        sl = float(np.median(ref_impl.compute_slopes(
+            ev[b, :n], mod[b, :n], max_slope)))
+        slopes[b] = sl
+        inters[b] = float(np.median(mod[b, :n] - sl * ev[b, :n]))
+    return slopes, inters
 
 
 def _np_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:

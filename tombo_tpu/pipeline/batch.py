@@ -47,6 +47,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pow2_bucket(x: int, lo: int) -> int:
+    """Round ``x`` up to a power-of-two bucket (>= lo).
+
+    Every distinct padded shape is a separate XLA compile (tens of seconds
+    on TPU backends), so all device-facing dimensions are padded to a small
+    geometric family of buckets rather than tight multiples."""
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+def _pad_rows(arr: np.ndarray, b_pad: int) -> np.ndarray:
+    """Pad the batch axis to ``b_pad`` rows by replicating row 0.
+
+    Replication (vs zero-fill) keeps every kernel's edge cases off the pad
+    rows — they compute a valid read whose outputs are discarded."""
+    b = arr.shape[0]
+    if b == b_pad:
+        return arr
+    return np.concatenate(
+        [arr, np.broadcast_to(arr[0], (b_pad - b,) + arr.shape[1:])], axis=0)
+
+
 @dataclass
 class _ReadState:
     """Per-read mutable state as it flows through the stages."""
@@ -128,19 +152,20 @@ class BatchedResquiggler:
         live = [s for s in states if s.error is None]
         if not live:
             return
-        S_max = _round_up(max(s.raw.shape[0] for s in live), 256)
+        S_max = _pow2_bucket(max(s.raw.shape[0] for s in live), 1024)
         B = len(live)
+        B_pad = _pow2_bucket(B, 8)
         raw_pad = np.zeros((B, S_max), np.float64)
         sig_lens = np.array([s.raw.shape[0] for s in live], np.int64)
         for i, s in enumerate(live):
             raw_pad[i, :s.raw.shape[0]] = s.raw
-        raw_j = jnp.asarray(raw_pad.astype(self.dtype))
-        lens_j = jnp.asarray(sig_lens)
+        raw_j = jnp.asarray(_pad_rows(raw_pad.astype(self.dtype), B_pad))
+        lens_j = jnp.asarray(_pad_rows(sig_lens, B_pad))
 
         w = p.running_stat_width
         if p.use_t_test_seg:
             scores = np.asarray(
-                _stage_scores_rna(raw_j, lens_j, w), np.float64)
+                _stage_scores_rna(raw_j, lens_j, w), np.float64)[:B]
         else:
             has_sv = np.array(
                 [s.map_res.scale_values is not None for s in live])
@@ -157,15 +182,15 @@ class BatchedResquiggler:
                         sv_upper[i] = sv.upper_lim
             (norm_j, shift, scale, lower, upper, scores_j) = \
                 _stage_norm_scores_dna(
-                    raw_j, lens_j, jnp.asarray(has_sv),
-                    jnp.asarray(sv_shift.astype(self.dtype)),
-                    jnp.asarray(sv_scale.astype(self.dtype)),
-                    jnp.asarray(sv_lower.astype(self.dtype)),
-                    jnp.asarray(sv_upper.astype(self.dtype)),
+                    raw_j, lens_j, jnp.asarray(_pad_rows(has_sv, B_pad)),
+                    jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
+                    jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
+                    jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
+                    jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
                     float(self.outlier_thresh), w)
-            scores = np.asarray(scores_j, np.float64)
-            shift = np.asarray(shift); scale = np.asarray(scale)
-            lower = np.asarray(lower); upper = np.asarray(upper)
+            scores = np.asarray(scores_j, np.float64)[:B]
+            shift = np.asarray(shift)[:B]; scale = np.asarray(scale)[:B]
+            lower = np.asarray(lower)[:B]; upper = np.asarray(upper)[:B]
 
         n_cands = sig_lens - 2 * w
         num_cpts = np.array([s.num_events for s in live], np.int64)
@@ -199,7 +224,7 @@ class BatchedResquiggler:
                 s.norm, s.scale_values = rsq.normalize_raw_signal(
                     s.raw, scale_values=sv)
         else:
-            norm_np = np.asarray(norm_j, np.float64)
+            norm_np = np.asarray(norm_j, np.float64)[:B]
             for i, s in enumerate(live):
                 if s.error is not None:
                     continue
@@ -250,6 +275,7 @@ class BatchedResquiggler:
         nb = p.start_n_bases
         ne = start_bw
         B = len(live)
+        B_pad = _pow2_bucket(B, 8)
         need = nb + ne
         em_pad = np.zeros((B, need), np.float64)
         rm_pad = np.ones((B, nb), np.float64)
@@ -263,10 +289,10 @@ class BatchedResquiggler:
             max_half_z_score=p.max_half_z_score or -1.0,
             num_bases=nb, num_events=ne)
         segs, top, _ = dpo.start_band_dp(
-            jnp.asarray(em_pad.astype(self.dtype)),
-            jnp.asarray(rm_pad.astype(self.dtype)),
-            jnp.asarray(rs_pad.astype(self.dtype)), sp)
-        segs = np.asarray(segs, np.int64)
+            jnp.asarray(_pad_rows(em_pad.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(rm_pad.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(rs_pad.astype(self.dtype), B_pad)), sp)
+        segs = np.asarray(segs, np.int64)[:B]
 
         failed = []
         for i, s in enumerate(live):
@@ -324,12 +350,13 @@ class BatchedResquiggler:
             return
 
         bw = p.bandwidth
-        L_max = _round_up(max(s.ref_means.shape[0] for s in live), 64)
-        P_max = max(s.prefix_starts.shape[0] for s in live)
-        E_max = _round_up(
+        L_max = _pow2_bucket(max(s.ref_means.shape[0] for s in live), 256)
+        P_max = _round_up(max(s.prefix_starts.shape[0] for s in live), 64)
+        E_max = _pow2_bucket(
             max(s.event_means.shape[0] - s.events_start_clip
-                for s in live) + bw, 64)
+                for s in live) + bw, 256)
         B = len(live)
+        B_pad = _pow2_bucket(B, 8)
 
         em = np.zeros((B, E_max), np.float64)
         rm = np.ones((B, L_max), np.float64)
@@ -360,20 +387,23 @@ class BatchedResquiggler:
             z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
             mask_fill_z_score=MASK_FILL_Z_SCORE,
             max_half_z_score=p.max_half_z_score or -1.0, bandwidth=bw)
+        seq_lens_j = jnp.asarray(_pad_rows(seq_lens, B_pad))
         tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
-            jnp.asarray(em.astype(self.dtype)), jnp.asarray(n_events),
-            jnp.asarray(rm.astype(self.dtype)),
-            jnp.asarray(rs.astype(self.dtype)),
-            jnp.asarray(seq_lens), jnp.asarray(pstarts),
-            jnp.asarray(pvalid), jnp.asarray(pend),
-            jnp.asarray(start_rows), dpp, L_max, P_max)
+            jnp.asarray(_pad_rows(em.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(n_events, B_pad)),
+            jnp.asarray(_pad_rows(rm.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(rs.astype(self.dtype), B_pad)),
+            seq_lens_j, jnp.asarray(_pad_rows(pstarts, B_pad)),
+            jnp.asarray(_pad_rows(pvalid, B_pad)),
+            jnp.asarray(_pad_rows(pend, B_pad)),
+            jnp.asarray(_pad_rows(start_rows, B_pad)), dpp, L_max, P_max)
         top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
         segs_j, bound_err = dpo.banded_traceback(
-            tb, band_starts, jnp.asarray(seq_lens), top,
+            tb, band_starts, seq_lens_j, top,
             p.band_bound_thresh, bw, L_max)
-        segs_np = np.asarray(segs_j, np.int64)
-        band_err = np.asarray(band_err)
-        bound_err = np.asarray(bound_err)
+        segs_np = np.asarray(segs_j, np.int64)[:B]
+        band_err = np.asarray(band_err)[:B]
+        bound_err = np.asarray(bound_err)[:B]
 
         for i, s in enumerate(live):
             if band_err[i]:
@@ -409,8 +439,18 @@ class BatchedResquiggler:
                 s.error = str(e)
 
     def _finalize(self, states: List[_ReadState], skip_seq_scaling=False):
-        """Stage 6: deletion fix, rescale, score (host)."""
+        """Stage 6: deletion fix, rescale, score (host).
+
+        The Theil-Sen estimator (O(n^2/2) pair slopes per read, n<=1000;
+        reference: tombo/_c_helper.pyx:362, tombo/tombo_stats.py:370) is the
+        host hot spot after the greedy changepoint pick, so it is batched
+        across reads into one threaded native call rather than run
+        per-read."""
         from ..types import DpResults
+        from ..native import theil_sen_batch
+
+        # pass A: deletion fix + gather Theil-Sen inputs
+        pending = []
         for s in states:
             if s.error is not None or s.result is not None:
                 continue
@@ -426,22 +466,59 @@ class BatchedResquiggler:
                     dp_res.read_start_rel_to_raw + dp_res.segs[-1]]
                 segs = rsq.resolve_skipped_bases_with_raw(
                     dp_res, norm_signal, self.params)
-                new_scale_values = s.scale_values
-                if skip_seq_scaling:
-                    norm_params_changed = False
-                else:
-                    (shift, scale, shift_corr, scale_corr) = \
-                        rsq.calc_kmer_fitted_shift_scale(
-                            new_scale_values.shift, new_scale_values.scale,
-                            ref_impl.new_means(norm_signal, segs),
-                            dp_res.ref_means, method="theil_sen")
-                    new_scale_values = new_scale_values.replace(
-                        shift=shift, scale=scale,
-                        outlier_thresh=self.outlier_thresh)
-                    norm_signal = (norm_signal - shift_corr) / scale_corr
-                    norm_params_changed = (
-                        abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
-                        abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
+                s._dp_res = dp_res
+                s._norm_signal = norm_signal
+                s._segs = segs
+                pending.append(s)
+            except TomboTpuError as e:
+                s.error = str(e)
+
+        # pass B: batched Theil-Sen rescale (native, threaded)
+        if pending and not skip_seq_scaling:
+            max_n = config.MAX_POINTS_FOR_THEIL_SEN
+            B = len(pending)
+            ev = np.zeros((B, max_n), np.float64)
+            mod = np.zeros((B, max_n), np.float64)
+            n_pts = np.zeros(B, np.int64)
+            for i, s in enumerate(pending):
+                r_ev = ref_impl.new_means(s._norm_signal, s._segs)
+                r_mod = s._dp_res.ref_means
+                n = r_mod.shape[0]
+                if n > max_n:
+                    samp = np.random.default_rng(0).choice(
+                        n, max_n, replace=False)
+                    r_ev, r_mod, n = r_ev[samp], r_mod[samp], max_n
+                ev[i, :n] = r_ev
+                mod[i, :n] = r_mod
+                n_pts[i] = n
+            slopes, inters = theil_sen_batch(ev, mod, n_pts)
+            for s, slope, inter in zip(pending, slopes, inters):
+                if slope == 0:
+                    s.error = ("Read failed sequence-based signal re-scaling "
+                               "parameter estimation.")
+                    continue
+                scale_corr = 1.0 / slope
+                shift_corr = -inter / slope
+                sv = s.scale_values
+                s.scale_values = sv.replace(
+                    shift=sv.shift + shift_corr * sv.scale,
+                    scale=sv.scale * scale_corr,
+                    outlier_thresh=self.outlier_thresh)
+                s._norm_signal = (s._norm_signal - shift_corr) / scale_corr
+                s._norm_params_changed = (
+                    abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
+                    abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
+        else:
+            for s in pending:
+                s._norm_params_changed = False
+
+        # pass C: score + assemble results
+        for s in pending:
+            if s.error is not None:
+                continue
+            try:
+                dp_res, segs = s._dp_res, s._segs
+                norm_signal = s._norm_signal
                 sig_match_score = rsq.get_read_seg_score(
                     ref_impl.new_means(norm_signal, segs), dp_res.ref_means,
                     dp_res.ref_sds)
@@ -452,9 +529,9 @@ class BatchedResquiggler:
                 s.result = s.map_res.replace(
                     read_start_rel_to_raw=dp_res.read_start_rel_to_raw,
                     segs=segs, genome_seq=dp_res.genome_seq,
-                    raw_signal=norm_signal, scale_values=new_scale_values,
+                    raw_signal=norm_signal, scale_values=s.scale_values,
                     sig_match_score=sig_match_score,
-                    norm_params_changed=norm_params_changed)
+                    norm_params_changed=s._norm_params_changed)
             except TomboTpuError as e:
                 s.error = str(e)
 
