@@ -1,0 +1,57 @@
+"""Pallas fused DP+traceback vs the scan engine (interpret mode on CPU)."""
+import numpy as np
+import jax.numpy as jnp
+
+from tombo_tpu.ops import dp as dpo
+from tombo_tpu.ops import pallas_dp as pdp
+
+
+def _mk_case(seed, B=8, L_max=128, P_max=64, bw=32, E_max=512):
+    rng = np.random.default_rng(seed)
+    p = dpo.DpParams(z_shift=2.0, skip_pen=4.2, stay_pen=4.2,
+                     mask_fill_z_score=-15.0, max_half_z_score=20.0,
+                     bandwidth=bw)
+    em = rng.normal(0, 1, (B, E_max)).astype(np.float32)
+    n_events = rng.integers(300, E_max, B)
+    seq_lens = rng.integers(60, L_max, B)
+    rm = rng.normal(0, 1, (B, L_max)).astype(np.float32)
+    rs = np.abs(rng.normal(1, 0.1, (B, L_max))).astype(np.float32)
+    P_rows = rng.integers(8, P_max, B)
+    pstarts = np.zeros((B, P_max), np.int64)
+    pend = np.full((B, P_max), 2 ** 31 - 1, np.int64)
+    pvalid = rng.integers(0, 4, B)
+    for i in range(B):
+        st = np.cumsum(rng.integers(0, 3, P_rows[i])) - 4
+        pstarts[i, :P_rows[i]] = st
+        pstarts[i, P_rows[i]:] = st[-1]
+        pend[i, :P_rows[i]] = st + bw + rng.integers(-3, 3, P_rows[i])
+    args = (jnp.asarray(em), jnp.asarray(n_events), jnp.asarray(rm),
+            jnp.asarray(rs), jnp.asarray(seq_lens), jnp.asarray(pstarts),
+            jnp.asarray(pvalid), jnp.asarray(np.clip(pend, 0, 2 ** 31 - 1)),
+            jnp.asarray(P_rows))
+    return p, args, seq_lens
+
+
+def test_pallas_matches_scan_engine():
+    p, args, seq_lens = _mk_case(3)
+    B, L_max, P_max, bw = 8, 128, 64, 32
+
+    tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+        *args, p, L_max, P_max)
+    top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+    segs_s, bound_err_s = dpo.banded_traceback(
+        tb, band_starts, args[4], top, 10, bw, L_max)
+
+    segs_p, band_err_p, bound_err_p, ffwd = pdp.adaptive_banded_dp_tb(
+        *args, p, L_max, P_max, 10, block_reads=4, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(band_err),
+                                  np.asarray(band_err_p))
+    np.testing.assert_array_equal(np.asarray(bound_err_s),
+                                  np.asarray(bound_err_p))
+    segs_s, segs_p = np.asarray(segs_s), np.asarray(segs_p)
+    for i in range(B):
+        n = seq_lens[i] + 1
+        np.testing.assert_array_equal(segs_s[i, :n], segs_p[i, :n], str(i))
+    np.testing.assert_allclose(np.asarray(final_fwd),
+                               np.asarray(ffwd)[:, :bw], atol=1e-4)

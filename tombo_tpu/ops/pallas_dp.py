@@ -1,0 +1,382 @@
+"""Fused adaptive banded DP + traceback as a single Pallas TPU kernel.
+
+The ``lax.scan`` engine in ops/dp.py is correct but latency-bound on TPU:
+each of the ~1000 sequential row steps is a handful of tiny VPU ops plus
+fixed per-step overhead, and the (rows, batch, bandwidth) move matrix
+(~20 MB per batch) must be shipped to a second traceback kernel.  This
+kernel keeps the whole recurrence on-core:
+
+* grid over blocks of reads; each program runs the full forward pass AND
+  the traceback for its block, so only the (B, L+1) segment boundaries,
+  band-error flags and the final forward row ever leave the chip;
+* the band-position recurrence uses the same max-plus closure as
+  ops/dp.py (cumsum + running-max), with lane scans implemented as
+  Hillis-Steele passes over ``pltpu.roll``;
+* during the forward pass each row's moves are collapsed into an encoded
+  "last non-stay position" row ``cummax((lane << 1) | is_diag)`` so the
+  traceback needs just one masked-reduce per row per read
+  (reference semantics: tombo/_c_dynamic_programming.pyx:281-310).
+
+Mosaic requires lane-dimension offsets to be 128-aligned, so all
+unaligned window gathers are expressed as an aligned dynamic slice
+(``pl.multiple_of``) followed by a sub-128 ``pltpu.roll``; per-row column
+reads/writes of (R, L) arrays use one-hot masked reduce / select instead
+of dynamic lane indexing.
+
+Reference behavior: tombo/_c_dynamic_programming.pyx:314-412
+(``c_adaptive_banded_forward_pass``) fused with
+tombo/resquiggle.py:607-683 (``_get_masked_start_fwd_pass``) and
+pyx:281-310 (``c_banded_traceback``); tie-breaking (stay > diag > skip,
+first-max band placement) matches the C comparison chains.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dp import DpParams, NEG_LARGE
+
+_INT_NEG = -(2 ** 30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _lane_iota(r: int, w: int) -> jnp.ndarray:
+    return jax.lax.broadcasted_iota(jnp.int32, (r, w), 1)
+
+
+def _cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along the lane axis (Hillis-Steele)."""
+    r, w = x.shape
+    lanes = _lane_iota(r, w)
+    shift = 1
+    while shift < w:
+        rolled = pltpu.roll(x, shift, 1)
+        x = x + jnp.where(lanes >= shift, rolled, 0.0)
+        shift *= 2
+    return x
+
+
+def _cummax_lanes_f(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running max along the lane axis (float)."""
+    r, w = x.shape
+    lanes = _lane_iota(r, w)
+    shift = 1
+    while shift < w:
+        rolled = pltpu.roll(x, shift, 1)
+        x = jnp.maximum(x, jnp.where(lanes >= shift, rolled, NEG_LARGE))
+        shift *= 2
+    return x
+
+
+def _cummax_lanes_i(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running max along the lane axis (int32)."""
+    r, w = x.shape
+    lanes = _lane_iota(r, w)
+    shift = 1
+    while shift < w:
+        rolled = pltpu.roll(x, shift, 1)
+        x = jnp.maximum(x, jnp.where(lanes >= shift, rolled, _INT_NEG))
+        shift *= 2
+    return x
+
+
+def _first_argmax(x: jnp.ndarray, n_valid: int) -> jnp.ndarray:
+    """Index of the first maximum over lanes < n_valid; (R, W) -> (R, 1).
+
+    Matches C ``>`` comparison chains / np.argmax first-occurrence
+    semantics (reference: tombo/_c_dynamic_programming.pyx:186-200)."""
+    r, w = x.shape
+    lanes = _lane_iota(r, w)
+    xm = jnp.where(lanes < n_valid, x, NEG_LARGE)
+    m = jnp.max(xm, axis=1, keepdims=True)
+    idx = jnp.where(xm == m, lanes, jnp.int32(w))
+    return jnp.min(idx, axis=1, keepdims=True)
+
+
+def _col_f(arr: jnp.ndarray, lanes: jnp.ndarray, r) -> jnp.ndarray:
+    """One-hot read of column ``r`` from an (R, W) float array -> (R, 1)."""
+    return jnp.max(jnp.where(lanes == r, arr, NEG_LARGE), axis=1,
+                   keepdims=True)
+
+
+def _col_i(arr: jnp.ndarray, lanes: jnp.ndarray, r) -> jnp.ndarray:
+    """One-hot read of column ``r`` from an (R, W) int array -> (R, 1)."""
+    return jnp.max(jnp.where(lanes == r, arr, _INT_NEG), axis=1,
+                   keepdims=True)
+
+
+def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
+                 bwp: int, band_bound_thresh: int):
+    bw = p.bandwidth
+    half_bw = bw // 2
+    neg = float(NEG_LARGE)
+    mask_fill = float(p.mask_fill_z_score)
+    z_shift = float(p.z_shift)
+    skip_pen = float(p.skip_pen)
+    stay_pen = float(p.stay_pen)
+    max_half_z = float(p.max_half_z_score)
+    W_seg = bwp + 256          # aligned gather window (off<128 + band + 1)
+    W_f = 2 * bwp + 256        # fwdpad: fwd stored at offset 128
+
+    def gather_row(ref, i, start):
+        """ref[i, start : start+bwp+1] via aligned slice + sub-128 roll.
+
+        Returns a (1, W_seg) vector whose lane q is ref[i, start + q]
+        for q <= bwp."""
+        base = pl.multiple_of((start // 128) * 128, 128)
+        seg = ref[pl.ds(i, 1), pl.ds(base, W_seg)]
+        return pltpu.roll(seg, W_seg - (start - base), 1)
+
+    def kernel(em_ref, nev_ref, rm_ref, rs_ref, sl_ref, ps_ref, pv_ref,
+               pe_ref, sr_ref,
+               segs_ref, banderr_ref, bounderr_ref, ffwd_ref,
+               enc_ref, bs_ref, segsacc_ref, fwdpad_ref, win_ref, dw_ref,
+               sw_ref):
+        lanes = _lane_iota(R, bwp)
+        lanes_L = _lane_iota(R, L)
+        lanes_P = _lane_iota(R, P)
+        lane_lt_bw = lanes < bw
+
+        nev = nev_ref[:, :]          # (R, 1) i32
+        sl = sl_ref[:, :]
+        pv = pv_ref[:, :]
+        sr = sr_ref[:, :]
+        rm = rm_ref[:, :]            # (R, L)
+        rs = rs_ref[:, :]
+        ps = ps_ref[:, :]            # (R, P)
+        pe = pe_ref[:, :]
+
+        init_fwd = jnp.where(lane_lt_bw, 0.0, neg)
+        fwdpad_ref[:, :] = jnp.full((R, W_f), neg, jnp.float32)
+
+        def fwd_body(r, carry):
+            fwd, prev_start, band_err, final_fwd = carry
+            active = r < sl                                   # (R, 1)
+            is_prefix = r < sr
+
+            # --- adaptive band placement (reference: pyx:342-358)
+            amax = _first_argmax(fwd, bw)
+            adapt_start = prev_start + amax - half_bw + 1
+            adapt_start = jnp.maximum(adapt_start, prev_start)
+            overrun = adapt_start >= nev
+            band_err = band_err | (
+                overrun & (r < sl - 2) & active & (~is_prefix)
+            ).astype(jnp.int32)
+            adapt_start = jnp.minimum(adapt_start, nev - 1)
+
+            pref_idx = jnp.minimum(r, P - 1)
+            pref_start = _col_i(ps, lanes_P, pref_idx)
+            band_start = jnp.where(is_prefix, pref_start, adapt_start)
+            band_start = jnp.where(active, band_start, prev_start)
+
+            # --- masked winsorized z-scores for the band row
+            lo = jnp.where(is_prefix, jnp.maximum(pv, 0), 0)
+            hi = jnp.where(is_prefix,
+                           jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
+                           nev)
+            # per-read window gathers (band starts are unaligned)
+            for i in range(R):
+                w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
+                win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
+            win = win_ref[:, :]
+            mu = _col_f(rm, lanes_L, r)
+            sd = _col_f(rs, lanes_L, r)
+            z = jnp.abs((win - mu) / sd)
+            if max_half_z > 0:
+                z = jnp.minimum(z, max_half_z)
+            shifted = z_shift - z
+            abs_pos = band_start + lanes
+            valid = (abs_pos >= lo) & (abs_pos < hi) & lane_lt_bw
+            shifted = jnp.where(valid, shifted, mask_fill)
+
+            # --- first band position special case (reference: pyx:392-401)
+            diff = jnp.clip(band_start - prev_start, 0, bwp)
+            same = diff == 0
+            fwdpad_ref[:, pl.ds(128, bwp)] = fwd
+            # diag[p] = fwd[p + diff - 1], skip[p] = fwd[p + diff]
+            for i in range(R):
+                d_i = diff[i, 0]
+                row = gather_row(fwdpad_ref, i, 127 + d_i)
+                dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
+                sw_ref[pl.ds(i, 1), :] = pltpu.roll(
+                    row, W_seg - 1, 1)[:, :bwp]
+            diag_w = dw_ref[:, :]
+            skip_w = sw_ref[:, :]
+            diag_score = diag_w + shifted
+            skip_score = skip_w - skip_pen
+
+            first_skip = fwd[:, 0:1] - skip_pen
+            first_diag = diag_w[:, 0:1] + shifted[:, 0:1]
+            first_val = jnp.where(same, first_skip, first_diag)
+            first_move = jnp.where(same, 1, 2)
+
+            # --- max-plus closure of the stay recurrence
+            lane0 = lanes == 0
+            d = jnp.maximum(diag_score, skip_score)
+            s = jnp.where(lane0, 0.0, shifted - stay_pen)
+            c = _cumsum_lanes(s)
+            u = jnp.where(lane0, first_val, d - c)
+            run = _cummax_lanes_f(u)
+            new_fwd = jnp.where(lane0, first_val, c + run)
+
+            stay_score = jnp.where(
+                lane0, neg,
+                pltpu.roll(new_fwd, 1, 1) - stay_pen + shifted)
+            moves = jnp.zeros((R, bwp), jnp.int32)
+            moves = jnp.where(diag_score > stay_score, 2, moves)
+            moves = jnp.where(
+                skip_score > jnp.maximum(stay_score, diag_score), 1, moves)
+            moves = jnp.where(lane0, first_move, moves)
+            moves = jnp.where(lane_lt_bw, moves, 0)
+            new_fwd = jnp.where(lane_lt_bw, new_fwd, neg)
+
+            new_fwd = jnp.where(active, new_fwd, fwd)
+            moves = jnp.where(active, moves, 0)
+            final_fwd = jnp.where(r == sl - 1, new_fwd, final_fwd)
+
+            # --- encoded traceback row: last non-stay pos & its move kind
+            encoded = jnp.where(
+                moves != 0,
+                (lanes << 1) | jnp.where(moves == 2, 1, 0),
+                _INT_NEG)
+            enc_row = _cummax_lanes_i(encoded)
+            enc_ref[:, pl.ds(r, 1), :] = enc_row.reshape(R, 1, bwp)
+            bs_ref[:, :] = jnp.where(lanes_L == r, band_start, bs_ref[:, :])
+
+            return new_fwd, band_start, band_err, final_fwd
+
+        fwd, last_start, band_err, final_fwd = lax.fori_loop(
+            0, L, fwd_body,
+            (init_fwd, ps_ref[:, 0:1].astype(jnp.int32),
+             jnp.zeros((R, 1), jnp.int32),
+             jnp.full((R, bwp), neg, jnp.float32)))
+
+        # ------------------------------------------------ traceback
+        top = _first_argmax(final_fwd, bw)
+        init_event_pos = top + _col_i(bs_ref[:, :], lanes_L, sl - 1)
+        segsacc_ref[:, :] = jnp.zeros((R, L + 1), jnp.int32)
+
+        def tb_body(t, carry):
+            event_pos, bound_err = carry
+            r = L - 1 - t
+            active = r < sl
+            bs_row = _col_i(bs_ref[:, :], lanes_L, r)
+            bp = jnp.clip(event_pos - bs_row, 0, bw - 1)
+            enc_row = enc_ref[:, pl.ds(r, 1), :].reshape(R, bwp)
+            enc = _col_i(enc_row, lanes, bp)
+            pos = jnp.clip(enc >> 1, 0, bw - 1)
+            is_diag = (enc & 1) == 1
+            bp2 = jnp.where(is_diag, pos - 1, pos)
+            bound_err = bound_err | (
+                active &
+                (jnp.minimum(bp2, bw - bp2 - 1) < band_bound_thresh)
+            ).astype(jnp.int32)
+            new_event_pos = jnp.where(active, bs_row + bp2, event_pos)
+            lanes_L1 = _lane_iota(R, L + 1)
+            segsacc_ref[:, :] = jnp.where(
+                (lanes_L1 == r) & active, new_event_pos + 1,
+                segsacc_ref[:, :])
+            return new_event_pos, bound_err
+
+        event_pos, bound_err = lax.fori_loop(
+            0, L, tb_body,
+            (init_event_pos, jnp.zeros((R, 1), jnp.int32)))
+
+        lanes_L1 = _lane_iota(R, L + 1)
+        segs_ref[:, :] = jnp.where(lanes_L1 == sl, init_event_pos + 1,
+                                   segsacc_ref[:, :])
+        banderr_ref[:, :] = band_err
+        bounderr_ref[:, :] = bound_err
+        ffwd_ref[:, :] = final_fwd
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "n_rows", "prefix_rows", "band_bound_thresh",
+                     "block_reads", "interpret"))
+def adaptive_banded_dp_tb(
+        event_means: jnp.ndarray,       # (B, E) padded, pre-clipped, f32
+        n_events: jnp.ndarray,          # (B,)
+        ref_means: jnp.ndarray,         # (B, L)
+        ref_sds: jnp.ndarray,           # (B, L)
+        seq_lens: jnp.ndarray,          # (B,)
+        prefix_starts: jnp.ndarray,     # (B, P)
+        prefix_valid_start: jnp.ndarray,  # (B,)
+        prefix_end: jnp.ndarray,        # (B, P) pre-clipped to int32
+        start_rows: jnp.ndarray,        # (B,)
+        params: DpParams,
+        n_rows: int, prefix_rows: int, band_bound_thresh: int,
+        block_reads: int = 8, interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused forward + traceback.  Returns (segs (B, L+1) int32,
+    band_error (B,) bool, bound_error (B,) bool, final_fwd (B, bwp) f32).
+
+    Drop-in replacement for ``dp.adaptive_banded_dp`` followed by
+    ``dp.banded_traceback`` (same row/band semantics; see module
+    docstring), minus the move-matrix round-trip through HBM."""
+    B, E = event_means.shape
+    L, P = n_rows, prefix_rows
+    bw = params.bandwidth
+    bwp = _round_up(bw, 128)
+    R = min(block_reads, B)
+    assert B % R == 0, (B, R)
+
+    # LEFT pad bwp (negative prefix band starts are legal); RIGHT pad
+    # sized so the aligned gather window (W_seg = bwp + 256) never runs
+    # off the end: max slice end = (bwp + E) + bwp + 256.
+    right = _round_up(E + 2 * bwp + 384, 128) - (E + bwp)
+    em = jnp.pad(event_means.astype(jnp.float32), ((0, 0), (bwp, right)))
+    E_tot = em.shape[1]
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    col = lambda x: i32(x).reshape(B, 1)
+
+    kernel = _make_kernel(params, R, L, P, E_tot, bwp, band_bound_thresh)
+    grid = (B // R,)
+    bspec = lambda c: pl.BlockSpec((R, c), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    segs, band_err, bound_err, ffwd = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            bspec(E_tot),            # em
+            bspec(1),                # n_events
+            bspec(L),                # ref_means
+            bspec(L),                # ref_sds
+            bspec(1),                # seq_lens
+            bspec(P),                # prefix_starts
+            bspec(1),                # prefix_valid_start
+            bspec(P),                # prefix_end
+            bspec(1),                # start_rows
+        ],
+        out_specs=(bspec(L + 1), bspec(1), bspec(1), bspec(bwp)),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L + 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, bwp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, L, bwp), jnp.int32),      # enc (traceback rows)
+            pltpu.VMEM((R, L), jnp.int32),           # band starts
+            pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
+            pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row
+            pltpu.VMEM((R, bwp), jnp.float32),       # window assembly
+            pltpu.VMEM((R, bwp), jnp.float32),       # diag assembly
+            pltpu.VMEM((R, bwp), jnp.float32),       # skip assembly
+        ],
+        interpret=interpret,
+    )(em, col(n_events), ref_means.astype(jnp.float32),
+      ref_sds.astype(jnp.float32), col(seq_lens), i32(prefix_starts),
+      col(prefix_valid_start), i32(prefix_end), col(start_rows))
+    return (segs, band_err[:, 0] != 0, bound_err[:, 0] != 0, ffwd)

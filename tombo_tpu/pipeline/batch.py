@@ -31,6 +31,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from .. import config
 from ..config import MASK_FILL_Z_SCORE, ResquiggleParams, SIG_MATCH_THRESH
 from ..errors import TomboTpuError
@@ -41,6 +43,17 @@ from ..ops import ref_impl
 from ..ops import segment as seg
 from ..types import ResquiggleResults, ScaleValues, SeqSampleType
 from . import resquiggle as rsq
+
+
+def _use_pallas() -> bool:
+    """Fused Pallas DP by default on TPU backends; scan engine elsewhere
+    (Pallas interpret mode on CPU is far slower than the scan).  Override
+    with TOMBO_TPU_PALLAS=0/1."""
+    env = os.environ.get("TOMBO_TPU_PALLAS", "")
+    if env in ("0", "1"):
+        return env == "1"
+    import jax
+    return jax.default_backend() == "tpu"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -388,7 +401,7 @@ class BatchedResquiggler:
             mask_fill_z_score=MASK_FILL_Z_SCORE,
             max_half_z_score=p.max_half_z_score or -1.0, bandwidth=bw)
         seq_lens_j = jnp.asarray(_pad_rows(seq_lens, B_pad))
-        tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+        dp_args = (
             jnp.asarray(_pad_rows(em.astype(self.dtype), B_pad)),
             jnp.asarray(_pad_rows(n_events, B_pad)),
             jnp.asarray(_pad_rows(rm.astype(self.dtype), B_pad)),
@@ -396,11 +409,24 @@ class BatchedResquiggler:
             seq_lens_j, jnp.asarray(_pad_rows(pstarts, B_pad)),
             jnp.asarray(_pad_rows(pvalid, B_pad)),
             jnp.asarray(_pad_rows(pend, B_pad)),
-            jnp.asarray(_pad_rows(start_rows, B_pad)), dpp, L_max, P_max)
-        top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
-        segs_j, bound_err = dpo.banded_traceback(
-            tb, band_starts, seq_lens_j, top,
-            p.band_bound_thresh, bw, L_max)
+            jnp.asarray(_pad_rows(start_rows, B_pad)))
+        if _use_pallas():
+            from ..ops import pallas_dp as pdp
+            # block size bounded by the enc scratch VMEM budget (~12 MB)
+            r_blk = 8
+            while r_blk > 1 and r_blk * L_max * _round_up(bw, 128) * 4 > \
+                    12 * 2 ** 20:
+                r_blk //= 2
+            segs_j, band_err, bound_err, _ = pdp.adaptive_banded_dp_tb(
+                *dp_args, dpp, L_max, P_max, p.band_bound_thresh,
+                block_reads=r_blk)
+        else:
+            tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+                *dp_args, dpp, L_max, P_max)
+            top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+            segs_j, bound_err = dpo.banded_traceback(
+                tb, band_starts, seq_lens_j, top,
+                p.band_bound_thresh, bw, L_max)
         segs_np = np.asarray(segs_j, np.int64)[:B]
         band_err = np.asarray(band_err)[:B]
         bound_err = np.asarray(bound_err)[:B]
