@@ -63,10 +63,12 @@ def main():
     br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
                             dtype=jnp.float32)
 
-    # warmup / compile
+    # warmup / compile (two batches so the rescale-iteration and
+    # save-bandwidth retry lanes hit their compiled shapes too)
     warm = br.resquiggle_batch(map_results[:BATCH_SIZE])
     n_ok = sum(1 for r, e in warm if r is not None)
     assert n_ok >= BATCH_SIZE * 0.9, "too many warmup failures: %d" % n_ok
+    br.resquiggle_batch(map_results[:BATCH_SIZE])
 
     t0 = time.perf_counter()
     total = 0

@@ -200,3 +200,193 @@ void theil_sen_batch(const double* ev, const double* mod, int64_t batch,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Raw-signal deletion-fix DP (reference behavior:
+// tombo/_c_dynamic_programming.pyx:34-183 c_reg_z_scores /
+// c_base_forward_pass / c_base_traceback driven by
+// tombo/resquiggle.py:345-540).  One call resolves one deletion window:
+// re-segment n_events bases over the window's raw signal with a min-obs
+// constraint.  Windows are independent, so the batch entry threads them.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BaseLane {
+  std::vector<double> z;      // half z-scores for this base's signal window
+  std::vector<double> fwd;    // forward scores
+  std::vector<int64_t> ld;    // last-diag counters
+  int64_t start = 0, end = 0; // window bounds relative to region signal
+};
+
+// returns 0 ok, 1 traceback failure
+int raw_window_dp_one(const double* sig, const double* means,
+                      const double* sds, const int64_t* ps,
+                      int64_t n_events, int64_t min_obs, int winsorize,
+                      double max_half_z, int64_t* out) {
+  // per-base signal windows (reg_z_scores with reg_start=0,
+  // reg_end=n_events, max_base_shift=n_events => chains from the ends)
+  std::vector<int64_t> starts(n_events), ends(n_events);
+  for (int64_t i = 0; i < n_events; ++i) {
+    int64_t b_start = ps[0];
+    if (i > 0 && b_start < starts[i - 1] + min_obs)
+      b_start = starts[i - 1] + min_obs;
+    starts[i] = b_start;
+  }
+  for (int64_t ri = 0; ri < n_events; ++ri) {
+    const int64_t i = n_events - 1 - ri;
+    int64_t b_end = ps[n_events];
+    if (ri > 0 && b_end > ends[i + 1] - min_obs)
+      b_end = ends[i + 1] - min_obs;
+    ends[i] = b_end;
+  }
+
+  std::vector<BaseLane> lanes(static_cast<size_t>(n_events));
+  const int64_t sig_off = ps[0];
+  for (int64_t i = 0; i < n_events; ++i) {
+    BaseLane& L = lanes[static_cast<size_t>(i)];
+    L.start = starts[i] - sig_off;
+    L.end = ends[i] - sig_off;
+    const int64_t len = L.end - L.start;
+    L.z.resize(static_cast<size_t>(len));
+    for (int64_t j = 0; j < len; ++j) {
+      double z = -std::abs((sig[L.start + j] - means[i]) / sds[i]);
+      if (winsorize && z < -max_half_z) z = -max_half_z;
+      L.z[static_cast<size_t>(j)] = z;
+    }
+  }
+
+  // forward pass (reference: pyx:99-163 via tombo/resquiggle.py:345-380)
+  {
+    BaseLane& L0 = lanes[0];
+    const int64_t len = L0.end - L0.start;
+    L0.fwd.resize(static_cast<size_t>(len));
+    L0.ld.assign(static_cast<size_t>(len), min_obs);
+    double acc = 0.0;
+    for (int64_t j = 0; j < len; ++j) {
+      acc += L0.z[static_cast<size_t>(j)];
+      L0.fwd[static_cast<size_t>(j)] = acc;
+    }
+  }
+  std::vector<double> prev_cumsum;
+  for (int64_t b = 1; b < n_events; ++b) {
+    BaseLane& P = lanes[static_cast<size_t>(b - 1)];
+    BaseLane& C = lanes[static_cast<size_t>(b)];
+    const int64_t b_len = C.end - C.start;
+    C.fwd.resize(static_cast<size_t>(b_len));
+    C.ld.resize(static_cast<size_t>(b_len));
+    prev_cumsum.resize(P.z.size());
+    double acc = 0.0;
+    for (size_t j = 0; j < P.z.size(); ++j) {
+      acc += P.z[j];
+      prev_cumsum[j] = acc;
+    }
+    C.fwd[0] = C.z[0] + P.fwd[static_cast<size_t>(C.start - P.start - 1)];
+    C.ld[0] = 1;
+    for (int64_t pos = C.start + 1; pos <= P.end; ++pos) {
+      int64_t lag = 1;
+      while (P.ld[static_cast<size_t>(pos - P.start - lag)] + lag <= min_obs)
+        ++lag;
+      double diag = P.fwd[static_cast<size_t>(pos - P.start - lag)];
+      if (lag > 1)
+        diag += prev_cumsum[static_cast<size_t>(pos - P.start - 1)] -
+                prev_cumsum[static_cast<size_t>(pos - P.start - lag)];
+      const double stay = C.fwd[static_cast<size_t>(pos - C.start - 1)];
+      double score;
+      int64_t pd;
+      if (diag > stay) {
+        score = diag;
+        pd = 1;
+      } else {
+        score = stay;
+        pd = C.ld[static_cast<size_t>(pos - C.start - 1)] + 1;
+      }
+      C.fwd[static_cast<size_t>(pos - C.start)] =
+          C.z[static_cast<size_t>(pos - C.start)] + score;
+      C.ld[static_cast<size_t>(pos - C.start)] = pd;
+    }
+    if (C.end > P.end + 1) {
+      const int64_t start_i = P.end - C.start;
+      double fwd_value = C.fwd[static_cast<size_t>(start_i)];
+      int64_t last_diag = C.ld[static_cast<size_t>(start_i)];
+      for (int64_t j = start_i + 1; j < b_len; ++j) {
+        fwd_value += C.z[static_cast<size_t>(j)];
+        ++last_diag;
+        C.fwd[static_cast<size_t>(j)] = fwd_value;
+        C.ld[static_cast<size_t>(j)] = last_diag;
+      }
+    }
+  }
+
+  // traceback (reference: pyx:165-184 via tombo/resquiggle.py:382-400)
+  auto base_tb = [&](const BaseLane& curr, const BaseLane& next,
+                     int64_t sig_start) -> int64_t {
+    int64_t curr_base_sig = 1;
+    for (int64_t sig_pos = sig_start; sig_pos >= 0; --sig_pos) {
+      ++curr_base_sig;
+      if (curr_base_sig <= min_obs || sig_pos - 1 >= next.end) continue;
+      if (sig_pos <= curr.start ||
+          next.fwd[static_cast<size_t>(sig_pos - next.start - 1)] >
+              curr.fwd[static_cast<size_t>(sig_pos - curr.start - 1)])
+        return sig_pos;
+    }
+    return -1;
+  };
+  const int64_t n_bnd = n_events - 1;
+  {
+    const BaseLane& curr = lanes[static_cast<size_t>(n_events - 1)];
+    const BaseLane& next = lanes[static_cast<size_t>(n_events - 2)];
+    const int64_t r = base_tb(curr, next, curr.end - 1);
+    if (r < 0) return 1;
+    out[n_bnd - 1] = r;
+  }
+  for (int64_t bp = n_events - 3; bp >= 0; --bp) {
+    const BaseLane& curr = lanes[static_cast<size_t>(bp + 1)];
+    const BaseLane& next = lanes[static_cast<size_t>(bp)];
+    const int64_t r = base_tb(curr, next, out[bp + 1] - 1);
+    if (r < 0) return 1;
+    out[bp] = r;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched deletion-window DP, threaded across windows.
+//
+// Concatenated layout: window w has signal sig[sig_off[w]:sig_off[w+1]],
+// n_events[w] bases with means/sds at ev_off[w], pseudo starts (n_events+1
+// values, relative to the window signal) at ps_off[w], and writes
+// n_events[w]-1 boundaries (relative to the window signal) at out_off[w].
+void raw_windows_dp_batch(const double* sig, const int64_t* sig_off,
+                          const double* means, const double* sds,
+                          const int64_t* ev_off, const int64_t* ps,
+                          const int64_t* ps_off, int64_t n_windows,
+                          int64_t min_obs, int winsorize, double max_half_z,
+                          int64_t* out, const int64_t* out_off,
+                          int32_t* status, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, n_windows);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t w = next.fetch_add(1);
+      if (w >= n_windows) return;
+      const int64_t n_ev = ps_off[w + 1] - ps_off[w] - 1;
+      status[w] = static_cast<int32_t>(raw_window_dp_one(
+          sig + sig_off[w], means + ev_off[w], sds + ev_off[w],
+          ps + ps_off[w], n_ev, min_obs, winsorize, max_half_z,
+          out + out_off[w]));
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+}  // extern "C"

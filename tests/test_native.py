@@ -77,3 +77,29 @@ def test_theil_sen_batch_parity():
         inter = float(np.median(mod[b, :n] - sl * ev[b, :n]))
         assert abs(slopes[b] - sl) < 1e-12
         assert abs(inters[b] - inter) < 1e-12
+
+
+def test_raw_windows_dp_batch_parity():
+    """Native deletion-window DP == numpy oracle path."""
+    rng = np.random.default_rng(23)
+    windows = []
+    oracle = []
+    min_obs, mhz = 4, 20.0
+    for w in range(12):
+        n_ev = int(rng.integers(3, 12))
+        sig_len = int(rng.integers(n_ev * (min_obs + 2) + 5, n_ev * 15))
+        sig = rng.normal(0, 1, sig_len)
+        means = rng.normal(0, 1, n_ev)
+        sds = np.abs(rng.normal(1, 0.1, n_ev))
+        ps = np.linspace(0, sig_len, n_ev + 1).astype(np.int64)
+        windows.append((sig, means, sds, ps))
+        reg_zs = ri.reg_z_scores(sig, means, sds, ps, 0, n_ev, n_ev,
+                                 min_obs, max_half_z_score=mhz)
+        reg_fwd = ri.raw_forward_pass(reg_zs, min_obs)
+        oracle.append(ri.raw_traceback(reg_fwd, min_obs))
+    out = native.raw_windows_dp_batch(windows, min_obs, mhz)
+    assert out is not None, "native library missing"
+    segs_list, status = out
+    assert (status == 0).all()
+    for w in range(12):
+        np.testing.assert_array_equal(segs_list[w], oracle[w], str(w))

@@ -71,6 +71,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             ctypes.c_double, ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
+        lib.raw_windows_dp_batch.restype = None
+        lib.raw_windows_dp_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -174,3 +183,49 @@ def _np_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
         accepted.append(cand)
         blacklist[cand + 1:cand + 2 * min_base_obs + 1] = True
     return np.array(accepted, dtype=np.int64)
+
+
+def raw_windows_dp_batch(windows, min_obs_per_base: int,
+                         max_half_z_score, n_threads: int = 0):
+    """Batched raw-signal deletion-window DP (native, threaded).
+
+    ``windows`` is a list of (sig f64[S], means f64[N], sds f64[N],
+    pseudo_starts i64[N+1]) tuples; returns (segs_list, status (W,) i32)
+    where segs_list[w] is the i64[N-1] resolved boundaries relative to the
+    window signal.  Returns None if the native library is unavailable
+    (callers fall back to the numpy oracle)."""
+    lib = get_lib()
+    if lib is None or not windows:
+        return None
+    W = len(windows)
+    sig_off = np.zeros(W + 1, np.int64)
+    ev_off = np.zeros(W + 1, np.int64)
+    ps_off = np.zeros(W + 1, np.int64)
+    out_off = np.zeros(W + 1, np.int64)
+    for w, (sig, means, sds, ps) in enumerate(windows):
+        sig_off[w + 1] = sig_off[w] + sig.shape[0]
+        ev_off[w + 1] = ev_off[w] + means.shape[0]
+        ps_off[w + 1] = ps_off[w] + ps.shape[0]
+        out_off[w + 1] = out_off[w] + means.shape[0] - 1
+    sig_c = np.concatenate([np.ascontiguousarray(w[0], np.float64)
+                            for w in windows])
+    means_c = np.concatenate([np.ascontiguousarray(w[1], np.float64)
+                              for w in windows])
+    sds_c = np.concatenate([np.ascontiguousarray(w[2], np.float64)
+                            for w in windows])
+    ps_c = np.concatenate([np.ascontiguousarray(w[3], np.int64)
+                           for w in windows])
+    out = np.zeros(int(out_off[-1]), np.int64)
+    status = np.zeros(W, np.int32)
+    winsorize = 0 if max_half_z_score is None else 1
+    mhz = 0.0 if max_half_z_score is None else float(max_half_z_score)
+    lib.raw_windows_dp_batch(
+        _as_c(sig_c, ctypes.c_double), _as_c(sig_off, ctypes.c_int64),
+        _as_c(means_c, ctypes.c_double), _as_c(sds_c, ctypes.c_double),
+        _as_c(ev_off, ctypes.c_int64), _as_c(ps_c, ctypes.c_int64),
+        _as_c(ps_off, ctypes.c_int64), W, min_obs_per_base,
+        winsorize, mhz, _as_c(out, ctypes.c_int64),
+        _as_c(out_off, ctypes.c_int64), _as_c(status, ctypes.c_int32),
+        n_threads)
+    segs_list = [out[out_off[w]:out_off[w + 1]] for w in range(W)]
+    return segs_list, status

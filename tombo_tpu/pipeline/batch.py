@@ -30,6 +30,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 import os
 
@@ -41,6 +42,7 @@ from ..ops import dp as dpo
 from ..ops import normalize as nrm
 from ..ops import ref_impl
 from ..ops import segment as seg
+from ..ops import select as sel
 from ..types import ResquiggleResults, ScaleValues, SeqSampleType
 from . import resquiggle as rsq
 
@@ -72,6 +74,20 @@ def _pow2_bucket(x: int, lo: int) -> int:
     return b
 
 
+def _fetch(*arrs):
+    """Device->host fetch with overlapped round trips.
+
+    Each blocking ``np.asarray`` pays a full link round trip (tens of ms
+    through a tunneled device); starting all copies async first overlaps
+    them so a stage pays one latency instead of one per array."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+    return [np.asarray(a) for a in arrs]
+
+
 def _pad_rows(arr: np.ndarray, b_pad: int) -> np.ndarray:
     """Pad the batch axis to ``b_pad`` rows by replicating row 0.
 
@@ -101,16 +117,23 @@ class _ReadState:
     ref_sds: Optional[np.ndarray] = None
     genome_seq_trim: Optional[str] = None
     use_static: bool = False
+    n_ev: int = 0
+    dev_row: int = -1
     mapped_start: int = 0
     events_per_base: float = 0.0
     result: Optional[ResquiggleResults] = None
 
 
-@functools.partial(jax.jit, static_argnames=("outlier_thresh", "w"))
-def _stage_norm_scores_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
-                           sv_lower, sv_upper, outlier_thresh: float, w: int):
-    """DNA stage 1: normalize (median/MAD, or per-read provided scale values
-    on rescaling iterations) then changepoint scores — one fused call."""
+@functools.partial(jax.jit, static_argnames=(
+    "outlier_thresh", "w", "min_base_obs", "max_cpts"))
+def _stage1_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
+                sv_lower, sv_upper, num_cpts, outlier_thresh: float, w: int,
+                min_base_obs: int, max_cpts: int):
+    """DNA stage 1, fully fused on device: normalize (median/MAD, or
+    per-read provided scale values on rescaling iterations) -> changepoint
+    scores -> greedy selection -> event means.  Only the (B, max_cpts)
+    changepoints and the scale scalars are meant to leave the device; the
+    (B, S) normalized signal and scores stay resident."""
     norm, shift, scale, lower, upper = nrm.normalize_median_batch(
         raw, sig_lens, outlier_thresh)
     shift = jnp.where(has_sv, sv_shift, shift)
@@ -123,18 +146,78 @@ def _stage_norm_scores_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
     norm_sv = jnp.where(idx < sig_lens[:, None], norm_sv, 0.0)
     norm = jnp.where(has_sv[:, None], norm_sv, norm)
     scores = seg.cpt_scores_diff_batch(norm, sig_lens, w)
-    return norm, shift, scale, lower, upper, scores
+    cpts, status = sel.greedy_cpts_device(
+        scores, sig_lens - 2 * w, num_cpts, min_base_obs, w, max_cpts)
+    em = nrm.compute_base_means_batch(
+        norm, cpts, num_cpts.astype(jnp.int32) - 1)
+    return norm, em, cpts, status, shift, scale, lower, upper
 
 
-@functools.partial(jax.jit, static_argnames=("w",))
-def _stage_scores_rna(raw, sig_lens, w: int):
-    """RNA stage 1a: t-test changepoint scores on raw signal."""
-    return seg.cpt_scores_t_test_batch(raw, sig_lens, w)
+@functools.partial(jax.jit, static_argnames=(
+    "w", "min_base_obs", "max_cpts"))
+def _stage1_rna_select(raw, sig_lens, num_cpts, w: int, min_base_obs: int,
+                       max_cpts: int):
+    """RNA stage 1a: t-test changepoint scores on raw signal + greedy
+    selection (normalization follows on the host side since RNA event
+    scaling consumes the selected changepoints)."""
+    scores = seg.cpt_scores_t_test_batch(raw, sig_lens, w)
+    return sel.greedy_cpts_device(
+        scores, sig_lens - 2 * w, num_cpts, min_base_obs, w, max_cpts)
 
 
 @jax.jit
-def _stage_event_means(norm, segs, n_segs):
-    return nrm.compute_base_means_batch(norm, segs, n_segs)
+def _stage1_rna_norm(raw, sig_lens, shift, scale, lower, upper, cpts,
+                     n_segs):
+    """RNA stage 1b: apply host-derived scale values, event means."""
+    norm = nrm.normalize_with_scale_batch(
+        raw, sig_lens, shift, scale, lower, upper)
+    em = nrm.compute_base_means_batch(norm, cpts, n_segs)
+    return norm, em
+
+
+@functools.partial(jax.jit, static_argnames=("out_width",))
+def _gather_clip_rows(em, rows, clips, out_width: int):
+    """Gather per-read event-mean rows and left-clip each by ``clips``
+    (device equivalent of ``event_means[events_start_clip:]``)."""
+    em_rows = em[rows]
+    em_pad = jnp.pad(em_rows, ((0, 0), (0, out_width)))
+
+    def one(row, c):
+        return lax.dynamic_slice(row, (c,), (out_width,))
+
+    return jax.vmap(one)(em_pad, clips.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("sp",))
+def _stage_start_dp(em, rows, rm, rs, sp: dpo.StartDpParams):
+    """Start discovery on device rows of the stage-1 event means, plus the
+    device-side validity score (reference: tombo/tombo_stats.py:2341-2362
+    ``score_valid_bases``): mean half z-score over non-duplicated bases of
+    the start traceback."""
+    need = sp.num_bases + sp.num_events
+    em_rows = em[rows][:, :need]
+    segs, top, final_score = dpo.start_band_dp(em_rows, rm, rs, sp)
+    # per-base means between traceback boundaries + validity
+    B = em_rows.shape[0]
+    cs = jnp.concatenate(
+        [jnp.zeros((B, 1), em_rows.dtype), jnp.cumsum(em_rows, axis=1)],
+        axis=1)
+    s0 = segs[:, :-1]
+    s1 = segs[:, 1:]
+    lens = (s1 - s0).astype(em_rows.dtype)
+    valid = s1 != s0
+    bmeans = jnp.where(
+        valid,
+        (jnp.take_along_axis(cs, s1, axis=1) -
+         jnp.take_along_axis(cs, s0, axis=1)) /
+        jnp.where(valid, lens, 1.0), 0.0)
+    half_z = jnp.abs((bmeans - rm) / rs)
+    n_valid = jnp.sum(valid, axis=1)
+    score = jnp.where(
+        n_valid > 0,
+        jnp.sum(jnp.where(valid, half_z, 0.0), axis=1) /
+        jnp.maximum(n_valid, 1), jnp.inf)
+    return segs, score, n_valid
 
 
 class BatchedResquiggler:
@@ -172,14 +255,59 @@ class BatchedResquiggler:
         sig_lens = np.array([s.raw.shape[0] for s in live], np.int64)
         for i, s in enumerate(live):
             raw_pad[i, :s.raw.shape[0]] = s.raw
+            s.dev_row = i
         raw_j = jnp.asarray(_pad_rows(raw_pad.astype(self.dtype), B_pad))
         lens_j = jnp.asarray(_pad_rows(sig_lens, B_pad))
 
         w = p.running_stat_width
+        num_cpts = np.array([s.num_events for s in live], np.int64)
+        max_cpts = _pow2_bucket(int(num_cpts.max()), 256)
+        ncpts_j = jnp.asarray(_pad_rows(num_cpts, B_pad))
+
         if p.use_t_test_seg:
-            scores = np.asarray(
-                _stage_scores_rna(raw_j, lens_j, w), np.float64)[:B]
+            # RNA: scores + selection on device; normalization stays on
+            # the host because event-based scaling consumes the selected
+            # changepoints (reference: tombo/resquiggle.py:1079-1095)
+            cpts_j, status_j = _stage1_rna_select(
+                raw_j, lens_j, ncpts_j, w, p.min_obs_per_base, max_cpts)
+            cpts_np, status = _fetch(cpts_j, status_j)
+            cpts_np = cpts_np.astype(np.int64)[:B]
+            status = status[:B]
+            em_w = 1
+            for i, s in enumerate(live):
+                if status[i] != 0:
+                    s.error = "Fewer changepoints found than requested"
+                    continue
+                valid_cpts = cpts_np[i, :s.num_events].copy()
+                if s.map_res.stall_ints is not None:
+                    valid_cpts = rsq.remove_stall_cpts(
+                        s.map_res.stall_ints, valid_cpts)
+                s.cpts = valid_cpts
+                s.n_ev = valid_cpts.shape[0] - 1
+                if s.map_res.scale_values is not None:
+                    sv = s.map_res.scale_values
+                elif config.USE_RNA_EVENT_SCALE:
+                    sv = rsq.get_scale_values_from_events(
+                        s.raw, s.cpts, self.outlier_thresh,
+                        num_events=config.RNA_SCALE_NUM_EVENTS,
+                        max_frac_events=config.RNA_SCALE_MAX_FRAC_EVENTS)
+                else:
+                    sv = None
+                s.norm, s.scale_values = rsq.normalize_raw_signal(
+                    s.raw, scale_values=sv)
+                s.event_means = ref_impl.new_means(s.norm, s.cpts)
+                em_w = max(em_w, s.n_ev)
+            # upload host event means for the device DP stages
+            em_w = _pow2_bucket(em_w, 256)
+            em_pad = np.zeros((B, em_w))
+            for i, s in enumerate(live):
+                if s.error is None:
+                    em_pad[i, :s.n_ev] = s.event_means[:em_w]
+            em_j = jnp.asarray(_pad_rows(
+                em_pad.astype(self.dtype), B_pad))
         else:
+            # DNA: the whole stage runs in one fused device call; only the
+            # changepoints and scale scalars come back to the host
             has_sv = np.array(
                 [s.map_res.scale_values is not None for s in live])
             sv_shift = np.zeros(B); sv_scale = np.ones(B)
@@ -193,66 +321,36 @@ class BatchedResquiggler:
                         sv_lower[i] = sv.lower_lim
                     if sv.upper_lim is not None:
                         sv_upper[i] = sv.upper_lim
-            (norm_j, shift, scale, lower, upper, scores_j) = \
-                _stage_norm_scores_dna(
+            (norm_j, em_j, cpts_j, status_j, shift, scale, lower, upper) = \
+                _stage1_dna(
                     raw_j, lens_j, jnp.asarray(_pad_rows(has_sv, B_pad)),
                     jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
                     jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
                     jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
                     jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
-                    float(self.outlier_thresh), w)
-            scores = np.asarray(scores_j, np.float64)[:B]
-            shift = np.asarray(shift)[:B]; scale = np.asarray(scale)[:B]
-            lower = np.asarray(lower)[:B]; upper = np.asarray(upper)[:B]
-
-        n_cands = sig_lens - 2 * w
-        num_cpts = np.array([s.num_events for s in live], np.int64)
-        cpts, status = greedy_cpts_batch(
-            scores, n_cands, num_cpts, shift=w, min_base_obs=p.min_obs_per_base)
-
-        for i, s in enumerate(live):
-            if status[i] != 0:
-                s.error = "Fewer changepoints found than requested"
-                continue
-            valid_cpts = cpts[i, :s.num_events]
-            if s.map_res.stall_ints is not None:
-                valid_cpts = rsq.remove_stall_cpts(
-                    s.map_res.stall_ints, valid_cpts)
-            s.cpts = valid_cpts
-
-        # normalization
-        if p.use_t_test_seg:
+                    ncpts_j, float(self.outlier_thresh), w,
+                    p.min_obs_per_base, max_cpts)
+            (cpts_np, status, shift, scale, lower, upper) = _fetch(
+                cpts_j, status_j, shift, scale, lower, upper)
+            cpts_np = cpts_np.astype(np.int64)[:B]
+            status = status[:B]
+            shift = shift[:B]; scale = scale[:B]
+            lower = lower[:B]; upper = upper[:B]
             for i, s in enumerate(live):
-                if s.error is not None:
+                if status[i] != 0:
+                    s.error = "Fewer changepoints found than requested"
                     continue
-                if s.map_res.scale_values is not None:
-                    sv = s.map_res.scale_values
-                elif config.USE_RNA_EVENT_SCALE:
-                    sv = rsq.get_scale_values_from_events(
-                        s.raw, s.cpts, self.outlier_thresh,
-                        num_events=config.RNA_SCALE_NUM_EVENTS,
-                        max_frac_events=config.RNA_SCALE_MAX_FRAC_EVENTS)
-                else:
-                    sv = None
-                s.norm, s.scale_values = rsq.normalize_raw_signal(
-                    s.raw, scale_values=sv)
-        else:
-            norm_np = np.asarray(norm_j, np.float64)[:B]
-            for i, s in enumerate(live):
-                if s.error is not None:
-                    continue
-                s.norm = norm_np[i, :s.raw.shape[0]]
+                s.cpts = cpts_np[i, :s.num_events]
+                s.n_ev = s.num_events - 1
+                s.norm = None          # recomputed host-side on demand
+                s.event_means = None
                 prev_sv = s.map_res.scale_values
                 s.scale_values = ScaleValues(
                     float(shift[i]), float(scale[i]), float(lower[i]),
                     float(upper[i]),
                     prev_sv.outlier_thresh if prev_sv is not None
                     else self.outlier_thresh)
-
-        # event means (host cumsum-diff; cheap relative to DP)
-        for s in live:
-            if s.error is None:
-                s.event_means = ref_impl.new_means(s.norm, s.cpts)
+        return {"em": em_j}
 
     def _plan_reads(self, states: List[_ReadState]):
         """Expected levels + start discovery routing."""
@@ -274,57 +372,65 @@ class BatchedResquiggler:
             if len(s.genome_seq_trim) != r_means.shape[0]:
                 s.error = "Discordant reference and sequence lengths."
                 continue
-            if (s.event_means.shape[0] < p.start_bw + p.start_n_bases or
+            if (s.n_ev < p.start_bw + p.start_n_bases or
                     r_means.shape[0] < p.start_n_bases):
                 s.use_static = True
 
-    def _start_discovery(self, states: List[_ReadState], start_bw: int,
-                         check_score: bool):
-        """Batched static-band start discovery (device)."""
+    def _start_discovery(self, states: List[_ReadState], ctx,
+                         start_bw: int, check_score: bool):
+        """Batched static-band start discovery + validity score (device).
+
+        Event means never leave the device: the stage-1 rows are gathered
+        on-chip, and the reference's host-side ``score_valid_bases`` check
+        is folded into the same jitted call."""
         p = self.params
         live = [s for s in states if s.error is None and not s.use_static]
         if not live:
             return []
         nb = p.start_n_bases
         ne = start_bw
+        need = nb + ne
+        if ctx["em"].shape[1] < need:
+            # every live read has >= need events (else use_static), but the
+            # batch-wide padded width can still be smaller
+            for s in live:
+                s.use_static = True
+            return []
         B = len(live)
         B_pad = _pow2_bucket(B, 8)
-        need = nb + ne
-        em_pad = np.zeros((B, need), np.float64)
+        rows = np.array([s.dev_row for s in live], np.int32)
         rm_pad = np.ones((B, nb), np.float64)
         rs_pad = np.ones((B, nb), np.float64)
         for i, s in enumerate(live):
-            em_pad[i] = s.event_means[:need]
             rm_pad[i] = s.ref_means[:nb]
             rs_pad[i] = s.ref_sds[:nb]
         sp = dpo.StartDpParams(
             z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
             max_half_z_score=p.max_half_z_score or -1.0,
             num_bases=nb, num_events=ne)
-        segs, top, _ = dpo.start_band_dp(
-            jnp.asarray(_pad_rows(em_pad.astype(self.dtype), B_pad)),
+        segs, score, n_valid = _stage_start_dp(
+            ctx["em"], jnp.asarray(_pad_rows(rows, B_pad)),
             jnp.asarray(_pad_rows(rm_pad.astype(self.dtype), B_pad)),
             jnp.asarray(_pad_rows(rs_pad.astype(self.dtype), B_pad)), sp)
-        segs = np.asarray(segs, np.int64)[:B]
+        segs, score = _fetch(segs, score)
+        segs = segs.astype(np.int64)[:B]
+        score = score.astype(np.float64)[:B]
 
         failed = []
+        thresh = SIG_MATCH_THRESH[self.seq_samp_type.name]
         for i, s in enumerate(live):
             start_tb = segs[i]
-            try:
-                if check_score and rsq.score_valid_bases(
-                        start_tb, s.event_means, s.ref_means, s.ref_sds) > \
-                        SIG_MATCH_THRESH[self.seq_samp_type.name]:
-                    raise TomboTpuError(
-                        "Poor raw to expected signal matching in beginning "
-                        "of read.")
-            except TomboTpuError:
+            if check_score and (not np.isfinite(score[i]) or
+                                score[i] > thresh):
+                # "Poor raw to expected signal matching in beginning of
+                # read." / "Invalid path through read start"
                 failed.append(s)
                 continue
             s.events_per_base = (start_tb[-1] - start_tb[0]) / len(start_tb)
             s.mapped_start = int(start_tb[0])
         return failed
 
-    def _adaptive_batch(self, states: List[_ReadState]):
+    def _adaptive_batch(self, states: List[_ReadState], ctx):
         """Stage 5: masked-start prefix + adaptive DP + traceback."""
         p = self.params
         live = []
@@ -344,13 +450,13 @@ class BatchedResquiggler:
                 s.mapped_start_offset = half_bw
             if (int((half_bw + 1) / s.events_per_base) >=
                     s.ref_means.shape[0] or
-                    s.event_means.shape[0] - s.mapped_start_offset -
+                    s.n_ev - s.mapped_start_offset -
                     s.events_start_clip < p.bandwidth):
                 s.use_static = True
                 continue
             try:
                 starts, valid_start, row_end = rsq.build_masked_start_plan(
-                    s.event_means.shape[0] - s.events_start_clip,
+                    s.n_ev - s.events_start_clip,
                     s.mapped_start_offset, p, s.events_per_base)
             except TomboTpuError as e:
                 s.error = str(e)
@@ -366,12 +472,12 @@ class BatchedResquiggler:
         L_max = _pow2_bucket(max(s.ref_means.shape[0] for s in live), 256)
         P_max = _round_up(max(s.prefix_starts.shape[0] for s in live), 64)
         E_max = _pow2_bucket(
-            max(s.event_means.shape[0] - s.events_start_clip
-                for s in live) + bw, 256)
+            max(s.n_ev - s.events_start_clip for s in live) + bw, 256)
         B = len(live)
         B_pad = _pow2_bucket(B, 8)
 
-        em = np.zeros((B, E_max), np.float64)
+        rows = np.array([s.dev_row for s in live], np.int32)
+        clips = np.array([s.events_start_clip for s in live], np.int64)
         rm = np.ones((B, L_max), np.float64)
         rs = np.ones((B, L_max), np.float64)
         n_events = np.zeros(B, np.int64)
@@ -381,9 +487,7 @@ class BatchedResquiggler:
         pend = np.full((B, P_max), 2 ** 31 - 1, np.int64)
         start_rows = np.zeros(B, np.int64)
         for i, s in enumerate(live):
-            cem = s.event_means[s.events_start_clip:]
-            em[i, :cem.shape[0]] = cem
-            n_events[i] = cem.shape[0]
+            n_events[i] = s.n_ev - s.events_start_clip
             L = s.ref_means.shape[0]
             rm[i, :L] = s.ref_means
             rs[i, :L] = s.ref_sds
@@ -396,13 +500,18 @@ class BatchedResquiggler:
             pend[i, :P] = s.prefix_end
             start_rows[i] = P
 
+        # event means gathered + left-clipped on device from stage 1
+        em_j = _gather_clip_rows(
+            ctx["em"], jnp.asarray(_pad_rows(rows, B_pad)),
+            jnp.asarray(_pad_rows(clips, B_pad)), E_max)
+
         dpp = dpo.DpParams(
             z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
             mask_fill_z_score=MASK_FILL_Z_SCORE,
             max_half_z_score=p.max_half_z_score or -1.0, bandwidth=bw)
         seq_lens_j = jnp.asarray(_pad_rows(seq_lens, B_pad))
         dp_args = (
-            jnp.asarray(_pad_rows(em.astype(self.dtype), B_pad)),
+            em_j,
             jnp.asarray(_pad_rows(n_events, B_pad)),
             jnp.asarray(_pad_rows(rm.astype(self.dtype), B_pad)),
             jnp.asarray(_pad_rows(rs.astype(self.dtype), B_pad)),
@@ -427,9 +536,10 @@ class BatchedResquiggler:
             segs_j, bound_err = dpo.banded_traceback(
                 tb, band_starts, seq_lens_j, top,
                 p.band_bound_thresh, bw, L_max)
-        segs_np = np.asarray(segs_j, np.int64)[:B]
-        band_err = np.asarray(band_err)[:B]
-        bound_err = np.asarray(bound_err)[:B]
+        segs_np, band_err, bound_err = _fetch(segs_j, band_err, bound_err)
+        segs_np = segs_np.astype(np.int64)[:B]
+        band_err = band_err[:B]
+        bound_err = bound_err[:B]
 
         for i, s in enumerate(live):
             if band_err[i]:
@@ -443,18 +553,21 @@ class BatchedResquiggler:
             L = s.ref_means.shape[0]
             read_tb = segs_np[i, :L + 1].copy()
             read_tb = rsq._trim_traceback(
-                read_tb,
-                events_len=s.event_means.shape[0] - s.events_start_clip)
+                read_tb, events_len=s.n_ev - s.events_start_clip)
             seq_segs, rsrtr = rsq.get_rel_raw_coords(
                 s.cpts[s.events_start_clip:], read_tb)
             s.dp_segs = seq_segs
             s.dp_rsrtr = rsrtr
 
-    def _static_reads(self, states: List[_ReadState]):
+    def _static_reads(self, states: List[_ReadState], ctx):
         """Short-read static-band fallback (host; rare)."""
         for s in states:
             if s.error is not None or not s.use_static:
                 continue
+            if s.event_means is None:
+                # rare path: pull this read's event means from the device
+                s.event_means = np.asarray(
+                    ctx["em"][s.dev_row], np.float64)[:s.n_ev]
             try:
                 seq_events = rsq.find_static_base_assignment(
                     s.event_means, s.ref_means, s.ref_sds, self.params)
@@ -484,6 +597,11 @@ class BatchedResquiggler:
                 s.error = s.error or "DP did not produce a path"
                 continue
             try:
+                if s.norm is None:
+                    # the normalized signal never left the device; rebuild
+                    # it host-side in float64 from the raw signal + scale
+                    # values (identical formula to the device stage)
+                    s.norm = self._host_norm(s)
                 dp_res = DpResults(
                     s.dp_rsrtr, s.dp_segs, s.ref_means, s.ref_sds,
                     s.genome_seq_trim)
@@ -561,26 +679,40 @@ class BatchedResquiggler:
             except TomboTpuError as e:
                 s.error = str(e)
 
+    def _host_norm(self, s: _ReadState) -> np.ndarray:
+        """Recompute the normalized signal in float64 from raw + scale
+        values (the device keeps its own copy; shipping (B, S) floats over
+        the host link costs far more than recomputing them)."""
+        sv = s.scale_values
+        norm = (s.raw - sv.shift) / sv.scale
+        if (sv.lower_lim is not None and sv.upper_lim is not None and
+                np.isfinite(sv.lower_lim) and np.isfinite(sv.upper_lim)):
+            norm = np.clip(norm, sv.lower_lim, sv.upper_lim)
+        return norm
+
     # ------------------------------------------------------------ run API
     def _run_pass(self, states: List[_ReadState]):
-        self._segment_batch(states)
+        ctx = self._segment_batch(states)
         self._plan_reads(states)
-        failed_start = self._start_discovery(
-            states, self.params.start_bw, check_score=True)
-        # save-bandwidth start retry without score check
-        # (reference: tombo/resquiggle.py:996-1006)
-        for s in failed_start:
-            if (s.event_means.shape[0] <
-                    self.params.start_save_bw + self.params.start_n_bases):
-                s.use_static = True
-        retry = [s for s in failed_start if not s.use_static]
-        if retry:
-            still_failed = self._start_discovery(
-                retry, self.params.start_save_bw, check_score=False)
-            for s in still_failed:
-                s.error = "Read start discovery failed"
-        self._adaptive_batch(states)
-        self._static_reads(states)
+        if ctx is not None:
+            failed_start = self._start_discovery(
+                states, ctx, self.params.start_bw, check_score=True)
+            # save-bandwidth start retry without score check
+            # (reference: tombo/resquiggle.py:996-1006)
+            for s in failed_start:
+                if (s.n_ev <
+                        self.params.start_save_bw +
+                        self.params.start_n_bases):
+                    s.use_static = True
+            retry = [s for s in failed_start if not s.use_static]
+            if retry:
+                still_failed = self._start_discovery(
+                    retry, ctx, self.params.start_save_bw,
+                    check_score=False)
+                for s in still_failed:
+                    s.error = "Read start discovery failed"
+            self._adaptive_batch(states, ctx)
+            self._static_reads(states, ctx)
         self._finalize(states)
 
     def resquiggle_batch(self, map_results: Sequence[ResquiggleResults],

@@ -676,23 +676,43 @@ def resolve_skipped_bases_with_raw(
         raise TomboTpuError(
             "Read contains too many potential genomic deletions")
 
-    for start, end in all_del_windows:
-        n_events = end - start
-        sig_start, sig_end = dp_res.segs[start], dp_res.segs[end]
-        sig_len = sig_end - sig_start
-        pseudo_starts = np.linspace(0, sig_len, n_events + 1, dtype=np.int64)
-        reg_zs = ref_impl.reg_z_scores(
-            norm_signal[sig_start:sig_end], dp_res.ref_means[start:end],
-            dp_res.ref_sds[start:end], pseudo_starts, 0, n_events, n_events,
-            rsqgl_params.raw_min_obs_per_base,
-            max_half_z_score=rsqgl_params.max_half_z_score)
-        reg_fwd = ref_impl.raw_forward_pass(
-            reg_zs, rsqgl_params.raw_min_obs_per_base)
-        reg_segs = ref_impl.raw_traceback(
-            reg_fwd, rsqgl_params.raw_min_obs_per_base) + sig_start
-        if reg_segs.shape[0] != end - start - 1:
-            raise TomboTpuError("Invalid segmentation results.")
-        resolved_segs[start + 1:end] = reg_segs
+    from ..native import raw_windows_dp_batch
+    native_windows = [
+        (norm_signal[dp_res.segs[start]:dp_res.segs[end]],
+         dp_res.ref_means[start:end], dp_res.ref_sds[start:end],
+         np.linspace(0, dp_res.segs[end] - dp_res.segs[start],
+                     end - start + 1, dtype=np.int64))
+        for start, end in all_del_windows]
+    native_out = raw_windows_dp_batch(
+        native_windows, rsqgl_params.raw_min_obs_per_base,
+        rsqgl_params.max_half_z_score)
+    if native_out is not None:
+        segs_list, status = native_out
+        for (start, end), reg_segs, st in zip(
+                all_del_windows, segs_list, status):
+            if st != 0:
+                raise TomboTpuError(
+                    "Raw-signal traceback failed to find boundary")
+            resolved_segs[start + 1:end] = reg_segs + dp_res.segs[start]
+    else:
+        for start, end in all_del_windows:
+            n_events = end - start
+            sig_start, sig_end = dp_res.segs[start], dp_res.segs[end]
+            sig_len = sig_end - sig_start
+            pseudo_starts = np.linspace(0, sig_len, n_events + 1,
+                                        dtype=np.int64)
+            reg_zs = ref_impl.reg_z_scores(
+                norm_signal[sig_start:sig_end], dp_res.ref_means[start:end],
+                dp_res.ref_sds[start:end], pseudo_starts, 0, n_events,
+                n_events, rsqgl_params.raw_min_obs_per_base,
+                max_half_z_score=rsqgl_params.max_half_z_score)
+            reg_fwd = ref_impl.raw_forward_pass(
+                reg_zs, rsqgl_params.raw_min_obs_per_base)
+            reg_segs = ref_impl.raw_traceback(
+                reg_fwd, rsqgl_params.raw_min_obs_per_base) + sig_start
+            if reg_segs.shape[0] != end - start - 1:
+                raise TomboTpuError("Invalid segmentation results.")
+            resolved_segs[start + 1:end] = reg_segs
 
     if np.diff(resolved_segs).min() < 1:
         raise TomboTpuError("New segments include zero length events")
