@@ -1,0 +1,609 @@
+"""Modified-base detection: per-read + group statistical testing.
+
+Behavioral port of the reference's testing engine
+(reference: tombo/tombo_stats.py:3572-4634): four methods (de novo vs
+canonical model, two-sample comparison, alternative-model likelihood
+ratios, and group level tests), per-site fraction aggregation with
+per-read thresholds, and genome-blocked orchestration.
+
+Redesign notes (TPU-first host architecture): per-read inner loops are
+replaced with whole-read vectorized math (stats/kernels.py); alt-model
+motif hits are scored as one stacked (hits, kmer_width) window batch per
+read instead of per-hit native calls; regions are processed by a thread
+pool feeding the single-writer stats files (mirroring the reference's
+single-writer process design, reference: tombo/tombo_stats.py:4448).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .. import config
+from ..errors import TomboTpuError
+from ..io.model_io import AltModel, KmerModel
+from ..seq import encode_seq, rev_comp, seq_to_kmer_codes
+from ..types import GroupStats, RegionStats
+from . import kernels
+from .files import (ALT_MODEL_TXT, DE_NOVO_TXT, KS_STAT_TEST_TXT,
+                    KS_TEST_TXT, LEVEL_STATS_TXTS, PER_READ_STATS,
+                    SAMP_COMP_TXT, T_STAT_TEST_TXT, T_TEST_TXT,
+                    U_STAT_TEST_TXT, U_TEST_TXT, LevelStats, ModelStats,
+                    PerReadStats)
+from .region import RegionData, ReadLevels
+
+
+@dataclass
+class TestParams:
+    """Testing configuration (reference: argparse layer +
+    tombo/_default_parameters.py:107-140)."""
+    stat_type: str
+    fm_offset: int = config.FM_OFFSET_DEFAULT
+    min_test_reads: int = 1
+    single_read_thresh: Optional[float] = None
+    lower_thresh: Optional[float] = None
+    region_size: int = config.DEFAULT_REGION_SIZE
+    prior_weights: Tuple[float, float] = (config.MEAN_PRIOR_CONST,
+                                          config.SD_PRIOR_CONST)
+    use_standard_llhr: bool = False
+    num_most_signif: int = 100000
+    cov_damp_counts: Tuple[float, float] = config.COV_DAMP_COUNTS
+
+
+# --------------------------------------------------------------------------
+# Control-sample reference levels (reference: tombo/tombo_stats.py:3572-3674)
+# --------------------------------------------------------------------------
+
+def compute_posterior_samp_dists(ctrl_means, ctrl_sds, ctrl_cov,
+                                 ctrl_reg_data, fasta, std_ref,
+                                 prior_weights, fm_offset):
+    """Sharpen control-sample level estimates with model priors
+    (reference: tombo/tombo_stats.py:3572-3626)."""
+    dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
+    begin_lag = (std_ref.central_pos if ctrl_reg_data.strand == "+"
+                 else dnstrm)
+    end_lag = dnstrm if ctrl_reg_data.strand == "+" else std_ref.central_pos
+    seq_start = ctrl_reg_data.start - begin_lag - fm_offset
+    seq_end = ctrl_reg_data.end + end_lag + fm_offset
+    reg_seq = fasta.get_seq(ctrl_reg_data.chrm, max(seq_start, 0), seq_end,
+                            error_end=False)
+    # N-pad sequence clipped at the chromosome ends so expected-level
+    # windows stay aligned (N windows produce NaN levels)
+    if seq_start < 0:
+        reg_seq = "N" * -seq_start + reg_seq
+    if len(reg_seq) < seq_end - seq_start:
+        reg_seq = reg_seq + "N" * (seq_end - seq_start - len(reg_seq))
+    if ctrl_reg_data.strand == "-":
+        reg_seq = rev_comp(reg_seq)
+    reg_ref_means, reg_ref_sds = std_ref.get_exp_levels_from_seq_with_gaps(
+        reg_seq, ctrl_reg_data.strand == "-")
+    post_means = ((prior_weights[0] * reg_ref_means +
+                   ctrl_cov * ctrl_means) /
+                  (prior_weights[0] + ctrl_cov))
+    post_sds = ((prior_weights[1] * reg_ref_sds + ctrl_cov * ctrl_sds) /
+                (prior_weights[1] + ctrl_cov))
+    return post_means, post_sds
+
+
+def get_reads_ref(reg_data: RegionData, fasta, min_test_reads: int,
+                  fm_offset: int, std_ref: Optional[KmerModel] = None,
+                  prior_weights=None, est_mean: bool = False):
+    """Per-site central level + SD of a control sample
+    (reference: tombo/tombo_stats.py:3627-3674)."""
+    central = np.mean if est_mean else np.median
+    reg_size = reg_data.end - reg_data.start + fm_offset * 2
+    level_means = np.full(reg_size, np.nan)
+    level_sds = np.full(reg_size, np.nan)
+
+    exp_reg = reg_data.copy_update(reg_data.start - fm_offset,
+                                   reg_data.end + fm_offset)
+    bases_levels = exp_reg.get_base_levels()
+    valid = ~np.isnan(bases_levels)
+    cov = valid.sum(axis=1)
+    ok = cov >= min_test_reads
+    if ok.any():
+        idx = np.where(ok)[0]
+        level_means[idx] = [central(bases_levels[i][valid[i]]) for i in idx]
+        level_sds[idx] = [np.std(bases_levels[i][valid[i]]) for i in idx]
+
+    if std_ref is not None:
+        if prior_weights is None:
+            prior_weights = (config.MEAN_PRIOR_CONST, config.SD_PRIOR_CONST)
+        level_means, level_sds = compute_posterior_samp_dists(
+            level_means, level_sds, cov, reg_data, fasta, std_ref,
+            prior_weights, fm_offset)
+
+    cov_d = dict(zip(range(reg_data.start - fm_offset,
+                           reg_data.end + fm_offset), cov))
+    zero_sd = level_sds == 0
+    level_means[zero_sd] = np.nan
+    level_sds[zero_sd] = np.nan
+    return level_means, level_sds, cov_d
+
+
+# --------------------------------------------------------------------------
+# Per-read model tests (reference: tombo/tombo_stats.py:3675-4016)
+# --------------------------------------------------------------------------
+
+def compute_sample_compare_read_stats(rl: ReadLevels, ctrl_means, ctrl_sds,
+                                      fm_offset, reg_data: RegionData):
+    """(reference: tombo/tombo_stats.py:3675-3770)."""
+    r_data = rl.r_data
+    reg_start = reg_data.start
+    reg_size = reg_data.end - reg_data.start
+    r_means = rl.means
+    read_start, read_end = r_data.start, r_data.end
+    if read_start + fm_offset < reg_start:
+        n_clip = reg_start - (read_start + fm_offset)
+        read_start = reg_start - fm_offset
+        r_means = (r_means[n_clip:] if r_data.strand == "+"
+                   else r_means[:-n_clip])
+    if read_end - fm_offset > reg_start + reg_size:
+        n_clip = (read_end - fm_offset) - (reg_start + reg_size)
+        read_end = reg_start + reg_size + fm_offset
+        r_means = (r_means[:-n_clip] if r_data.strand == "+"
+                   else r_means[n_clip:])
+    if r_data.strand == "-":
+        r_means = r_means[::-1]
+    sl = slice(read_start - reg_start + fm_offset,
+               read_end - reg_start + fm_offset)
+    with np.errstate(invalid="ignore"):
+        r_z = np.abs(r_means - ctrl_means[sl]) / ctrl_sds[sl]
+    if np.sum(~np.isnan(r_z)) == 0:
+        raise TomboTpuError("No valid z-scores in read.")
+    r_pvals = kernels.pvals_from_z(r_z)
+    if fm_offset > 0:
+        r_pvals = kernels.calc_window_fishers_method(r_pvals, fm_offset)
+    r_poss = np.where(~np.isnan(r_pvals))[0]
+    r_pvals = r_pvals[r_poss]
+    r_poss = r_poss + read_start
+    return {SAMP_COMP_TXT: r_pvals}, {SAMP_COMP_TXT: r_poss}, rl.read_id
+
+
+def compute_de_novo_read_stats(rl: ReadLevels, std_ref: KmerModel,
+                               fm_offset, reg_data: RegionData):
+    """(reference: tombo/tombo_stats.py:3771-3874)."""
+    r_data = rl.r_data
+    reg_start = reg_data.start
+    reg_size = reg_data.end - reg_data.start
+    dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
+    begin_lag = std_ref.central_pos if r_data.strand == "+" else dnstrm
+    end_lag = dnstrm if r_data.strand == "+" else std_ref.central_pos
+
+    r_means, r_seq = rl.means, rl.seq
+    if r_means is None or r_seq is None:
+        raise TomboTpuError("Read does not contain valid re-squiggled data.")
+    read_start, read_end = r_data.start, r_data.end
+    if read_start + begin_lag + fm_offset < reg_start:
+        n_clip = reg_start - (read_start + begin_lag + fm_offset)
+        read_start = reg_start - begin_lag - fm_offset
+        if r_data.strand == "+":
+            r_means, r_seq = r_means[n_clip:], r_seq[n_clip:]
+        else:
+            r_means, r_seq = r_means[:-n_clip], r_seq[:-n_clip]
+    if read_end - end_lag - fm_offset > reg_start + reg_size:
+        n_clip = (read_end - end_lag - fm_offset) - (reg_start + reg_size)
+        read_end = reg_start + reg_size + end_lag + fm_offset
+        if r_data.strand == "+":
+            r_means, r_seq = r_means[:-n_clip], r_seq[:-n_clip]
+        else:
+            r_means, r_seq = r_means[n_clip:], r_seq[n_clip:]
+    if len(r_seq) < std_ref.kmer_width:
+        raise TomboTpuError("Read does not contain information in this "
+                            "region.")
+    r_ref_means, r_ref_sds = std_ref.get_exp_levels_from_seq(
+        r_seq, r_data.strand == "-")
+    if r_data.strand == "-":
+        r_means = r_means[::-1]
+    r_means = r_means[begin_lag:-end_lag]
+    read_start += begin_lag
+    read_end -= end_lag
+
+    z = np.abs(r_means - r_ref_means) / r_ref_sds
+    r_pvals = kernels.pvals_from_z(z)
+    if fm_offset > 0:
+        r_pvals = kernels.calc_window_fishers_method(r_pvals, fm_offset)
+    with np.errstate(invalid="ignore"):
+        r_pvals = np.maximum(r_pvals, kernels.SMALLEST_PVAL)
+    r_poss = np.arange(read_start, read_end)
+    return {DE_NOVO_TXT: r_pvals}, {DE_NOVO_TXT: r_poss}, rl.read_id
+
+
+def _trim_seq_and_means(seq, means, r_start, reg_start, reg_end, strand,
+                        kmer_width, central_pos, max_motif_bb, max_motif_ab):
+    """(reference: tombo/tombo_stats.py:3889-3970 ``trim_seq_and_means``)."""
+    r_end = r_start + means.shape[0]
+    motif_search_seq = seq
+    n_start_clip = n_end_clip = 0
+    if r_start + kmer_width - 1 < reg_start:
+        if strand == "+":
+            n_start_clip = reg_start - (r_start + kmer_width - 1)
+        else:
+            n_end_clip = reg_start - (r_start + kmer_width - 1)
+        r_start = reg_start - (kmer_width - 1)
+    if r_end - kmer_width + 1 > reg_end:
+        if strand == "+":
+            n_end_clip = r_end - kmer_width + 1 - reg_end
+        else:
+            n_start_clip = r_end - kmer_width + 1 - reg_end
+
+    seq = seq[n_start_clip:]
+    if n_end_clip > 0:
+        seq = seq[:-n_end_clip]
+    means = means[n_start_clip + central_pos:]
+    means = means[:-(n_end_clip + kmer_width - central_pos - 1)]
+    if means.shape[0] < kmer_width:
+        raise TomboTpuError("Read sequence too short in this region.")
+    kmer_codes = seq_to_kmer_codes(encode_seq(seq), kmer_width)
+    if kmer_codes.shape[0] != means.shape[0]:
+        raise TomboTpuError("Mismatching k-mer and mean levels.")
+    r_start += kmer_width - 1
+
+    if n_start_clip + kmer_width - 1 - max_motif_bb >= 0:
+        motif_search_seq = motif_search_seq[
+            n_start_clip + kmer_width - 1 - max_motif_bb:]
+    else:
+        motif_search_seq = ("N" * -(n_start_clip + kmer_width - 1 -
+                                    max_motif_bb)) + motif_search_seq
+    if n_end_clip + kmer_width - 1 - max_motif_ab > 0:
+        motif_search_seq = motif_search_seq[
+            :-(n_end_clip + kmer_width - 1 - max_motif_ab)]
+    elif n_end_clip + kmer_width - 1 - max_motif_ab < 0:
+        motif_search_seq = motif_search_seq + "N" * -(
+            n_end_clip + kmer_width - 1 - max_motif_ab)
+    return kmer_codes, means, r_start, motif_search_seq
+
+
+def compute_alt_model_read_stats(rl: ReadLevels, std_ref: KmerModel,
+                                 alt_refs: Sequence[Tuple[str, AltModel]],
+                                 use_standard_llhr, reg_data: RegionData):
+    """(reference: tombo/tombo_stats.py:3972-4084).  Motif-hit windows are
+    scored as one stacked batch per (read, alt model)."""
+    r_data = rl.r_data
+    reg_start, reg_end = reg_data.start, reg_data.end
+    max_motif_bb = max(a.motif.mod_pos - 1 for _, a in alt_refs)
+    max_motif_ab = max(a.motif.motif_len - a.motif.mod_pos
+                       for _, a in alt_refs)
+    if rl.means is None or rl.seq is None:
+        raise TomboTpuError("Read does not contain valid re-squiggled data.")
+    kmer_codes, r_means, r_start, motif_search_seq = _trim_seq_and_means(
+        rl.seq, rl.means, r_data.start, reg_start, reg_end, r_data.strand,
+        std_ref.kmer_width, std_ref.central_pos, max_motif_bb, max_motif_ab)
+    k = std_ref.kmer_width
+    testable_len = r_means.shape[0] - k + 1
+    r_ref_means, _r_sds = std_ref.get_exp_levels_from_kmer_codes(kmer_codes)
+    r_ref_vars = np.square(_r_sds)
+
+    all_poss, all_llhrs = {}, {}
+    for alt_name, alt_ref in alt_refs:
+        search_seq = motif_search_seq[
+            max_motif_bb - (alt_ref.motif.mod_pos - 1):]
+        ab_clip = max_motif_ab - (alt_ref.motif.motif_len -
+                                  alt_ref.motif.mod_pos)
+        if ab_clip > 0:
+            search_seq = search_seq[:-ab_clip]
+        hits = [m.start() for m in
+                alt_ref.motif.motif_pat.finditer(search_seq)]
+        if not hits:
+            all_llhrs[alt_name] = np.empty(0)
+            all_poss[alt_name] = np.empty(0, np.int64)
+            continue
+        hits = np.array(hits, np.int64)
+        if r_data.strand == "+":
+            poss = r_start + hits
+        else:
+            poss = r_start + testable_len - hits - 1
+        # stacked (hits, k) windows
+        win = hits[:, None] + np.arange(k)[None, :]
+        means_w = r_means[win]
+        ref_means_w = r_ref_means[win]
+        alt_means_w, alt_sds_w = alt_ref.get_exp_levels_from_kmer_codes(
+            kmer_codes[win])
+        if config.CONST_SD_MODEL:
+            const_var = r_ref_vars[hits]
+            if use_standard_llhr:
+                llhrs = (np.square(means_w - alt_means_w).sum(-1) -
+                         np.square(means_w - ref_means_w).sum(-1)
+                         ) / const_var
+            else:
+                scale_var = const_var[:, None] * config.OCLLHR_SCALE
+                coef = config.OCLLHR_HEIGHT * np.power(
+                    const_var, config.OCLLHR_POWER)
+                llhrs = ((np.exp(-np.square(means_w - ref_means_w) /
+                                 scale_var) -
+                          np.exp(-np.square(means_w - alt_means_w) /
+                                 scale_var)).sum(-1)) * coef
+        else:
+            if not use_standard_llhr:
+                raise TomboTpuError(
+                    "Variable SD scaled likelihood ratio not implemented.")
+            llhrs = kernels.calc_llh_ratio(
+                means_w, ref_means_w, r_ref_vars[win],
+                alt_means_w, np.square(alt_sds_w))
+        all_llhrs[alt_name] = llhrs
+        all_poss[alt_name] = poss
+    return all_llhrs, all_poss, rl.read_id
+
+
+# --------------------------------------------------------------------------
+# Per-site aggregation (reference: tombo/tombo_stats.py:4084-4180)
+# --------------------------------------------------------------------------
+
+def apply_per_read_thresh(reg_base_stats, single_read_thresh, lower_thresh,
+                          stat_type, stat_locs, ctrl_cov=None):
+    reg_cov = np.array([bs.shape[0] for bs in reg_base_stats])
+    if lower_thresh is not None:
+        reg_base_stats = [
+            bs[np.logical_or(bs <= lower_thresh, bs >= single_read_thresh)]
+            for bs in reg_base_stats]
+        valid_cov = np.array([bs.shape[0] for bs in reg_base_stats])
+    elif stat_type == ALT_MODEL_TXT:
+        reg_base_stats = [bs[np.abs(bs) >= single_read_thresh]
+                          for bs in reg_base_stats]
+        valid_cov = np.array([bs.shape[0] for bs in reg_base_stats])
+    else:
+        valid_cov = reg_cov
+    if stat_type == SAMP_COMP_TXT:
+        out_ctrl_cov = [
+            ctrl_cov[pos] if ctrl_cov is not None and pos in ctrl_cov else 0
+            for pos in stat_locs]
+    else:
+        out_ctrl_cov = [0] * stat_locs.shape[0]
+    frac_std = np.array([
+        np.greater_equal(bs, single_read_thresh).sum() / bs.shape[0]
+        if bs.shape[0] > 0 else np.nan
+        for bs in reg_base_stats])
+    return frac_std, reg_cov, out_ctrl_cov, valid_cov
+
+
+def collate_reg_stats(stats, stat_locs, read_ids, per_read_file,
+                      reg_data: RegionData, single_read_thresh,
+                      lower_thresh, stat_type, stat_name, ctrl_cov):
+    """(reference: tombo/tombo_stats.py:4124-4180)."""
+    stats = np.concatenate(stats)
+    stat_locs = np.concatenate(stat_locs)
+    valid = ~np.isnan(stats)
+    stat_locs = stat_locs[valid]
+    stats = stats[valid]
+    if stat_locs.shape[0] == 0:
+        raise TomboTpuError("No valid positions in this region.")
+
+    per_read_payload = None
+    if per_read_file is not None:
+        rep_ids = [rid for rid, r_len in read_ids for _ in range(r_len)]
+        valid_ids = [rid for rid, ok in zip(rep_ids, valid) if ok]
+        lookup = {rid: i for i, rid in enumerate(set(valid_ids))}
+        conv = np.array([lookup[r] for r in valid_ids])
+        block = np.array(
+            list(zip(stat_locs, stats, conv)),
+            dtype=[("pos", "u4"), ("stat", "f8"), ("read_id", "u4")])
+        per_read_payload = (stat_name, block, lookup, reg_data.chrm,
+                            reg_data.strand, reg_data.start)
+
+    order = np.argsort(stat_locs)
+    stat_locs = stat_locs[order]
+    us_stat_locs = np.unique(stat_locs)
+    reg_base_stats = np.split(
+        stats[order],
+        np.where(np.concatenate([[0], np.diff(stat_locs)]) > 0)[0])
+    frac_std, reg_cov, out_ctrl_cov, valid_cov = apply_per_read_thresh(
+        reg_base_stats, single_read_thresh, lower_thresh, stat_type,
+        stat_locs, ctrl_cov)
+    return RegionStats(frac_std, us_stat_locs, reg_data.chrm,
+                       reg_data.strand, reg_data.start, reg_cov,
+                       np.asarray(out_ctrl_cov), valid_cov), per_read_payload
+
+
+def compute_reg_stats(reg_data: RegionData, params: TestParams,
+                      ctrl_reg_data: Optional[RegionData], fasta,
+                      std_ref: Optional[KmerModel],
+                      alt_refs: Optional[Sequence[Tuple[str, AltModel]]],
+                      emit_per_read: bool):
+    """(reference: tombo/tombo_stats.py:4180-4236)."""
+    stat_type = params.stat_type
+    if stat_type == SAMP_COMP_TXT:
+        ctrl_means, ctrl_sds, ctrl_cov = get_reads_ref(
+            ctrl_reg_data, fasta, params.min_test_reads, params.fm_offset,
+            std_ref, params.prior_weights)
+    else:
+        ctrl_cov = None
+
+    stat_names = ([stat_type] if stat_type != ALT_MODEL_TXT
+                  else [name for name, _ in alt_refs])
+    reg_read_stats = {n: [] for n in stat_names}
+    stat_locs = {n: [] for n in stat_names}
+    reg_ids = {n: [] for n in stat_names}
+    need_seq = stat_type in (DE_NOVO_TXT, ALT_MODEL_TXT)
+    for rl in reg_data.load_levels(with_seq=need_seq):
+        try:
+            if stat_type == SAMP_COMP_TXT:
+                r_stats, r_poss, read_id = compute_sample_compare_read_stats(
+                    rl, ctrl_means, ctrl_sds, params.fm_offset, reg_data)
+            elif stat_type == DE_NOVO_TXT:
+                r_stats, r_poss, read_id = compute_de_novo_read_stats(
+                    rl, std_ref, params.fm_offset, reg_data)
+            else:
+                r_stats, r_poss, read_id = compute_alt_model_read_stats(
+                    rl, std_ref, alt_refs, params.use_standard_llhr,
+                    reg_data)
+        except TomboTpuError:
+            continue
+        for name, s in r_stats.items():
+            reg_read_stats[name].append(s)
+            reg_ids[name].append((read_id, s.shape[0]))
+            stat_locs[name].append(r_poss[name])
+
+    if sum(len(v) for v in reg_read_stats.values()) == 0:
+        raise TomboTpuError("Reads contain no statistics in this region.")
+
+    out = []
+    for name in stat_names:
+        if not reg_read_stats[name]:
+            continue
+        reg_stats, pr_payload = collate_reg_stats(
+            reg_read_stats[name], stat_locs[name], reg_ids[name],
+            emit_per_read or None, reg_data, params.single_read_thresh,
+            params.lower_thresh, stat_type, name, ctrl_cov)
+        out.append((name, reg_stats, pr_payload))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Group (level) testing (reference: tombo/tombo_stats.py:4335-4398)
+# --------------------------------------------------------------------------
+
+def compute_group_reg_stats(reg_data: RegionData,
+                            ctrl_reg_data: RegionData,
+                            params: TestParams):
+    fm_offset = params.fm_offset
+    stat_type = params.stat_type
+    samp = reg_data.copy_update(
+        reg_data.start - fm_offset,
+        reg_data.end + fm_offset).get_base_levels()
+    ctrl = ctrl_reg_data.copy_update(
+        ctrl_reg_data.start - fm_offset,
+        ctrl_reg_data.end + fm_offset).get_base_levels()
+    samp_cov = (~np.isnan(samp)).sum(axis=1)
+    ctrl_cov = (~np.isnan(ctrl)).sum(axis=1)
+    cov_regs = np.where(np.diff(np.concatenate([
+        [False], (samp_cov >= params.min_test_reads) &
+        (ctrl_cov >= params.min_test_reads), [False]])))[0]
+    if len(cov_regs) == 0:
+        return []
+    reg_stats, reg_poss, reg_cov, reg_ctrl_cov = [], [], [], []
+    for cs, ce in zip(cov_regs[:-1:2], cov_regs[1::2]):
+        if ce - cs < fm_offset * 2 + 1:
+            continue
+        if stat_type in (KS_TEST_TXT, KS_STAT_TEST_TXT):
+            cstats = kernels.compute_ks_tests(
+                samp[cs:ce], ctrl[cs:ce], stat_type == KS_STAT_TEST_TXT)
+        elif stat_type in (U_TEST_TXT, U_STAT_TEST_TXT):
+            cstats = kernels.compute_u_tests(
+                samp[cs:ce], ctrl[cs:ce], stat_type == U_STAT_TEST_TXT)
+        elif stat_type in (T_TEST_TXT, T_STAT_TEST_TXT):
+            cstats = kernels.compute_t_tests(
+                samp[cs:ce], ctrl[cs:ce], stat_type == T_STAT_TEST_TXT)
+        else:
+            raise TomboTpuError("Unrecognized test type.")
+        if fm_offset > 0:
+            if stat_type in (KS_TEST_TXT, U_TEST_TXT, T_TEST_TXT):
+                cstats = kernels.calc_window_fishers_method(cstats,
+                                                            fm_offset)
+            else:
+                cstats = kernels.calc_window_means(cstats, fm_offset)
+        reg_stats.append(cstats)
+        reg_poss.append(np.arange(reg_data.start - fm_offset + cs,
+                                  reg_data.start - fm_offset + ce))
+        reg_cov.append(samp_cov[cs:ce])
+        reg_ctrl_cov.append(ctrl_cov[cs:ce])
+    if not reg_stats:
+        return []
+    return [(stat_type, GroupStats(
+        np.concatenate(reg_stats), np.concatenate(reg_poss),
+        reg_data.chrm, reg_data.strand, reg_data.start,
+        np.concatenate(reg_cov), np.concatenate(reg_ctrl_cov)))]
+
+
+# --------------------------------------------------------------------------
+# Orchestration (reference: tombo/tombo_stats.py:4400-4634)
+# --------------------------------------------------------------------------
+
+def test_significance(reads_index, params: TestParams, stats_fn: str,
+                      fasta=None, std_ref: Optional[KmerModel] = None,
+                      alt_refs: Optional[Dict[str, AltModel]] = None,
+                      ctrl_reads_index=None,
+                      per_read_bn: Optional[str] = None,
+                      num_processes: int = 4,
+                      verbose: bool = False):
+    """Run per-site testing over all covered regions and write stats files
+    (reference: tombo/tombo_stats.py:4574-4634 ``test_significance``).
+
+    Regions are computed by a thread pool; stats files are written by this
+    (single) thread in deterministic region order, so results are
+    independent of worker count (reference guarantee:
+    docs/modified_base_detection.rst:151-153)."""
+    stat_type = params.stat_type
+    is_level = stat_type in LEVEL_STATS_TXTS
+    alt_items = sorted(alt_refs.items()) if alt_refs else None
+
+    regions = [
+        RegionData(chrm, strand, start, start + params.region_size)
+        for chrm, strand, start in reads_index.iter_cov_regs(
+            1, params.region_size, ctrl_reads_index)]
+
+    # open output files
+    if is_level:
+        stats_files = {stat_type: LevelStats(
+            stats_fn, stat_type, params.region_size, params.min_test_reads,
+            params.num_most_signif)}
+    elif stat_type == ALT_MODEL_TXT:
+        stats_files = {}
+        for name, _ in alt_items:
+            fn = (stats_fn if len(alt_items) == 1 else
+                  _alt_stats_fn(stats_fn, name))
+            stats_files[name] = ModelStats(
+                fn, stat_type, params.region_size, params.cov_damp_counts,
+                params.min_test_reads, params.num_most_signif)
+    else:
+        stats_files = {stat_type: ModelStats(
+            stats_fn, stat_type, params.region_size, params.cov_damp_counts,
+            params.min_test_reads, params.num_most_signif)}
+    pr_files = {}
+    if per_read_bn is not None and not is_level:
+        for name in stats_files:
+            fn = (per_read_bn if len(stats_files) == 1 else
+                  _alt_stats_fn(per_read_bn, name))
+            pr_files[name] = PerReadStats(fn, stat_type, params.region_size)
+
+    def run_region(reg: RegionData):
+        reg.add_reads(reads_index)
+        ctrl_reg = None
+        if ctrl_reads_index is not None:
+            ctrl_reg = RegionData(reg.chrm, reg.strand, reg.start,
+                                  reg.end).add_reads(ctrl_reads_index)
+        try:
+            if is_level:
+                return [(n, gs, None) for n, gs in compute_group_reg_stats(
+                    reg, ctrl_reg, params)]
+            return compute_reg_stats(
+                reg, params, ctrl_reg, fasta, std_ref, alt_items,
+                emit_per_read=bool(pr_files))
+        except TomboTpuError:
+            return []
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=num_processes) as pool:
+        for reg, results in zip(regions, pool.map(run_region, regions)):
+            for name, reg_stats, pr_payload in results:
+                stats_files[name]._write_stat_block(reg_stats)
+                if pr_payload is not None and name in pr_files:
+                    _, block, lookup, chrm, strand, start = pr_payload
+                    pr_files[name]._write_per_read_block(
+                        block, lookup, chrm, strand, start)
+            if verbose:
+                print("  processed %s:%s:%d" % (reg.chrm, reg.strand,
+                                                reg.start))
+
+    for sf in stats_files.values():
+        if sf.is_empty:
+            raise TomboTpuError(
+                "No genomic positions contain --minimum-test-reads.")
+        sf.close()
+    for prf in pr_files.values():
+        prf.close()
+    return stats_fn
+
+
+def _alt_stats_fn(base_fn: str, alt_name: str) -> str:
+    """Reference naming: `basename.alt_name.tombo.stats` style
+    (reference: tombo/tombo_stats.py:4655-4662)."""
+    if base_fn.endswith(".tombo.stats"):
+        return base_fn[:-len(".tombo.stats")] + "." + alt_name + \
+            ".tombo.stats"
+    if base_fn.endswith(".tombo.per_read_stats"):
+        return base_fn[:-len(".tombo.per_read_stats")] + "." + alt_name + \
+            ".tombo.per_read_stats"
+    return base_fn + "." + alt_name

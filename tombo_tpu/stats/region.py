@@ -1,0 +1,115 @@
+"""Genomic region data access for statistical testing.
+
+Behavioral equivalent of the reference's ``intervalData`` read-level
+machinery (reference: tombo/tombo_helper.py:1749-2088): collect the reads
+overlapping a region, load their re-squiggled level means (and sequence)
+from FAST5 corrected groups, and expose genome-oriented per-read level
+matrices for the level-test and sample-compare paths.
+"""
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import h5py
+import numpy as np
+
+from ..errors import TomboTpuError
+from ..io import fast5 as f5io
+from ..types import ReadData
+
+_N_IO_THREADS = 8
+
+
+@dataclass
+class ReadLevels:
+    """One read's genome-oriented level means over its mapped span."""
+    r_data: ReadData
+    means: np.ndarray              # read-centric order
+    seq: Optional[str] = None      # read-centric sequence
+    read_id: Optional[str] = None
+
+
+def load_read_levels(r_data: ReadData, with_seq: bool = False) -> ReadLevels:
+    """Load one read's norm_mean (+base) from its FAST5 corrected group
+    (reference: tombo/tombo_helper.py:1593-1659)."""
+    with h5py.File(r_data.fn, "r") as fp:
+        grp = fp["/Analyses/" + r_data.corr_group]
+        events = grp["Events"][:]
+        means = events["norm_mean"]
+        seq = (b"".join(events["base"]).decode() if with_seq else None)
+        try:
+            read_id = f5io.get_read_id(fp)
+        except TomboTpuError:
+            read_id = r_data.read_id or "unknown"
+    return ReadLevels(r_data, means, seq, read_id)
+
+
+@dataclass
+class RegionData:
+    """A genomic interval with its overlapping reads' level data
+    (reference: tombo/tombo_helper.py:1749 ``intervalData``)."""
+    chrm: str
+    strand: str
+    start: int
+    end: int
+    reads: List[ReadData] = field(default_factory=list)
+    _levels: Optional[List[ReadLevels]] = None
+
+    def copy_update(self, start: int, end: int) -> "RegionData":
+        return RegionData(self.chrm, self.strand, start, end,
+                          list(self.reads))
+
+    def add_reads(self, reads_index, require_full_span: bool = False
+                  ) -> "RegionData":
+        """Select reads overlapping this interval
+        (reference: tombo/tombo_helper.py:1860-1927)."""
+        if (self.chrm, self.strand) not in reads_index:
+            self.reads = []
+            return self
+        cs_reads = reads_index.get_cs_reads(self.chrm, self.strand)
+        if require_full_span:
+            self.reads = [r for r in cs_reads
+                          if r.start <= self.start and r.end >= self.end]
+        else:
+            self.reads = [r for r in cs_reads
+                          if not (r.end <= self.start or r.start >= self.end)]
+        return self
+
+    def load_levels(self, with_seq: bool = False) -> List[ReadLevels]:
+        if self._levels is None:
+            with ThreadPoolExecutor(_N_IO_THREADS) as pool:
+                out = list(pool.map(
+                    lambda r: _safe_load(r, with_seq), self.reads))
+            self._levels = [r for r in out if r is not None]
+        return self._levels
+
+    def get_base_levels(self) -> np.ndarray:
+        """(reg_size, max_cov) genome-oriented level matrix, NaN-padded
+        (reference: tombo/tombo_helper.py:1976-2030)."""
+        reg_size = self.end - self.start
+        levels = self.load_levels()
+        if not levels:
+            return np.full((reg_size, 1), np.nan)
+        mat = np.full((reg_size, len(levels)), np.nan)
+        for i, rl in enumerate(levels):
+            r = rl.r_data
+            means = rl.means
+            if r.strand == "-":
+                means = means[::-1]
+            # clip to region
+            g_start = max(r.start, self.start)
+            g_end = min(r.end, self.end)
+            if g_end <= g_start:
+                continue
+            mat[g_start - self.start:g_end - self.start, i] = \
+                means[g_start - r.start:g_end - r.start]
+        return mat
+
+
+def _safe_load(r_data: ReadData, with_seq: bool) -> Optional[ReadLevels]:
+    try:
+        return load_read_levels(r_data, with_seq)
+    except (OSError, KeyError, TomboTpuError):
+        return None
