@@ -133,6 +133,15 @@ class _StatsFileBase:
         self._fp.close()
 
     # -------------------------------------------------------------- reads
+    def __iter__(self):
+        """Yield (chrm, strand, start, end, block_stats) over all blocks
+        (reference: tombo/tombo_stats.py:2984-3010)."""
+        for (chrm, strand) in sorted(self.blocks_index):
+            for start, block_name in sorted(
+                    self.blocks_index[(chrm, strand)].items()):
+                yield (chrm, strand, start, start + self.region_size,
+                       self.stat_blocks[block_name]["block_stats"][:])
+
     def _get_chrm_name(self, pos_stat):
         return _dec(self.most_signif_chrm_map[pos_stat["chrm"]])
 
