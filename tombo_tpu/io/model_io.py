@@ -160,6 +160,20 @@ class KmerModel:
         model.seq_samp_type = seq_samp_type
         return model
 
+    @classmethod
+    def from_kmer_ref(cls, kmer_ref, central_pos: int,
+                      name: str = STANDARD_MODEL_NAME) -> "KmerModel":
+        """Build from (kmer, mean, sd) tuples
+        (reference: tombo/tombo_stats.py:664-668 kmer_ref branch)."""
+        k = len(kmer_ref[0][0])
+        codes = _kmer_strs_to_codes(
+            np.array([km.encode() for km, _, _ in kmer_ref]), k)
+        means = np.full(4 ** k, np.nan)
+        sds = np.full(4 ** k, np.nan)
+        means[codes] = [m for _, m, _ in kmer_ref]
+        sds[codes] = [s for _, _, s in kmer_ref]
+        return cls(means, sds, central_pos, name)
+
     # ----------------------------------------------------------- transform
     def make_constant_sd(self) -> "KmerModel":
         """Set all SDs to the median SD (reference: tombo_stats.py:597-600;
@@ -246,6 +260,30 @@ class AltModel:
         if fn.endswith(".npz"):
             return cls._load_npz(fn)
         return cls._load_tombo_h5(fn)
+
+    @classmethod
+    def from_kmer_ref(cls, kmer_ref, central_pos: int, alt_base: str,
+                      name: str = "alt",
+                      motif: Optional[TomboMotif] = None) -> "AltModel":
+        """Build from (kmer, pos, level, sd) tuples
+        (reference: tombo/tombo_stats.py:957-976 kmer_ref branch)."""
+        k = len(kmer_ref[0][0])
+        means = np.full((4 ** k, k), np.nan)
+        sds = np.full((4 ** k, k), np.nan)
+        codes = _kmer_strs_to_codes(
+            np.array([km.encode() for km, _, _, _ in kmer_ref]), k)
+        for (km, pos, level, sd), code in zip(kmer_ref, codes):
+            means[code, pos] = level
+            sds[code, pos] = sd
+        return cls(means, sds, central_pos, alt_base, name, motif)
+
+    def make_constant_sd(self) -> "AltModel":
+        """(reference: tombo/tombo_stats.py:_make_constant_sd)."""
+        med = np.nanmedian(self.sds)
+        return AltModel(self.means, np.where(np.isnan(self.sds), np.nan,
+                                             med),
+                        self.central_pos, self.alt_base, self.name,
+                        self.motif)
 
     @classmethod
     def _load_npz(cls, fn: str) -> "AltModel":

@@ -162,10 +162,35 @@ class TomboMotif:
             yield m.start()
 
     def find_mod_poss(self, seq: str) -> List[int]:
-        """0-based positions of the modified base within forward-strand
-        matches of the motif in ``seq``."""
-        return [m.start() + self.mod_pos - 1
-                for m in self.motif_pat.finditer(seq)]
+        """1-based positions of the modified base within forward-strand
+        matches of the motif in ``seq``, including partial matches hanging
+        off either end of the sequence that still place the modified base
+        inside it (reference: tombo/tombo_helper.py:672-707)."""
+        poss = set()
+        L, ml, mp = len(seq), self.motif_len, self.mod_pos
+        if L >= ml:
+            for m in self.motif_pat.finditer(seq):
+                poss.add(m.start() + mp)
+        else:
+            # seq shorter than the motif: slide the motif over the seq
+            for off in range(ml - L + 1):
+                if 1 <= mp - off <= L and re.match(
+                        self._compile(self.raw_motif[off:off + L]).pattern,
+                        seq):
+                    poss.add(mp - off)
+        # motif hanging off the start: its length-sl suffix matches seq[:sl]
+        for sl in range(1, min(L + 1, ml)):
+            off = ml - sl
+            smp = mp - off
+            if 1 <= smp <= sl and re.match(
+                    self._compile(self.raw_motif[off:]).pattern, seq[:sl]):
+                poss.add(smp)
+        # motif hanging off the end: its length-el prefix matches seq[-el:]
+        for el in range(1, min(L + 1, ml)):
+            if mp <= el and re.match(
+                    self._compile(self.raw_motif[:el]).pattern, seq[-el:]):
+                poss.add(L - el + mp)
+        return sorted(poss)
 
     def __repr__(self):
         return "TomboMotif({!r}, mod_pos={})".format(
