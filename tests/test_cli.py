@@ -1,0 +1,138 @@
+"""End-to-end CLI workflow: resquiggle -> detect -> output -> models."""
+import os
+
+import numpy as np
+import pytest
+
+from tombo_tpu.cli.main import main
+from tombo_tpu.testing import make_synthetic_dataset
+
+
+@pytest.fixture(scope="module")
+def ds(tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("cli_ds"))
+    fasta, reads, fast5_dir = make_synthetic_dataset(
+        tmp, n_reads=14, seed=9, read_len=400, ref_len=2500)
+    return tmp, os.path.join(tmp, "reference.fasta"), fast5_dir
+
+
+def test_cli_full_workflow(ds, capsys):
+    tmp, ref_fn, fast5_dir = ds
+
+    # resquiggle
+    assert main(["resquiggle", fast5_dir, ref_fn, "--overwrite",
+                 "--dna", "--processes", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "succeeded" in out
+
+    # de novo detection with per-read stats
+    stats_bn = os.path.join(tmp, "cli_test")
+    assert main(["detect_modifications", "de_novo", fast5_dir,
+                 "--statistics-file-basename", stats_bn,
+                 "--per-read-statistics-basename", stats_bn,
+                 "--reference", ref_fn, "--processes", "2"]) == 0
+    assert os.path.exists(stats_bn + ".tombo.stats")
+    assert os.path.exists(stats_bn + ".tombo.per_read_stats")
+
+    # aggregate per-read stats
+    agg_bn = os.path.join(tmp, "cli_agg")
+    assert main(["detect_modifications", "aggregate_per_read_stats",
+                 "--per-read-statistics-filename",
+                 stats_bn + ".tombo.per_read_stats",
+                 "--statistics-file-basename", agg_bn,
+                 "--single-read-threshold", "0.15", "0.5"]) == 0
+    assert os.path.exists(agg_bn + ".tombo.stats")
+
+    # browser files
+    browser_bn = os.path.join(tmp, "browser")
+    assert main(["text_output", "browser_files",
+                 "--fast5-basedirs", fast5_dir,
+                 "--statistics-filename", stats_bn + ".tombo.stats",
+                 "--browser-file-basename", browser_bn,
+                 "--file-types", "coverage", "fraction"]) == 0
+    assert os.path.exists(browser_bn + ".coverage.plus.bedgraph")
+    assert os.path.exists(
+        browser_bn + ".fraction_modified_reads.plus.wig")
+
+    # significant-region FASTA
+    seqs_fn = os.path.join(tmp, "signif.fasta")
+    assert main(["text_output", "signif_sequence_context",
+                 "--statistics-filename", stats_bn + ".tombo.stats",
+                 "--genome-fasta", ref_fn,
+                 "--sequences-filename", seqs_fn]) == 0
+    assert os.path.exists(seqs_fn)
+
+    # filters
+    assert main(["filter", "raw_signal_matching", fast5_dir,
+                 "--signal-matching-score", "100.0", "-q"]) == 0
+    assert main(["filter", "clear_filters", fast5_dir]) == 0
+
+    # model estimation
+    model_fn = os.path.join(tmp, "est.tombo.model")
+    assert main(["build_model", "estimate_reference", fast5_dir,
+                 "--reference", ref_fn,
+                 "--tombo-model-filename", model_fn,
+                 "--upstream-bases", "1", "--downstream-bases", "1",
+                 "--minimum-test-reads", "1",
+                 "--minimum-kmer-observations", "1",
+                 "--multiprocess-region-size", "1000"]) == 0
+    assert os.path.exists(model_fn)
+
+    # estimate_scale
+    assert main(["build_model", "estimate_scale", fast5_dir]) == 0
+    assert "Global scaling estimate" in capsys.readouterr().out
+
+
+def test_cli_version_and_help():
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    with pytest.raises(SystemExit):
+        main(["not_a_command"])
+
+
+def test_preprocess_annotate_fastqs(tmp_path):
+    import h5py
+    from tombo_tpu import config
+    from tombo_tpu.testing import (random_reference, simulate_read,
+                                   write_synthetic_fast5)
+
+    rng = np.random.default_rng(3)
+    fasta = random_reference(rng, 3000)
+    fast5_dir = str(tmp_path / "raw_fast5s")
+    os.makedirs(fast5_dir)
+    fq_fn = str(tmp_path / "reads.fastq")
+    model = None
+    from tombo_tpu.io.model_io import KmerModel
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    with open(fq_fn, "w") as fq:
+        for i in range(5):
+            read = simulate_read(rng, fasta, model, read_len=300,
+                                 read_id="pp_%03d" % i)
+            write_synthetic_fast5(
+                os.path.join(fast5_dir, read.read_id + ".fast5"), read,
+                with_basecalls=False)
+            fq.write("@%s extra meta\n%s\n+\n%s\n" % (
+                read.read_id, read.seq, "5" * len(read.seq)))
+
+    assert main(["preprocess", "annotate_raw_with_fastqs",
+                 "--fast5-basedir", fast5_dir,
+                 "--fastq-filenames", fq_fn]) == 0
+
+    # Fastq slot written and consumable
+    fn = os.path.join(fast5_dir, "pp_000.fast5")
+    with h5py.File(fn) as fp:
+        fq_data = fp["/Analyses/Basecall_1D_000/BaseCalled_template/"
+                     "Fastq"][()]
+        if isinstance(fq_data, bytes):
+            fq_data = fq_data.decode()
+        assert fq_data.startswith("@pp_000")
+
+    # resquiggle now succeeds on the annotated reads
+    fasta_fn = str(tmp_path / "ref.fasta")
+    fasta.write(fasta_fn)
+    assert main(["resquiggle", fast5_dir, fasta_fn, "--overwrite",
+                 "--dna", "-q"]) == 0
+    from tombo_tpu.io.index import ReadsIndex
+    idx = ReadsIndex([fast5_dir])
+    assert sum(len(v) for v in idx.reads_index.values()) == 5

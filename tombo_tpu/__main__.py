@@ -1,0 +1,7 @@
+"""``python -m tombo_tpu`` entry point."""
+import sys
+
+from .cli.main import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,692 @@
+"""``tombo-tpu`` command line interface.
+
+Mirrors the reference's nested command tree
+(reference: tombo/__main__.py:22-147, option surface:
+tombo/_option_parsers.py) with the same command groups and option names a
+reference user expects: resquiggle, preprocess, filter,
+detect_modifications, text_output, build_model and plot.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from .. import config
+from .._version import TOMBO_TPU_VERSION
+from ..errors import TomboTpuError
+
+
+# ------------------------------------------------------------ shared opts
+
+def _add_fast5_opts(p, required=True):
+    p.add_argument("fast5_basedir" if required else "--fast5-basedirs",
+                   nargs="+" if not required else None,
+                   help="Directory containing raw FAST5 files.")
+
+
+def _add_common(p):
+    p.add_argument("--corrected-group",
+                   default=config.DEFAULT_CORRECTED_GROUP,
+                   help="FAST5 group created by resquiggle. Default: "
+                        "%(default)s")
+    p.add_argument("--basecall-subgroups", nargs="+",
+                   default=[config.DEFAULT_BASECALL_SUBGROUP],
+                   help="FAST5 subgroups with basecalls. Default: "
+                        "%(default)s")
+    p.add_argument("--processes", type=int, default=4,
+                   help="Worker threads. Default: %(default)d")
+    p.add_argument("--quiet", "-q", action="store_true")
+
+
+def _reads_index(dirs, args):
+    from ..io.index import ReadsIndex
+    return ReadsIndex(dirs, args.corrected_group,
+                      getattr(args, "basecall_subgroups", None))
+
+
+# ------------------------------------------------------------- resquiggle
+
+def _resquiggle_main(args):
+    import jax.numpy as jnp
+    from ..io import fast5 as f5io
+    from ..io.fasta import Fasta
+    from ..io.model_io import KmerModel
+    from ..pipeline.aligner import ExactAligner, MappyAligner
+    from ..pipeline.runner import RunConfig, resquiggle_all_reads
+    from ..types import SeqSampleType
+
+    # detect sample type from the first read (reference:
+    # tombo/tombo_helper.py:872-965)
+    import h5py
+    samp_type = None
+    if args.rna:
+        samp_type = config.RNA_SAMP_TYPE
+    elif args.dna:
+        samp_type = config.DNA_SAMP_TYPE
+    else:
+        for fn in f5io.iter_fast5_reads(args.fast5_basedir):
+            try:
+                with h5py.File(fn, "r") as fp:
+                    samp_type = (config.RNA_SAMP_TYPE
+                                 if f5io.is_read_rna(fp)
+                                 else config.DNA_SAMP_TYPE)
+                break
+            except (OSError, TomboTpuError):
+                continue
+        if samp_type is None:
+            raise TomboTpuError("No readable FAST5 files found.")
+    sst = SeqSampleType(samp_type, samp_type == config.RNA_SAMP_TYPE)
+
+    if args.tombo_model_filename:
+        std_ref = KmerModel.load(args.tombo_model_filename)
+    else:
+        std_ref = KmerModel.load_default(samp_type)
+    try:
+        aligner = MappyAligner(args.reference)
+    except TomboTpuError:
+        aligner = ExactAligner(Fasta(args.reference))
+
+    params = config.load_resquiggle_parameters(samp_type)
+    if args.signal_align_parameters:
+        sap = args.signal_align_parameters
+        params = params.replace(
+            match_evalue=sap[0], skip_pen=sap[1], bandwidth=int(sap[2]))
+    if args.segmentation_parameters:
+        sp = args.segmentation_parameters
+        params = params.replace(
+            running_stat_width=int(sp[0]), min_obs_per_base=int(sp[1]),
+            mean_obs_per_event=int(sp[3]) if len(sp) > 3 else
+            params.mean_obs_per_event)
+
+    rc = RunConfig(
+        corrected_group=args.corrected_group,
+        basecall_group=args.basecall_group,
+        basecall_subgroups=tuple(args.basecall_subgroups),
+        overwrite=args.overwrite,
+        ignore_read_locks=args.ignore_read_locks,
+        q_score_thresh=args.q_score or 0.0,
+        signal_length_range=tuple(args.signal_length_range)
+        if args.signal_length_range else None,
+        sequence_length_range=tuple(args.sequence_length_range)
+        if args.sequence_length_range else None,
+        sig_match_thresh=args.signal_matching_score,
+        skip_index=args.skip_index,
+        compute_sd=args.include_event_stdev,
+        num_io_threads=args.processes * args.threads_per_process,
+        batch_size=args.batch_size)
+    summary, _ = resquiggle_all_reads(
+        args.fast5_basedir, aligner, std_ref, sst, params, rc)
+    if not args.quiet:
+        print("Re-squiggle complete: %d succeeded, %d failed" %
+              (summary.n_success, summary.n_failed))
+        for mode, cnt in summary.failure_modes.most_common(10):
+            print("  %5d : %s" % (cnt, mode))
+    return 0
+
+
+def _add_resquiggle_parser(subparsers):
+    p = subparsers.add_parser(
+        "resquiggle", help="Re-annotate raw signal with genomic alignment "
+        "from existing basecalls.")
+    p.add_argument("fast5_basedir",
+                   help="Directory containing raw FAST5 files.")
+    p.add_argument("reference",
+                   help="Reference genome/transcriptome FASTA.")
+    p.add_argument("--basecall-group",
+                   default=config.DEFAULT_BASECALL_GROUP)
+    p.add_argument("--dna", action="store_true",
+                   help="Force DNA sample type.")
+    p.add_argument("--rna", action="store_true",
+                   help="Force RNA sample type.")
+    p.add_argument("--tombo-model-filename")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--ignore-read-locks", action="store_true")
+    p.add_argument("--q-score", type=float)
+    p.add_argument("--signal-matching-score", type=float)
+    p.add_argument("--signal-length-range", type=int, nargs=2)
+    p.add_argument("--sequence-length-range", type=int, nargs=2)
+    p.add_argument("--signal-align-parameters", type=float, nargs="+")
+    p.add_argument("--segmentation-parameters", type=int, nargs="+")
+    p.add_argument("--include-event-stdev", action="store_true")
+    p.add_argument("--skip-index", action="store_true")
+    p.add_argument("--threads-per-process", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=64)
+    _add_common(p)
+    p.set_defaults(func=_resquiggle_main)
+
+
+# ------------------------------------------------------------- preprocess
+
+def _annotate_fastqs_main(args):
+    from ..preprocess import annotate_reads_with_fastq
+    total_ann = total_miss = 0
+    for fast5s_dir in args.fast5_basedir:
+        n_ann, n_miss = annotate_reads_with_fastq(
+            fast5s_dir, args.fastq_filenames,
+            args.sequencing_summary_filenames,
+            args.basecall_group, args.basecall_subgroup,
+            args.overwrite, args.processes)
+        total_ann += n_ann
+        total_miss += n_miss
+    if not args.quiet:
+        print("Annotated %d reads (%d FASTQ records unmatched)" %
+              (total_ann, total_miss))
+    return 0
+
+
+def _add_preprocess_parsers(subparsers):
+    grp = subparsers.add_parser(
+        "preprocess", help="Pre-process nanopore reads for processing.")
+    sub = grp.add_subparsers(dest="subcommand", required=True)
+    p = sub.add_parser("annotate_raw_with_fastqs",
+                       help="Add basecalled sequence from FASTQs to raw "
+                            "FAST5s.")
+    p.add_argument("--fast5-basedir", dest="fast5_basedir", nargs="+",
+                   required=True)
+    p.add_argument("--fastq-filenames", nargs="+", required=True)
+    p.add_argument("--sequencing-summary-filenames", nargs="+")
+    p.add_argument("--basecall-group", default="Basecall_1D_000")
+    p.add_argument("--basecall-subgroup", default="BaseCalled_template")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--processes", type=int, default=4)
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.set_defaults(func=_annotate_fastqs_main)
+
+
+# ----------------------------------------------------------------- filter
+
+def _add_filter_parsers(subparsers):
+    from .. import filters as filt
+
+    grp = subparsers.add_parser(
+        "filter", help="Apply filter to Tombo index file.")
+    sub = grp.add_subparsers(dest="subcommand", required=True)
+
+    def add(name, help_text, fn, extra=None):
+        p = sub.add_parser(name, help=help_text)
+        p.add_argument("fast5_basedirs", nargs="+")
+        _add_common(p)
+        if extra:
+            extra(p)
+        p.set_defaults(func=fn)
+        return p
+
+    def _clear(args):
+        for d in args.fast5_basedirs:
+            filt.clear_filters(d, args.corrected_group)
+        return 0
+    add("clear_filters", "Clear filters.", _clear)
+
+    def _gloc(args):
+        regs = filt.parse_genome_regions(args.include_regions)
+        for d in args.fast5_basedirs:
+            filt.filter_reads_for_genome_pos(
+                d, args.corrected_group, regs, args.include_partial_overlap,
+                args.quiet)
+        return 0
+    add("genome_locations", "Filter reads by mapping location.", _gloc,
+        lambda p: (p.add_argument("--include-regions", nargs="+",
+                                  required=True),
+                   p.add_argument("--include-partial-overlap",
+                                  action="store_true")))
+
+    def _sigmatch(args):
+        for d in args.fast5_basedirs:
+            filt.filter_reads_for_signal_matching(
+                d, args.corrected_group, args.signal_matching_score,
+                args.quiet)
+        return 0
+    add("raw_signal_matching", "Filter by signal matching score.",
+        _sigmatch,
+        lambda p: p.add_argument("--signal-matching-score", type=float,
+                                 required=True))
+
+    def _qscore(args):
+        for d in args.fast5_basedirs:
+            filt.filter_reads_for_qscore(
+                d, args.basecall_group, args.corrected_group,
+                args.q_score, args.quiet)
+        return 0
+    add("q_score", "Filter by mean q-score.", _qscore,
+        lambda p: (p.add_argument("--q-score", type=float, required=True),
+                   p.add_argument("--basecall-group",
+                                  default=config.DEFAULT_BASECALL_GROUP)))
+
+    def _cov(args):
+        for d in args.fast5_basedirs:
+            filt.filter_reads_for_coverage(
+                d, args.corrected_group, args.percent_to_filter / 100.0,
+                args.quiet)
+        return 0
+    add("level_coverage", "Filter reads for more even coverage.", _cov,
+        lambda p: p.add_argument("--percent-to-filter", type=float,
+                                 default=10.0))
+
+    def _stuck(args):
+        obs = filt.parse_obs_filter(args.obs_per_base_filter)
+        for d in args.fast5_basedirs:
+            filt.filter_reads_for_stuck(d, args.corrected_group, obs,
+                                        args.quiet)
+        return 0
+    add("stuck", 'Filter reads with more "stuck" bases.', _stuck,
+        lambda p: p.add_argument("--obs-per-base-filter", nargs="+",
+                                 required=True,
+                                 help="pctl:thresh pairs, e.g. 99:200"))
+
+
+# ------------------------------------------------- detect_modifications
+
+def _add_detect_parsers(subparsers):
+    from ..stats import detect as dt
+    from ..stats import aggregate as agg
+    from ..stats.files import (ALT_MODEL_TXT, DE_NOVO_TXT, SAMP_COMP_TXT)
+
+    grp = subparsers.add_parser(
+        "detect_modifications",
+        help="Statistical testing for non-standard nucleotides.")
+    sub = grp.add_subparsers(dest="subcommand", required=True)
+
+    def common_test_opts(p, need_ref=True):
+        p.add_argument("fast5_basedirs", nargs="+")
+        p.add_argument("--statistics-file-basename", required=True)
+        p.add_argument("--per-read-statistics-basename")
+        if need_ref:
+            p.add_argument("--reference", required=True,
+                           help="Reference FASTA (for expected levels)")
+        p.add_argument("--tombo-model-filename")
+        p.add_argument("--fishers-method-context", type=int,
+                       default=config.FM_OFFSET_DEFAULT)
+        p.add_argument("--minimum-test-reads", type=int, default=1)
+        p.add_argument("--single-read-threshold", type=float, nargs="+")
+        p.add_argument("--multiprocess-region-size", type=int,
+                       default=config.DEFAULT_REGION_SIZE)
+        p.add_argument("--num-most-significant-stored", type=int,
+                       default=100000)
+        p.add_argument("--dna", action="store_true")
+        p.add_argument("--rna", action="store_true")
+        _add_common(p)
+
+    def setup(args, stat_type, thresh_table):
+        from ..io.fasta import Fasta
+        from ..io.model_io import KmerModel
+        samp_type = (config.RNA_SAMP_TYPE if args.rna
+                     else config.DNA_SAMP_TYPE)
+        if args.tombo_model_filename:
+            std_ref = KmerModel.load(args.tombo_model_filename)
+        else:
+            std_ref = KmerModel.load_default(samp_type)
+        if args.single_read_threshold:
+            if len(args.single_read_threshold) == 1:
+                lower, upper = None, args.single_read_threshold[0]
+            else:
+                lower, upper = args.single_read_threshold[:2]
+        else:
+            lower, upper = thresh_table[samp_type]
+        fasta = (Fasta(args.reference)
+                 if getattr(args, "reference", None) else None)
+        params = dt.TestParams(
+            stat_type=stat_type, fm_offset=args.fishers_method_context,
+            min_test_reads=args.minimum_test_reads,
+            single_read_thresh=upper, lower_thresh=lower,
+            region_size=args.multiprocess_region_size,
+            num_most_signif=args.num_most_significant_stored)
+        return std_ref, fasta, params
+
+    def stats_fn_of(args):
+        bn = args.statistics_file_basename
+        return bn if bn.endswith(".tombo.stats") else bn + ".tombo.stats"
+
+    def pr_fn_of(args):
+        bn = args.per_read_statistics_basename
+        if bn is None:
+            return None
+        return (bn if bn.endswith(".tombo.per_read_stats")
+                else bn + ".tombo.per_read_stats")
+
+    def _de_novo(args):
+        std_ref, fasta, params = setup(args, DE_NOVO_TXT,
+                                       config.DE_NOVO_THRESH)
+        idx = _reads_index(args.fast5_basedirs, args)
+        dt.test_significance(
+            idx, params, stats_fn_of(args), fasta=fasta, std_ref=std_ref,
+            per_read_bn=pr_fn_of(args), num_processes=args.processes)
+        return 0
+    p = sub.add_parser("de_novo", help="Test against a canonical model.")
+    common_test_opts(p)
+    p.set_defaults(func=_de_novo)
+
+    def _alt(args):
+        from ..io.model_io import load_alt_refs
+        std_ref, fasta, params = setup(args, ALT_MODEL_TXT,
+                                       config.LLR_THRESH)
+        samp_type = (config.RNA_SAMP_TYPE if args.rna
+                     else config.DNA_SAMP_TYPE)
+        alt_refs = load_alt_refs(args.alternate_bases, samp_type,
+                                 args.alternate_model_filenames)
+        if not alt_refs:
+            raise TomboTpuError("No alternative models successfully "
+                                "loaded.")
+        params.use_standard_llhr = args.standard_log_likelihood_ratio
+        idx = _reads_index(args.fast5_basedirs, args)
+        dt.test_significance(
+            idx, params, stats_fn_of(args), fasta=fasta, std_ref=std_ref,
+            alt_refs=alt_refs, per_read_bn=pr_fn_of(args),
+            num_processes=args.processes)
+        return 0
+    p = sub.add_parser("alternative_model",
+                       help="Test against known non-canonical base "
+                            "models.")
+    common_test_opts(p)
+    p.add_argument("--alternate-bases", nargs="+", default=[])
+    p.add_argument("--alternate-model-filenames", nargs="+")
+    p.add_argument("--standard-log-likelihood-ratio", action="store_true")
+    p.set_defaults(func=_alt)
+
+    def _samp_comp(args):
+        std_ref, fasta, params = setup(args, SAMP_COMP_TXT,
+                                       config.SAMP_COMP_THRESH)
+        if not args.sample_only_estimates:
+            params.prior_weights = (config.MEAN_PRIOR_CONST,
+                                    config.SD_PRIOR_CONST)
+        idx = _reads_index(args.fast5_basedirs, args)
+        ctrl = _reads_index(args.control_fast5_basedirs, args)
+        dt.test_significance(
+            idx, params, stats_fn_of(args), fasta=fasta,
+            std_ref=None if args.sample_only_estimates else std_ref,
+            ctrl_reads_index=ctrl, per_read_bn=pr_fn_of(args),
+            num_processes=args.processes)
+        return 0
+    p = sub.add_parser("model_sample_compare",
+                       help="Test against levels estimated from a "
+                            "control sample.")
+    common_test_opts(p)
+    p.add_argument("--control-fast5-basedirs", nargs="+", required=True)
+    p.add_argument("--sample-only-estimates", action="store_true")
+    p.set_defaults(func=_samp_comp)
+
+    def _level_comp(args):
+        params = dt.TestParams(
+            stat_type=args.statistic_type +
+            ("_stat" if args.store_statistic else ""),
+            fm_offset=args.fishers_method_context,
+            min_test_reads=args.minimum_test_reads,
+            region_size=args.multiprocess_region_size,
+            num_most_signif=args.num_most_significant_stored)
+        idx = _reads_index(args.fast5_basedirs, args)
+        ctrl = _reads_index(args.control_fast5_basedirs, args)
+        dt.test_significance(
+            idx, params, stats_fn_of(args), ctrl_reads_index=ctrl,
+            num_processes=args.processes)
+        return 0
+    p = sub.add_parser("level_sample_compare",
+                       help="Group level tests against a control sample.")
+    p.add_argument("fast5_basedirs", nargs="+")
+    p.add_argument("--control-fast5-basedirs", nargs="+", required=True)
+    p.add_argument("--statistics-file-basename", required=True)
+    p.add_argument("--statistic-type", default="ks",
+                   choices=["ks", "u", "t"])
+    p.add_argument("--store-statistic", action="store_true")
+    p.add_argument("--fishers-method-context", type=int, default=1)
+    p.add_argument("--minimum-test-reads", type=int, default=50)
+    p.add_argument("--multiprocess-region-size", type=int,
+                   default=config.DEFAULT_REGION_SIZE)
+    p.add_argument("--num-most-significant-stored", type=int,
+                   default=100000)
+    _add_common(p)
+    p.set_defaults(func=_level_comp)
+
+    def _aggregate(args):
+        if len(args.single_read_threshold) == 1:
+            lower, upper = None, args.single_read_threshold[0]
+        else:
+            lower, upper = args.single_read_threshold[:2]
+        agg.aggregate_per_read_stats(
+            args.per_read_statistics_filename,
+            args.statistics_file_basename + ".tombo.stats", upper, lower,
+            min_test_reads=args.minimum_test_reads,
+            num_most_signif=args.num_most_significant_stored)
+        return 0
+    p = sub.add_parser("aggregate_per_read_stats",
+                       help="Aggregate per-read statistics.")
+    p.add_argument("--per-read-statistics-filename", required=True)
+    p.add_argument("--statistics-file-basename", required=True)
+    p.add_argument("--single-read-threshold", type=float, nargs="+",
+                   required=True)
+    p.add_argument("--minimum-test-reads", type=int, default=1)
+    p.add_argument("--num-most-significant-stored", type=int,
+                   default=100000)
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.set_defaults(func=_aggregate)
+
+
+# ------------------------------------------------------------ text_output
+
+def _add_text_output_parsers(subparsers):
+    from ..output import text as txt
+
+    grp = subparsers.add_parser(
+        "text_output", help="Output results in text files.")
+    sub = grp.add_subparsers(dest="subcommand", required=True)
+
+    def _browser(args):
+        from ..io.fasta import Fasta
+        idx = (_reads_index(args.fast5_basedirs, args)
+               if args.fast5_basedirs else None)
+        ctrl = (_reads_index(args.control_fast5_basedirs, args)
+                if args.control_fast5_basedirs else None)
+        fasta = Fasta(args.genome_fasta) if args.genome_fasta else None
+        txt.write_all_browser_files(
+            idx, ctrl, args.statistics_filename, args.browser_file_basename,
+            args.file_types, args.motif_descriptions, fasta)
+        return 0
+    p = sub.add_parser("browser_files",
+                       help="Write wiggle/bedGraph browser files.")
+    p.add_argument("--fast5-basedirs", nargs="+")
+    p.add_argument("--control-fast5-basedirs", nargs="+")
+    p.add_argument("--statistics-filename")
+    p.add_argument("--browser-file-basename", default="tombo_results")
+    p.add_argument("--file-types", nargs="+", default=["coverage"],
+                   choices=list(txt.ALL_WIG_TYPES))
+    p.add_argument("--motif-descriptions", nargs="+")
+    p.add_argument("--genome-fasta")
+    _add_common(p)
+    p.set_defaults(func=_browser)
+
+    def _signif_seq(args):
+        from ..io.fasta import Fasta
+        txt.write_most_signif(
+            args.statistics_filename, args.sequences_filename,
+            args.num_regions, args.num_bases, Fasta(args.genome_fasta))
+        return 0
+    p = sub.add_parser("signif_sequence_context",
+                       help="FASTA around most modified sites.")
+    p.add_argument("--statistics-filename", required=True)
+    p.add_argument("--genome-fasta", required=True)
+    p.add_argument("--sequences-filename",
+                   default="tombo_results.significant_regions.fasta")
+    p.add_argument("--num-regions", type=int, default=100)
+    p.add_argument("--num-bases", type=int, default=21)
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.set_defaults(func=_signif_seq)
+
+
+# ------------------------------------------------------------ build_model
+
+def _add_build_model_parsers(subparsers):
+    grp = subparsers.add_parser(
+        "build_model", help="Create canonical and alternative models.")
+    sub = grp.add_subparsers(dest="subcommand", required=True)
+
+    def _est_ref(args):
+        from ..io.fasta import Fasta
+        from ..stats import estimate as est
+        idx = _reads_index(args.fast5_basedirs, args)
+        model = est.estimate_kmer_model(
+            idx, Fasta(args.reference), args.minimum_test_reads,
+            args.upstream_bases, args.downstream_bases,
+            args.minimum_kmer_observations, args.kmer_specific_sd,
+            args.coverage_threshold, args.estimate_mean,
+            args.multiprocess_region_size, args.processes)
+        model.write_model(args.tombo_model_filename)
+        return 0
+    p = sub.add_parser("estimate_reference",
+                       help="Estimate canonical k-mer model.")
+    p.add_argument("fast5_basedirs", nargs="+")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--tombo-model-filename", required=True)
+    p.add_argument("--estimate-mean", action="store_true")
+    p.add_argument("--kmer-specific-sd", action="store_true")
+    p.add_argument("--upstream-bases", type=int, default=1)
+    p.add_argument("--downstream-bases", type=int, default=2)
+    p.add_argument("--minimum-test-reads", type=int, default=10)
+    p.add_argument("--minimum-kmer-observations", type=int, default=5)
+    p.add_argument("--coverage-threshold", type=int)
+    p.add_argument("--multiprocess-region-size", type=int,
+                   default=config.DEFAULT_REGION_SIZE)
+    _add_common(p)
+    p.set_defaults(func=_est_ref)
+
+    def _est_alt(args):
+        from ..io.model_io import KmerModel
+        from ..stats import estimate as est
+        samp_type = (config.RNA_SAMP_TYPE if args.rna
+                     else config.DNA_SAMP_TYPE)
+        std_ref = (KmerModel.load(args.tombo_model_filename)
+                   if args.tombo_model_filename
+                   else KmerModel.load_default(samp_type))
+        idx = (_reads_index(args.fast5_basedirs, args)
+               if args.fast5_basedirs else None)
+        ctrl = (_reads_index(args.control_fast5_basedirs, args)
+                if args.control_fast5_basedirs else None)
+        alt = est.estimate_alt_model(
+            idx, ctrl, std_ref, args.alternate_model_base,
+            args.alt_fraction_percentile, args.minimum_kmer_observations,
+            args.save_density_basename, args.kernel_density_bandwidth,
+            args.alternate_density_filename,
+            args.control_density_filename)
+        alt.name = args.alternate_model_name
+        alt.write_model(args.alternate_model_filename)
+        return 0
+    p = sub.add_parser("estimate_alt_reference",
+                       help="Estimate alternative-base model (KDE).")
+    p.add_argument("--fast5-basedirs", nargs="+")
+    p.add_argument("--control-fast5-basedirs", nargs="+")
+    p.add_argument("--alternate-model-filename", required=True)
+    p.add_argument("--alternate-model-name", required=True)
+    p.add_argument("--alternate-model-base", required=True,
+                   choices=["A", "C", "G", "T"])
+    p.add_argument("--tombo-model-filename")
+    p.add_argument("--dna", action="store_true")
+    p.add_argument("--rna", action="store_true")
+    p.add_argument("--alt-fraction-percentile", type=float, default=5)
+    p.add_argument("--minimum-kmer-observations", type=int, default=1000)
+    p.add_argument("--save-density-basename")
+    p.add_argument("--alternate-density-filename")
+    p.add_argument("--control-density-filename")
+    p.add_argument("--kernel-density-bandwidth", type=float, default=0.05)
+    _add_common(p)
+    p.set_defaults(func=_est_alt)
+
+    def _est_motif_alt(args):
+        from ..io.fasta import Fasta
+        from ..stats import estimate as est
+        idx = _reads_index(args.fast5_basedirs, args)
+        alt = est.estimate_motif_alt_model(
+            idx, Fasta(args.reference), args.motif_description,
+            args.upstream_bases, args.downstream_bases,
+            args.minimum_kmer_observations, args.minimum_test_reads,
+            args.coverage_threshold,
+            region_size=args.multiprocess_region_size,
+            num_processes=args.processes)
+        alt.name = args.alternate_model_name
+        alt.write_model(args.alternate_model_filename)
+        return 0
+    p = sub.add_parser("estimate_motif_alt_reference",
+                       help="Estimate motif-centered alternative model.")
+    p.add_argument("fast5_basedirs", nargs="+")
+    p.add_argument("--reference", required=True)
+    p.add_argument("--alternate-model-filename", required=True)
+    p.add_argument("--alternate-model-name", required=True)
+    p.add_argument("--motif-description", required=True,
+                   help="motif:mod_pos (e.g. CCWGG:2)")
+    p.add_argument("--upstream-bases", type=int, default=1)
+    p.add_argument("--downstream-bases", type=int, default=1)
+    p.add_argument("--minimum-kmer-observations", type=int, default=5)
+    p.add_argument("--minimum-test-reads", type=int, default=10)
+    p.add_argument("--coverage-threshold", type=int)
+    p.add_argument("--multiprocess-region-size", type=int,
+                   default=config.DEFAULT_REGION_SIZE)
+    _add_common(p)
+    p.set_defaults(func=_est_motif_alt)
+
+    def _est_scale(args):
+        from ..io import fast5 as f5io
+        import h5py
+        fns = list(f5io.iter_fast5_reads(args.fast5_basedir))
+        np.random.default_rng(0).shuffle(fns)
+        mads = []
+        for fn in fns:
+            try:
+                with h5py.File(fn, "r") as fp:
+                    sig = f5io.get_raw_signal(fp)
+                mads.append(np.median(np.abs(sig - np.median(sig))))
+            except (OSError, TomboTpuError):
+                continue
+            if len(mads) >= args.num_reads:
+                break
+        if not mads:
+            raise TomboTpuError(
+                "No reads contain raw signal for global scale parameter "
+                "estimation.")
+        print("Global scaling estimate: %f" % np.mean(mads))
+        return 0
+    p = sub.add_parser("estimate_scale",
+                       help="Estimate global scale from reads.")
+    p.add_argument("fast5_basedir")
+    p.add_argument("--num-reads", type=int, default=500)
+    p.add_argument("--quiet", "-q", action="store_true")
+    p.set_defaults(func=_est_scale)
+
+
+# ------------------------------------------------------------------- plot
+
+def _add_plot_parsers(subparsers):
+    try:
+        from ..plot import add_plot_parsers
+    except ImportError:
+        return
+    add_plot_parsers(subparsers)
+
+
+# ------------------------------------------------------------------- main
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tombo-tpu",
+        description="tombo-tpu: TPU-native nanopore raw-signal "
+                    "modified-base analysis.")
+    parser.add_argument("-v", "--version", action="version",
+                        version="tombo-tpu " + TOMBO_TPU_VERSION)
+    subparsers = parser.add_subparsers(dest="command", required=True)
+    _add_resquiggle_parser(subparsers)
+    _add_preprocess_parsers(subparsers)
+    _add_filter_parsers(subparsers)
+    _add_detect_parsers(subparsers)
+    _add_text_output_parsers(subparsers)
+    _add_build_model_parsers(subparsers)
+    _add_plot_parsers(subparsers)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.func(args)
+    except TomboTpuError as e:
+        print("******** ERROR ********\n\t" + str(e), file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
