@@ -63,12 +63,14 @@ def main():
     br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
                             dtype=jnp.float32)
 
-    # warmup / compile (two batches so the rescale-iteration and
-    # save-bandwidth retry lanes hit their compiled shapes too)
+    # warmup / compile: run every timed batch once first so all shape
+    # variants (rescale-iteration subsets, save-bandwidth retry lanes)
+    # are compiled before the timed steady-state pass
     warm = br.resquiggle_batch(map_results[:BATCH_SIZE])
     n_ok = sum(1 for r, e in warm if r is not None)
     assert n_ok >= BATCH_SIZE * 0.9, "too many warmup failures: %d" % n_ok
-    br.resquiggle_batch(map_results[:BATCH_SIZE])
+    for b in range(1, N_BATCHES + 1):
+        br.resquiggle_batch(map_results[b * BATCH_SIZE:(b + 1) * BATCH_SIZE])
 
     t0 = time.perf_counter()
     total = 0

@@ -188,16 +188,42 @@ def _gather_clip_rows(em, rows, clips, out_width: int):
     return jax.vmap(one)(em_pad, clips.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("sp",))
-def _stage_start_dp(em, rows, rm, rs, sp: dpo.StartDpParams):
-    """Start discovery on device rows of the stage-1 event means, plus the
-    device-side validity score (reference: tombo/tombo_stats.py:2341-2362
-    ``score_valid_bases``): mean half z-score over non-duplicated bases of
-    the start traceback."""
-    need = sp.num_bases + sp.num_events
-    em_rows = em[rows][:, :need]
-    segs, top, final_score = dpo.start_band_dp(em_rows, rm, rs, sp)
-    # per-base means between traceback boundaries + validity
+def _start_dp_pallas(em_rows, rm, rs, sp: dpo.StartDpParams):
+    """Start-discovery DP via the fused Pallas kernel: the static band
+    moving one event per base is the adaptive kernel's prefix phase with
+    ``starts = arange`` covering every row and no masking."""
+    from ..ops import pallas_dp as pdp
+    B = em_rows.shape[0]
+    nb, ne = sp.num_bases, sp.num_events
+    need = nb + ne
+    dpp = dpo.DpParams(
+        z_shift=sp.z_shift, skip_pen=sp.skip_pen, stay_pen=sp.stay_pen,
+        mask_fill_z_score=0.0, max_half_z_score=sp.max_half_z_score,
+        bandwidth=ne)
+    pstarts = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :],
+                               (B, nb))
+    col0 = jnp.zeros((B,), jnp.int32)
+    r_blk = 8
+    while r_blk > 1 and r_blk * nb * _round_up(ne, 128) * 4 > 12 * 2 ** 20:
+        r_blk //= 2
+    segs, _band_err, _bound_err, _ffwd = pdp.adaptive_banded_dp_tb(
+        em_rows, jnp.full((B,), need, jnp.int32), rm, rs,
+        jnp.full((B,), nb, jnp.int32), pstarts, col0,
+        jnp.full((B, nb), 2 ** 31 - 1, jnp.int32),
+        jnp.full((B,), nb, jnp.int32), dpp, nb, nb, -1,
+        block_reads=r_blk)
+    return segs
+
+
+def _start_dp_with_score(em_rows, rm, rs, sp: dpo.StartDpParams,
+                         use_pallas: bool):
+    """Start DP + device-side validity score
+    (reference: tombo/tombo_stats.py:2341-2362 ``score_valid_bases``):
+    mean half z-score over non-duplicated bases of the start traceback."""
+    if use_pallas:
+        segs = _start_dp_pallas(em_rows, rm, rs, sp)
+    else:
+        segs, top, final_score = dpo.start_band_dp(em_rows, rm, rs, sp)
     B = em_rows.shape[0]
     cs = jnp.concatenate(
         [jnp.zeros((B, 1), em_rows.dtype), jnp.cumsum(em_rows, axis=1)],
@@ -218,6 +244,39 @@ def _stage_start_dp(em, rows, rm, rs, sp: dpo.StartDpParams):
         jnp.sum(jnp.where(valid, half_z, 0.0), axis=1) /
         jnp.maximum(n_valid, 1), jnp.inf)
     return segs, score, n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("sp", "use_pallas"))
+def _stage_start_dp(em, rows, rm, rs, sp: dpo.StartDpParams,
+                    use_pallas: bool = False):
+    need = sp.num_bases + sp.num_events
+    em_p = em[rows]
+    if em_p.shape[1] < need:
+        em_p = jnp.pad(em_p, ((0, 0), (0, need - em_p.shape[1])))
+    return _start_dp_with_score(em_p[:, :need], rm, rs, sp, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "outlier_thresh", "w", "min_base_obs", "max_cpts", "sp", "use_pallas"))
+def _stage_a_dna(raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower,
+                 sv_upper, num_cpts, rm_start, rs_start,
+                 outlier_thresh: float, w: int, min_base_obs: int,
+                 max_cpts: int, sp: dpo.StartDpParams, use_pallas: bool):
+    """DNA stages 1-3 in ONE device call: normalize -> scores -> greedy
+    selection -> event means -> start-discovery DP + validity score.
+    One host round trip instead of two; everything large stays on
+    device."""
+    norm, em, cpts, status, shift, scale, lower, upper = _stage1_dna(
+        raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower, sv_upper,
+        num_cpts, outlier_thresh, w, min_base_obs, max_cpts)
+    need = sp.num_bases + sp.num_events
+    em_p = em
+    if em_p.shape[1] < need:
+        em_p = jnp.pad(em_p, ((0, 0), (0, need - em_p.shape[1])))
+    start_segs, start_score, _ = _start_dp_with_score(
+        em_p[:, :need], rm_start, rs_start, sp, use_pallas)
+    return (norm, em, cpts, status, shift, scale, lower, upper,
+            start_segs, start_score)
 
 
 class BatchedResquiggler:
@@ -306,13 +365,17 @@ class BatchedResquiggler:
             em_j = jnp.asarray(_pad_rows(
                 em_pad.astype(self.dtype), B_pad))
         else:
-            # DNA: the whole stage runs in one fused device call; only the
-            # changepoints and scale scalars come back to the host
+            # DNA: stages 1-3 (normalize -> select -> event means -> start
+            # DP + validity score) run in one fused device call; only the
+            # changepoints, scale scalars and start results come back
             has_sv = np.array(
                 [s.map_res.scale_values is not None for s in live])
             sv_shift = np.zeros(B); sv_scale = np.ones(B)
             sv_lower = np.full(B, -nrm.POS_LARGE)
             sv_upper = np.full(B, nrm.POS_LARGE)
+            nb = p.start_n_bases
+            rm_start = np.ones((B, nb))
+            rs_start = np.ones((B, nb))
             for i, s in enumerate(live):
                 sv = s.map_res.scale_values
                 if sv is not None:
@@ -321,17 +384,31 @@ class BatchedResquiggler:
                         sv_lower[i] = sv.lower_lim
                     if sv.upper_lim is not None:
                         sv_upper[i] = sv.upper_lim
-            (norm_j, em_j, cpts_j, status_j, shift, scale, lower, upper) = \
-                _stage1_dna(
-                    raw_j, lens_j, jnp.asarray(_pad_rows(has_sv, B_pad)),
-                    jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
-                    jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
-                    jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
-                    jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
-                    ncpts_j, float(self.outlier_thresh), w,
-                    p.min_obs_per_base, max_cpts)
-            (cpts_np, status, shift, scale, lower, upper) = _fetch(
-                cpts_j, status_j, shift, scale, lower, upper)
+                if s.ref_means is not None and \
+                        s.ref_means.shape[0] >= nb:
+                    rm_start[i] = s.ref_means[:nb]
+                    rs_start[i] = s.ref_sds[:nb]
+            sp = dpo.StartDpParams(
+                z_shift=p.z_shift, skip_pen=p.skip_pen,
+                stay_pen=p.stay_pen,
+                max_half_z_score=p.max_half_z_score or -1.0,
+                num_bases=nb, num_events=p.start_bw)
+            (norm_j, em_j, cpts_j, status_j, shift, scale, lower, upper,
+             start_segs_j, start_score_j) = _stage_a_dna(
+                raw_j, lens_j, jnp.asarray(_pad_rows(has_sv, B_pad)),
+                jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
+                ncpts_j,
+                jnp.asarray(_pad_rows(rm_start.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(rs_start.astype(self.dtype), B_pad)),
+                float(self.outlier_thresh), w, p.min_obs_per_base,
+                max_cpts, sp, _use_pallas())
+            (cpts_np, status, shift, scale, lower, upper, start_segs,
+             start_score) = _fetch(
+                cpts_j, status_j, shift, scale, lower, upper,
+                start_segs_j, start_score_j)
             cpts_np = cpts_np.astype(np.int64)[:B]
             status = status[:B]
             shift = shift[:B]; scale = scale[:B]
@@ -350,6 +427,9 @@ class BatchedResquiggler:
                     float(upper[i]),
                     prev_sv.outlier_thresh if prev_sv is not None
                     else self.outlier_thresh)
+            return {"em": em_j,
+                    "start": (start_segs.astype(np.int64)[:B],
+                              start_score.astype(np.float64)[:B])}
         return {"em": em_j}
 
     def _plan_reads(self, states: List[_ReadState]):
@@ -377,12 +457,15 @@ class BatchedResquiggler:
                 s.use_static = True
 
     def _start_discovery(self, states: List[_ReadState], ctx,
-                         start_bw: int, check_score: bool):
+                         start_bw: int, check_score: bool,
+                         precomputed=None):
         """Batched static-band start discovery + validity score (device).
 
         Event means never leave the device: the stage-1 rows are gathered
         on-chip, and the reference's host-side ``score_valid_bases`` check
-        is folded into the same jitted call."""
+        is folded into the same jitted call.  When the fused stage-A call
+        already produced start results (``precomputed``), no further
+        device round trip happens here."""
         p = self.params
         live = [s for s in states if s.error is None and not s.use_static]
         if not live:
@@ -390,31 +473,37 @@ class BatchedResquiggler:
         nb = p.start_n_bases
         ne = start_bw
         need = nb + ne
-        if ctx["em"].shape[1] < need:
-            # every live read has >= need events (else use_static), but the
-            # batch-wide padded width can still be smaller
-            for s in live:
-                s.use_static = True
-            return []
-        B = len(live)
-        B_pad = _pow2_bucket(B, 8)
-        rows = np.array([s.dev_row for s in live], np.int32)
-        rm_pad = np.ones((B, nb), np.float64)
-        rs_pad = np.ones((B, nb), np.float64)
-        for i, s in enumerate(live):
-            rm_pad[i] = s.ref_means[:nb]
-            rs_pad[i] = s.ref_sds[:nb]
-        sp = dpo.StartDpParams(
-            z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
-            max_half_z_score=p.max_half_z_score or -1.0,
-            num_bases=nb, num_events=ne)
-        segs, score, n_valid = _stage_start_dp(
-            ctx["em"], jnp.asarray(_pad_rows(rows, B_pad)),
-            jnp.asarray(_pad_rows(rm_pad.astype(self.dtype), B_pad)),
-            jnp.asarray(_pad_rows(rs_pad.astype(self.dtype), B_pad)), sp)
-        segs, score = _fetch(segs, score)
-        segs = segs.astype(np.int64)[:B]
-        score = score.astype(np.float64)[:B]
+        if precomputed is not None:
+            rows = [s.dev_row for s in live]
+            segs = precomputed[0][rows]
+            score = precomputed[1][rows]
+        else:
+            if ctx["em"].shape[1] < need:
+                # every live read has >= need events (else use_static), but
+                # the batch-wide padded width can still be smaller
+                for s in live:
+                    s.use_static = True
+                return []
+            B = len(live)
+            B_pad = _pow2_bucket(B, 8)
+            rows = np.array([s.dev_row for s in live], np.int32)
+            rm_pad = np.ones((B, nb), np.float64)
+            rs_pad = np.ones((B, nb), np.float64)
+            for i, s in enumerate(live):
+                rm_pad[i] = s.ref_means[:nb]
+                rs_pad[i] = s.ref_sds[:nb]
+            sp = dpo.StartDpParams(
+                z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
+                max_half_z_score=p.max_half_z_score or -1.0,
+                num_bases=nb, num_events=ne)
+            segs, score, n_valid = _stage_start_dp(
+                ctx["em"], jnp.asarray(_pad_rows(rows, B_pad)),
+                jnp.asarray(_pad_rows(rm_pad.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(rs_pad.astype(self.dtype), B_pad)),
+                sp, use_pallas=_use_pallas())
+            segs, score = _fetch(segs, score)
+            segs = segs.astype(np.int64)[:B]
+            score = score.astype(np.float64)[:B]
 
         failed = []
         thresh = SIG_MATCH_THRESH[self.seq_samp_type.name]
@@ -692,11 +781,23 @@ class BatchedResquiggler:
 
     # ------------------------------------------------------------ run API
     def _run_pass(self, states: List[_ReadState]):
-        ctx = self._segment_batch(states)
-        self._plan_reads(states)
+        if self.params.use_t_test_seg:
+            # RNA: event count depends on stall removal, so planning
+            # follows segmentation
+            ctx = self._segment_batch(states)
+            self._plan_reads(states)
+        else:
+            # DNA: event count is deterministic, so planning runs first
+            # and segmentation + start discovery fuse into one device call
+            for s in states:
+                if s.error is None:
+                    s.n_ev = s.num_events - 1
+            self._plan_reads(states)
+            ctx = self._segment_batch(states)
         if ctx is not None:
             failed_start = self._start_discovery(
-                states, ctx, self.params.start_bw, check_score=True)
+                states, ctx, self.params.start_bw, check_score=True,
+                precomputed=ctx.get("start"))
             # save-bandwidth start retry without score check
             # (reference: tombo/resquiggle.py:996-1006)
             for s in failed_start:
