@@ -136,3 +136,51 @@ def test_preprocess_annotate_fastqs(tmp_path):
     from tombo_tpu.io.index import ReadsIndex
     idx = ReadsIndex([fast5_dir])
     assert sum(len(v) for v in idx.reads_index.values()) == 5
+
+
+def test_event_resquiggle(tmp_path):
+    from tombo_tpu import config
+    from tombo_tpu.io.fast5 import read_corrected_events
+    from tombo_tpu.io.index import ReadsIndex
+    from tombo_tpu.io.model_io import KmerModel
+    from tombo_tpu.pipeline.aligner import ExactAligner
+    from tombo_tpu.pipeline.event_resquiggle import (
+        event_resquiggle_all_reads)
+    from tombo_tpu.testing import (random_reference, simulate_read,
+                                   write_basecaller_events,
+                                   write_synthetic_fast5)
+
+    rng = np.random.default_rng(13)
+    fasta = random_reference(rng, 3000)
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    fast5_dir = str(tmp_path / "ev_fast5s")
+    os.makedirs(fast5_dir)
+    reads = []
+    for i in range(5):
+        read = simulate_read(rng, fasta, model, read_len=300,
+                             read_id="ev_%03d" % i)
+        fn = os.path.join(fast5_dir, read.read_id + ".fast5")
+        write_synthetic_fast5(fn, read)
+        write_basecaller_events(fn, read, jitter=2, rng=rng)
+        reads.append(read)
+
+    n_ok, n_fail, fails = event_resquiggle_all_reads(
+        fast5_dir, ExactAligner(fasta), num_threads=2)
+    assert n_ok == 5, fails
+
+    # corrected groups written with genome-matching bases
+    fn = os.path.join(fast5_dir, reads[0].read_id + ".fast5")
+    events, rsrtr, align_attrs, rna = read_corrected_events(
+        fn, config.DEFAULT_CORRECTED_GROUP + "/" +
+        config.DEFAULT_BASECALL_SUBGROUP)
+    bases = b"".join(events["base"]).decode()
+    expected = fasta.get_seq(reads[0].chrm)[reads[0].start:reads[0].end]
+    if reads[0].strand == "-":
+        from tombo_tpu.seq import rev_comp
+        expected = rev_comp(expected)
+    assert bases == expected
+    # boundaries close to ground truth (basecaller jitter preserved)
+    true_rel = reads[0].true_segs - reads[0].read_start_rel_to_raw
+    assert events.shape[0] == true_rel.shape[0] - 1
+    idx = ReadsIndex([fast5_dir])
+    assert sum(len(v) for v in idx.reads_index.values()) == 5

@@ -623,6 +623,34 @@ def _add_build_model_parsers(subparsers):
     _add_common(p)
     p.set_defaults(func=_est_motif_alt)
 
+    def _event_rsq(args):
+        from ..io.fasta import Fasta
+        from ..pipeline.aligner import ExactAligner, MappyAligner
+        from ..pipeline.event_resquiggle import event_resquiggle_all_reads
+        try:
+            aligner = MappyAligner(args.reference)
+        except TomboTpuError:
+            aligner = ExactAligner(Fasta(args.reference))
+        n_ok, n_fail, fails = event_resquiggle_all_reads(
+            args.fast5_basedir, aligner, args.basecall_group,
+            args.basecall_subgroups[0], args.corrected_group,
+            overwrite=args.overwrite, num_threads=args.processes)
+        if not args.quiet:
+            print("Event re-squiggle complete: %d succeeded, %d failed"
+                  % (n_ok, n_fail))
+            for mode, cnt in sorted(fails.items(), key=lambda kv: -kv[1]):
+                print("  %5d : %s" % (cnt, mode))
+        return 0
+    p = sub.add_parser("event_resquiggle",
+                       help="Re-annotate raw signal using the basecaller "
+                            "event table (legacy algorithm).")
+    p.add_argument("fast5_basedir")
+    p.add_argument("reference")
+    p.add_argument("--basecall-group", default="Basecall_1D_000")
+    p.add_argument("--overwrite", action="store_true")
+    _add_common(p)
+    p.set_defaults(func=_event_rsq)
+
     def _est_scale(args):
         from ..io import fast5 as f5io
         import h5py

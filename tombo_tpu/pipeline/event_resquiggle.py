@@ -1,0 +1,388 @@
+"""Legacy event-table re-squiggle.
+
+Behavioral port of the reference's pre-1.3 algorithm
+(reference: tombo/_event_resquiggle.py): instead of the banded signal-to-
+sequence DP, use the basecaller's per-read Events table for segment
+boundaries and only re-segment raw signal around alignment indels (the
+"ambiguous indel group" machinery, reference: _event_resquiggle.py:76-248).
+
+Redesign notes: the reference shells out to graphmap/bwa-mem/minimap2
+executables and parses SAM/M5; this port reuses the framework's aligner
+boundary (mappy when installed, built-in exact aligner otherwise) and
+derives alignment pairs from cigars.  The per-group changepoint
+re-segmentation runs through the same native greedy-selection library as
+the main pipeline.
+"""
+from __future__ import annotations
+
+import re
+from collections import namedtuple
+from typing import List, Optional, Sequence, Tuple
+
+import h5py
+import numpy as np
+
+from .. import config
+from ..errors import TomboTpuError
+from ..io import fast5 as f5io
+from ..io.index import ReadsIndex
+from ..ops import ref_impl
+from ..seq import rev_comp
+from ..types import (AlignInfo, GenomeLocation, ReadData,
+                     ResquiggleResults, ScaleValues)
+from . import resquiggle as rsq
+
+GAP_PAT = re.compile("-+")
+indelStats = namedtuple("indelStats", ("start", "end", "diff"))
+indelGroupStats = namedtuple("indelGroupStats",
+                             ("start", "end", "cpts", "indels"))
+
+# mappy cigar op codes: 0=M, 1=I (read ins), 2=D (read del)
+_CIG_M, _CIG_I, _CIG_D = 0, 1, 2
+
+
+def get_read_event_starts(fast5_data: h5py.File, basecall_group: str,
+                          basecall_subgroup: str):
+    """Per-called-base signal start offsets from the basecaller Events
+    table (reference: tombo/_event_resquiggle.py:490-612
+    ``get_read_data``).  Handles albacore>=2.0-style integer starts with
+    ``move``/``model_state`` columns and simple per-base tables.
+
+    Returns (seq, starts_rel_to_read (n_bases + 1,), rsrtr)."""
+    try:
+        events = fast5_data["/Analyses/" + basecall_group + "/" +
+                            basecall_subgroup + "/Events"][:]
+    except KeyError:
+        raise TomboTpuError(
+            "No events or corrupted events in file. Likely a "
+            "segmentation error or mis-specified basecall-subgroups.")
+    names = events.dtype.names
+    starts = events["start"].astype(np.int64)
+    rsrtr = int(starts[0])
+    if "move" in names and "model_state" in names:
+        moves = events["move"].astype(np.int64)
+        states = [s.decode() if isinstance(s, bytes) else s
+                  for s in events["model_state"]]
+        kmer_width = len(states[0])
+        central = kmer_width // 2
+        # base i is called at the event where cumulative moves reach i
+        base_starts = [starts[0]]
+        seq_bases = [states[0]]
+        for ev_i in range(1, len(moves)):
+            if moves[ev_i] > 0:
+                for sub in range(int(moves[ev_i])):
+                    base_starts.append(starts[ev_i])
+                    seq_bases.append(states[ev_i])
+        seq = "".join(st[central] for st in seq_bases)
+        lengths = events["length"].astype(np.int64)
+        end = int(starts[-1] + lengths[-1])
+        starts_rel = np.array(base_starts + [end], np.int64) - rsrtr
+        return seq, starts_rel, rsrtr
+    # simple per-base events (one row per base)
+    if "base" in names:
+        seq = b"".join(events["base"]).decode()
+    elif "model_state" in names:
+        seq = "".join(
+            (s.decode() if isinstance(s, bytes) else s)[0]
+            for s in events["model_state"])
+    else:
+        raise TomboTpuError("Events table lacks base calls.")
+    lengths = events["length"].astype(np.int64)
+    end = int(starts[-1] + lengths[-1])
+    starts_rel = np.concatenate([starts, [end]]) - rsrtr
+    return seq, starts_rel, rsrtr
+
+
+def align_vals_from_cigar(read_seq: str, genome_seq: str, cigar,
+                          q_st: int) -> List[Tuple[str, str]]:
+    """(read_base, genome_base) pairs with '-' gaps from a cigar."""
+    out = []
+    ri, gi = q_st, 0
+    for length, op in cigar:
+        if op == _CIG_M:
+            for _ in range(length):
+                out.append((read_seq[ri], genome_seq[gi]))
+                ri += 1
+                gi += 1
+        elif op == _CIG_I:
+            for _ in range(length):
+                out.append((read_seq[ri], "-"))
+                ri += 1
+        elif op == _CIG_D:
+            for _ in range(length):
+                out.append(("-", genome_seq[gi]))
+                gi += 1
+        # soft clips handled by caller via q_st/q_en
+    return out
+
+
+def get_indel_groups(align_vals, align_segs, norm_signal,
+                     min_obs_per_base, running_stat_width,
+                     timeout=None, num_cpts_limit=None):
+    """(reference: tombo/_event_resquiggle.py:76-248)."""
+    def get_all_indels():
+        read_align = "".join(rb for rb, gb in align_vals)
+        genome_align = "".join(gb for rb, gb in align_vals)
+        genome_gaps = [(m.start(), m.end())
+                       for m in GAP_PAT.finditer(genome_align)]
+        read_gaps = [(m.start(), m.end())
+                     for m in GAP_PAT.finditer(read_align)]
+        all_indel_locs = sorted(
+            genome_gaps + read_gaps +
+            [(0, 0), (len(read_align), len(read_align))])
+        btwn = [genome_align[e0:s1] for (_, e0), (s1, _) in
+                zip(all_indel_locs[:-1], all_indel_locs[1:])]
+        all_is_ins = [read_align[s:e].startswith("-")
+                      for s, e in all_indel_locs[1:-1]]
+        indel_seqs = [genome_align[s:e] if is_ins else read_align[s:e]
+                      for is_ins, (s, e) in
+                      zip(all_is_ins, all_indel_locs[1:-1])]
+        unambig = []
+        curr_read_len = len(btwn[0])
+        for indel_seq, before_seq, after_seq, is_ins in zip(
+                indel_seqs, btwn[:-1], btwn[1:], all_is_ins):
+            indel_len = len(indel_seq)
+            indel_end = (curr_read_len + 1 if is_ins
+                         else curr_read_len + indel_len + 1)
+            indel_diff = indel_len if is_ins else -indel_len
+            u, d = -1, 0
+            while (d < len(after_seq) - 1 and
+                   indel_seq[d % indel_len] == after_seq[d]):
+                d += 1
+            while (u * -1 <= len(before_seq) - 1 and
+                   indel_seq[(u % indel_len) - indel_len] ==
+                   before_seq[u]):
+                u -= 1
+            unambig.append(indelStats(curr_read_len + u, indel_end + d,
+                                      indel_diff))
+            if not is_ins:
+                curr_read_len += indel_len
+            curr_read_len += len(after_seq)
+        return unambig
+
+    indel_groups: List[indelGroupStats] = []
+
+    def extend_group(indel_group):
+        group_start = min(i.start for i in indel_group)
+        group_end = max(i.end for i in indel_group)
+        num_cpts = sum(i.diff for i in indel_group) + \
+            group_end - group_start - 1
+        prev_num_cpts = num_cpts
+        while align_segs[group_end] - align_segs[group_start] < (
+                (num_cpts + 1) * min_obs_per_base) + \
+                (running_stat_width * 2):
+            num_cpts += int(group_start > 0) + int(
+                group_end < len(align_segs) - 1)
+            if num_cpts == prev_num_cpts:
+                raise TomboTpuError(
+                    "Entire read does not contain enough signal to "
+                    "re-squiggle")
+            prev_num_cpts = num_cpts
+            group_start = max(0, group_start - 1)
+            group_end = min(len(align_segs) - 1, group_end + 1)
+        return group_start, group_end, num_cpts
+
+    def extend_and_join(indel_group):
+        group_start, group_end, num_cpts = extend_group(indel_group)
+        while indel_groups and group_start <= indel_groups[-1].end:
+            indel_group = indel_groups[-1].indels + indel_group
+            del indel_groups[-1]
+            group_start, group_end, num_cpts = extend_group(indel_group)
+        return group_start, group_end, num_cpts, indel_group
+
+    def get_cpts(group_start, group_end, num_cpts):
+        if num_cpts_limit is not None and num_cpts > num_cpts_limit:
+            raise TomboTpuError("Reached maximum number of changepoints "
+                                "for a single indel")
+        try:
+            cpts = ref_impl.valid_cpts_w_cap(
+                norm_signal[align_segs[group_start]:
+                            align_segs[group_end]].astype(np.float64),
+                min_obs_per_base, running_stat_width, num_cpts)
+        except TomboTpuError:
+            return None
+        cpts.sort()
+        return cpts
+
+    def extend_for_cpts(group_start, group_end, num_cpts, indel_group):
+        cpts = get_cpts(group_start, group_end, num_cpts)
+        while cpts is None:
+            num_cpts += int(group_start > 0) + int(
+                group_end < len(align_segs) - 1)
+            group_start = max(0, group_start - 1)
+            group_end = min(len(align_segs) - 1, group_end + 1)
+            while indel_groups and group_start <= indel_groups[-1].end:
+                indel_group = indel_groups[-1].indels + indel_group
+                del indel_groups[-1]
+                group_start, group_end, num_cpts = extend_group(
+                    indel_group)
+            cpts = get_cpts(group_start, group_end, num_cpts)
+        return (cpts + align_segs[group_start], group_start, group_end,
+                indel_group)
+
+    all_indels = get_all_indels()
+    if not all_indels:
+        return []
+    curr_group = [all_indels[0]]
+    for indel in all_indels[1:]:
+        if max(g.end for g in curr_group) >= indel.start:
+            curr_group.append(indel)
+        else:
+            (curr_start, curr_stop, num_cpts,
+             curr_group) = extend_and_join(curr_group)
+            cpts, curr_start, curr_stop, curr_group = extend_for_cpts(
+                curr_start, curr_stop, num_cpts, curr_group)
+            if curr_stop >= indel.start:
+                curr_group.append(indel)
+            else:
+                indel_groups.append(indelGroupStats(
+                    curr_start, curr_stop, cpts, curr_group))
+                curr_group = [indel]
+    if not indel_groups or \
+            indel_groups[-1].indels[-1] != all_indels[-1]:
+        curr_start, curr_stop, num_cpts, curr_group = extend_and_join(
+            curr_group)
+        cpts, curr_start, curr_stop, curr_group = extend_for_cpts(
+            curr_start, curr_stop, num_cpts, curr_group)
+        indel_groups.append(indelGroupStats(
+            curr_start, curr_stop, cpts, curr_group))
+    return indel_groups
+
+
+def event_resquiggle_read(fast5_fn: str, aligner,
+                          basecall_group: str = "Basecall_1D_000",
+                          basecall_subgroup: str =
+                          config.DEFAULT_BASECALL_SUBGROUP,
+                          corr_grp: str = config.DEFAULT_CORRECTED_GROUP,
+                          outlier_thresh: Optional[float] =
+                          config.OUTLIER_THRESH,
+                          seg_params=None, overwrite: bool = True,
+                          compute_sd: bool = False):
+    """Re-squiggle one read from its basecaller Events table
+    (reference: tombo/_event_resquiggle.py:295-417)."""
+    with h5py.File(fast5_fn, "r") as fast5_data:
+        raw = f5io.get_raw_signal(fast5_data)
+        rna = f5io.is_read_rna(fast5_data)
+        read_id = f5io.get_read_id(fast5_data)
+        seq, starts_rel_to_read, rsrtr = get_read_event_starts(
+            fast5_data, basecall_group, basecall_subgroup)
+    if rna:
+        raw = raw[::-1]
+        seq = seq.replace("U", "T")
+
+    samp_type = config.RNA_SAMP_TYPE if rna else config.DNA_SAMP_TYPE
+    if seg_params is None:
+        p = config.SEG_PARAMS_TABLE[samp_type]
+        running_stat_width = p.running_stat_width
+        min_obs_per_base = p.min_obs_per_base
+    else:
+        running_stat_width, min_obs_per_base = seg_params
+
+    aln = aligner.map(seq)
+    if aln is None:
+        raise TomboTpuError("Alignment not produced")
+    if aln.strand == 1:
+        genome_seq = aligner.seq(aln.ctg, aln.r_st, aln.r_en)
+        strand = "+"
+    else:
+        genome_seq = rev_comp(aligner.seq(aln.ctg, aln.r_st, aln.r_en))
+        strand = "-"
+
+    # clip basecalls outside the alignment (reference:
+    # tombo/_event_resquiggle.py:477-489)
+    start_clip, end_clip = aln.q_st, len(seq) - aln.q_en
+    if start_clip > 0:
+        clip_obs = int(starts_rel_to_read[start_clip])
+        starts_rel_to_read = starts_rel_to_read[start_clip:] - clip_obs
+        rsrtr += clip_obs
+    if end_clip > 0:
+        starts_rel_to_read = starts_rel_to_read[:-end_clip]
+
+    align_vals = align_vals_from_cigar(
+        seq[aln.q_st:aln.q_en], genome_seq, aln.cigar, 0)
+
+    norm_signal, scale_values = rsq.normalize_raw_signal(
+        raw, rsrtr, int(starts_rel_to_read[-1]),
+        outlier_thresh=outlier_thresh)
+
+    indel_groups = get_indel_groups(
+        align_vals, starts_rel_to_read, norm_signal, min_obs_per_base,
+        running_stat_width)
+
+    new_segs = []
+    prev_stop = 0
+    for group_start, group_end, cpts, _ in indel_groups:
+        new_segs.append(np.append(
+            starts_rel_to_read[prev_stop:group_start + 1], cpts))
+        prev_stop = group_end
+    new_segs.append(starts_rel_to_read[prev_stop:])
+    new_segs = np.concatenate(new_segs).astype(np.int64)
+    if np.diff(new_segs).min() < 1:
+        raise TomboTpuError("New segments include zero length events.")
+    align_seq = "".join(gb for _, gb in align_vals).replace("-", "")
+    if new_segs.shape[0] != len(align_seq) + 1:
+        raise TomboTpuError(
+            "Aligned sequence does not match number of segments produced.")
+
+    n_ins = sum(l for l, op in aln.cigar if op == _CIG_I)
+    n_del = sum(l for l, op in aln.cigar if op == _CIG_D)
+    n_match_cols = sum(l for l, op in aln.cigar if op == _CIG_M)
+    genome_loc = GenomeLocation(aln.r_st, strand, aln.ctg)
+    align_info = AlignInfo(
+        read_id=read_id, subgroup=basecall_subgroup,
+        clip_start=start_clip, clip_end=end_clip,
+        insertions=n_ins, deletions=n_del, matches=aln.mlen,
+        mismatches=n_match_cols - aln.mlen)
+    rsqgl_res = ResquiggleResults(
+        align_info=align_info, genome_loc=genome_loc, genome_seq=align_seq,
+        mean_q_score=None, raw_signal=norm_signal,
+        read_start_rel_to_raw=rsrtr, segs=new_segs,
+        scale_values=scale_values)
+    f5io.prep_fast5(fast5_fn, corr_grp, overwrite, basecall_group)
+    f5io.write_new_fast5_group(
+        fast5_fn, corr_grp, rsqgl_res, "median", compute_sd, rna=rna)
+    return aln.ctg, ReadData(
+        aln.r_st, aln.r_st + len(align_seq), False, rsrtr, strand,
+        fast5_fn, corr_grp + "/" + basecall_subgroup, rna,
+        read_id=read_id)
+
+
+def event_resquiggle_all_reads(fast5s_dir: str, aligner,
+                               basecall_group: str = "Basecall_1D_000",
+                               basecall_subgroup: str =
+                               config.DEFAULT_BASECALL_SUBGROUP,
+                               corr_grp: str =
+                               config.DEFAULT_CORRECTED_GROUP,
+                               overwrite: bool = True,
+                               num_threads: int = 4,
+                               skip_index: bool = False):
+    """Directory driver (reference: tombo/_event_resquiggle.py:1103-1218)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    reads_index = None if skip_index else ReadsIndex(
+        [fast5s_dir], corrected_group=corr_grp, for_writing=True)
+
+    n_ok = n_fail = 0
+    fails = {}
+
+    def one(fn):
+        try:
+            return event_resquiggle_read(
+                fn, aligner, basecall_group, basecall_subgroup, corr_grp,
+                overwrite=overwrite)
+        except TomboTpuError as e:
+            return str(e)
+
+    with ThreadPoolExecutor(num_threads) as pool:
+        for out in pool.map(one, f5io.iter_fast5_reads(fast5s_dir)):
+            if isinstance(out, str):
+                n_fail += 1
+                fails[out] = fails.get(out, 0) + 1
+            else:
+                chrm, rd = out
+                n_ok += 1
+                if reads_index is not None:
+                    reads_index.add_read_data(chrm, rd.strand, rd)
+    if reads_index is not None and n_ok:
+        reads_index.write_index_file()
+    return n_ok, n_fail, fails

@@ -139,3 +139,37 @@ def make_synthetic_dataset(tmpdir: str, n_reads: int = 10, seed: int = 42,
     fasta_fn = os.path.join(tmpdir, "reference.fasta")
     fasta.write(fasta_fn)
     return fasta, reads, fast5_dir
+
+
+def write_basecaller_events(path: str, read: SyntheticRead,
+                            bc_grp: str = config.DEFAULT_BASECALL_GROUP,
+                            bc_subgrp: str =
+                            config.DEFAULT_BASECALL_SUBGROUP,
+                            jitter: int = 0,
+                            rng: Optional[np.random.Generator] = None):
+    """Add a legacy basecaller-style per-base Events table to a synthetic
+    FAST5 (consumed by the event_resquiggle pipeline).  ``jitter`` shifts
+    boundaries by up to +-jitter samples to mimic basecaller noise."""
+    import h5py
+    segs = read.true_segs.copy()      # absolute raw-signal positions
+    if jitter and rng is not None:
+        inner = segs[1:-1] + rng.integers(-jitter, jitter + 1,
+                                          segs.shape[0] - 2)
+        segs[1:-1] = np.maximum.accumulate(
+            np.clip(inner, segs[0] + 1, segs[-1] - 1))
+        for i in range(1, segs.shape[0]):
+            if segs[i] <= segs[i - 1]:
+                segs[i] = segs[i - 1] + 1
+    starts = segs[:-1]
+    lengths = np.diff(segs)
+    rec = np.array(
+        list(zip(starts, lengths,
+                 np.zeros(len(lengths)),
+                 [b.encode() for b in read.seq])),
+        dtype=[("start", "u8"), ("length", "u8"), ("mean", "f8"),
+               ("base", "S1")])
+    with h5py.File(path, "r+") as f:
+        grp = f.require_group("Analyses/" + bc_grp + "/" + bc_subgrp)
+        if "Events" in grp:
+            del grp["Events"]
+        grp.create_dataset("Events", data=rec)
