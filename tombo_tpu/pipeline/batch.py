@@ -13,13 +13,15 @@ single host feeding a device (and, via pipeline/sharding.py, a mesh of
 devices with batches sharded data-parallel).
 
 Stage map (mirrors the single-read path in pipeline/resquiggle.py):
-  1. normalize + changepoint scores          [device]
-  2. greedy changepoint selection            [host, native C++]
-  3. event means + start-discovery DP        [device]
-  4. start planning + masked band plan       [host]
-  5. adaptive banded DP + traceback          [device]
-  6. deletion fix + Theil-Sen rescale        [host]
-  -> iterate scaling (<=3) on changed reads
+  A. normalize + changepoint scores + greedy selection + event means
+     + start-discovery DP + validity score   [device, ONE fused call]
+  B. start retry / masked band plan          [host, tiny]
+  C. adaptive banded DP + traceback          [device, fused Pallas kernel]
+  D. deletion fix (native C++) + Theil-Sen (native C++) + assembly [host]
+  -> iterate scaling (<=3) on changed reads; failed reads retried in a
+     save-bandwidth lane
+Large arrays (normalized signal, scores, move rows) never cross the
+host link; each stage costs one overlapped device->host fetch.
 """
 from __future__ import annotations
 
