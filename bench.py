@@ -72,11 +72,11 @@ def main():
     for b in range(1, N_BATCHES + 1):
         br.resquiggle_batch(map_results[b * BATCH_SIZE:(b + 1) * BATCH_SIZE])
 
+    batches = [map_results[b * BATCH_SIZE:(b + 1) * BATCH_SIZE]
+               for b in range(1, N_BATCHES + 1)]
     t0 = time.perf_counter()
     total = 0
-    for b in range(1, N_BATCHES + 1):
-        out = br.resquiggle_batch(
-            map_results[b * BATCH_SIZE:(b + 1) * BATCH_SIZE])
+    for out in br.resquiggle_batches(batches):
         total += sum(1 for r, e in out if r is not None)
     dt = time.perf_counter() - t0
     tpu_rate = total / dt

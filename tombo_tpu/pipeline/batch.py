@@ -818,6 +818,25 @@ class BatchedResquiggler:
             self._static_reads(states, ctx)
         self._finalize(states)
 
+    def resquiggle_batches(self, batches, pipeline_depth: int = 2,
+                           max_scaling_iters: int =
+                           config.MAX_SCALING_ITERS):
+        """Process an iterable of mapped-read batches through a
+        ``pipeline_depth``-deep thread pipeline, yielding per-batch result
+        lists in order.
+
+        Device dispatches are asynchronous, so while one batch blocks on a
+        device->host fetch another batch's host stages (planning, deletion
+        fix, Theil-Sen, assembly) run concurrently — the TPU-side analog
+        of the reference's pipelined I/O-thread / DP-process design
+        (reference: tombo/resquiggle.py:1417-1421)."""
+        import functools
+        from concurrent.futures import ThreadPoolExecutor
+        run = functools.partial(self.resquiggle_batch,
+                                max_scaling_iters=max_scaling_iters)
+        with ThreadPoolExecutor(max_workers=pipeline_depth) as pool:
+            yield from pool.map(run, batches)
+
     def resquiggle_batch(self, map_results: Sequence[ResquiggleResults],
                          max_scaling_iters: int = config.MAX_SCALING_ITERS
                          ) -> List[Tuple[Optional[ResquiggleResults],

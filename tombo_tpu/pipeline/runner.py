@@ -135,23 +135,39 @@ def resquiggle_all_reads(
             except Exception as e:  # unexpected: record, don't crash run
                 return fn, None, "Unexpected error: " + repr(e)
 
+        # --- streaming pipeline: mapping threads feed device batches;
+        # two batches are in flight so one batch's host stages overlap
+        # the other's device waits (reference analog: the pipelined
+        # I/O-thread / DP-process pairs, tombo/resquiggle.py:1417-1421)
         from concurrent.futures import ThreadPoolExecutor
-        mapped: List[Tuple[str, ResquiggleResults]] = []
-        with ThreadPoolExecutor(max_workers=rc.num_io_threads) as pool:
-            for fn, mr, err in pool.map(map_worker, all_fns):
+        map_pool = ThreadPoolExecutor(max_workers=rc.num_io_threads)
+        map_iter = map_pool.map(map_worker, all_fns)
+
+        chunks: List[List[Tuple[str, ResquiggleResults]]] = []
+
+        def iter_chunks():
+            chunk = []
+            for fn, mr, err in map_iter:
                 if err is not None:
                     summary.n_failed += 1
                     summary.failure_modes[err] += 1
                     _write_status(fn, rc, bc_subgrp, err)
-                else:
-                    mapped.append((fn, mr))
+                    continue
+                chunk.append((fn, mr))
+                if len(chunk) >= rc.batch_size:
+                    chunks.append(chunk)
+                    yield [mr for _, mr in chunk]
+                    chunk = []
+            if chunk:
+                chunks.append(chunk)
+                yield [mr for _, mr in chunk]
 
         # --- device-batched resquiggle + writeback
-        for i in range(0, len(mapped), rc.batch_size):
-            chunk = mapped[i:i + rc.batch_size]
-            results = resquiggler.resquiggle_batch(
-                [mr for _, mr in chunk],
-                max_scaling_iters=rc.max_scaling_iters)
+        for chunk_i, results in enumerate(
+                resquiggler.resquiggle_batches(
+                    iter_chunks(), pipeline_depth=2,
+                    max_scaling_iters=rc.max_scaling_iters)):
+            chunk = chunks[chunk_i]
             for (fn, mr), (res, err) in zip(chunk, results):
                 if err is not None:
                     summary.n_failed += 1
@@ -191,6 +207,7 @@ def resquiggle_all_reads(
                             seq_samp_type.rev_sig, res.sig_match_score,
                             res.mean_q_score, res.align_info.read_id))
 
+        map_pool.shutdown(wait=True)
         if reads_index is not None and not rc.dry_run:
             reads_index.write_index_file()
     finally:
