@@ -406,7 +406,7 @@ class PerReadStats:
                 grp = self.per_read_blocks[block_name]
                 block_stats = grp["block_stats"][:]
                 lookup = dict(zip(grp["read_id_vals"][()],
-                                  grp["read_ids"][()]))
+                                  (_dec(r) for r in grp["read_ids"][()])))
                 yield chrm, strand, start, block_stats, lookup
 
     def get_region_per_read_stats(self, chrm, strand, start, end,
@@ -422,7 +422,8 @@ class PerReadStats:
                 continue
             grp = self.per_read_blocks[block_name]
             block_stats = grp["block_stats"][:]
-            lookup = dict(zip(grp["read_id_vals"][()], grp["read_ids"][()]))
+            lookup = dict(zip(grp["read_id_vals"][()],
+                              (_dec(r) for r in grp["read_ids"][()])))
             reg_read_ids = [lookup[r] for r in block_stats["read_id"]]
             collected.append(np.array(
                 list(zip(block_stats["pos"], block_stats["stat"],
