@@ -92,10 +92,75 @@ def full_sharded_step(mesh: Mesh, dp_params: dpo.DpParams,
                    out_shardings=out_shardings)
 
 
+def sharded_production_step(mesh: Mesh, n_reads_per_device: int = 2,
+                            sig_len: int = 1024, n_rows: int = 64,
+                            bandwidth: int = 32) -> None:
+    """Run the PRODUCTION device stages (the same jitted functions the
+    batched lane uses: fused stage-A normalize/select/event-means/start-DP
+    and the adaptive DP + traceback) over a batch sharded on the reads
+    axis of ``mesh``.  XLA propagates the batch sharding through every
+    stage; all ops are read-parallel so no resharding collectives are
+    required, and the per-site coverage accumulator reduces across the
+    mesh."""
+    from ..pipeline import batch as pb
+    from ..config import load_resquiggle_parameters, DNA_SAMP_TYPE
+
+    n_dev = len(mesh.devices.ravel())
+    B = n_dev * n_reads_per_device
+    rng = np.random.default_rng(0)
+    bsh = batch_sharding(mesh)
+
+    raw = rng.normal(450.0, 60.0, (B, sig_len)).astype(np.float32)
+    sig_lens = np.full(B, sig_len, np.int64)
+    num_cpts = np.full(B, n_rows * 4, np.int64)
+    nb, ne = 8, bandwidth
+    rm_start = rng.normal(0, 1, (B, nb)).astype(np.float32)
+    rs_start = np.full((B, nb), 0.35, np.float32)
+    sp = dpo.StartDpParams(
+        z_shift=5.0, skip_pen=4.2, stay_pen=4.2, max_half_z_score=20.0,
+        num_bases=nb, num_events=ne)
+    args = shard_batch(
+        mesh, raw, sig_lens, np.zeros(B, bool), np.zeros(B, np.float32),
+        np.ones(B, np.float32), np.full(B, -1e30, np.float32),
+        np.full(B, 1e30, np.float32), num_cpts, rm_start, rs_start)
+    out = pb._stage_a_dna(*args, 5.0, 5, 3, n_rows * 4 + 1, sp, False)
+    (norm, em, cpts, status, shift, scale, lower, upper,
+     start_segs, start_score) = jax.block_until_ready(out)
+    assert em.shape[0] == B
+
+    # adaptive DP + traceback over the sharded event means
+    E = em.shape[1]
+    L, P = n_rows, 8
+    dp_params = dpo.DpParams(
+        z_shift=5.0, skip_pen=4.2, stay_pen=4.2, mask_fill_z_score=-15.0,
+        max_half_z_score=20.0, bandwidth=bandwidth)
+    rm = rng.normal(0, 1, (B, L)).astype(np.float32)
+    rs = np.full((B, L), 0.35, np.float32)
+    dp_args = shard_batch(
+        mesh, np.asarray(em), np.full(B, E, np.int32), rm, rs,
+        np.full(B, L, np.int32),
+        np.tile(np.arange(P, dtype=np.int32) * 2, (B, 1)),
+        np.zeros(B, np.int32), np.full((B, P), 2 ** 31 - 1, np.int64),
+        np.full(B, P, np.int32))
+    tb, band_starts, final_fwd, band_err = jax.block_until_ready(
+        dpo.adaptive_banded_dp(*dp_args, dp_params, L, P))
+    top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+    segs, bound_err = jax.block_until_ready(dpo.banded_traceback(
+        tb, band_starts, dp_args[4], top, -1, bandwidth, L))
+    assert segs.shape == (B, L + 1)
+
+    # per-site accumulator merge across the mesh (coverage psum exemplar)
+    cov = jax.jit(
+        lambda s: jnp.sum(jax.nn.one_hot(jnp.clip(s, 0, E), E + 1), (0, 1)),
+        out_shardings=replicated(mesh))(segs)
+    assert jax.block_until_ready(cov).shape == (E + 1,)
+
+
 def dryrun(n_devices: int, bandwidth: int = 16, n_rows: int = 32,
            prefix_rows: int = 4, sig_len: int = 256) -> None:
     """Compile and execute one full sharded step on tiny shapes across an
-    ``n_devices`` mesh (driver contract: __graft_entry__.dryrun_multichip)."""
+    ``n_devices`` mesh (driver contract: __graft_entry__.dryrun_multichip),
+    then the production stage functions over the same mesh."""
     devices = jax.devices()
     assert len(devices) >= n_devices, (
         "need %d devices, have %d" % (n_devices, len(devices)))
@@ -131,3 +196,5 @@ def dryrun(n_devices: int, bandwidth: int = 16, n_rows: int = 32,
     jax.block_until_ready((scores, segs_tb, site_cov))
     assert segs_tb.shape == (B, n_rows + 1)
     assert site_cov.shape == (64,)
+
+    sharded_production_step(mesh)
