@@ -139,7 +139,7 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
     def kernel(em_ref, nev_ref, rm_ref, rs_ref, sl_ref, ps_ref, pv_ref,
                pe_ref, sr_ref,
                segs_ref, banderr_ref, bounderr_ref, ffwd_ref,
-               enc_ref, bs_ref, segsacc_ref, fwdpad_ref, win_ref, dw_ref,
+               moves_ref, bs_ref, segsacc_ref, fwdpad_ref, win_ref, dw_ref,
                sw_ref):
         lanes = _lane_iota(R, bwp)
         lanes_L = _lane_iota(R, L)
@@ -243,13 +243,10 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             moves = jnp.where(active, moves, 0)
             final_fwd = jnp.where(r == sl - 1, new_fwd, final_fwd)
 
-            # --- encoded traceback row: last non-stay pos & its move kind
-            encoded = jnp.where(
-                moves != 0,
-                (lanes << 1) | jnp.where(moves == 2, 1, 0),
-                _INT_NEG)
-            enc_row = _cummax_lanes_i(encoded)
-            enc_ref[:, pl.ds(r, 1), :] = enc_row.reshape(R, 1, bwp)
+            # --- store raw move codes; the traceback resolves the
+            # "last non-stay position <= p" query with a masked reduce
+            # (cheaper than maintaining a cummax per forward row)
+            moves_ref[:, pl.ds(r, 1), :] = moves.reshape(R, 1, bwp)
             bs_ref[:, :] = jnp.where(lanes_L == r, band_start, bs_ref[:, :])
 
             return new_fwd, band_start, band_err, final_fwd
@@ -271,11 +268,13 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             active = r < sl
             bs_row = _col_i(bs_ref[:, :], lanes_L, r)
             bp = jnp.clip(event_pos - bs_row, 0, bw - 1)
-            enc_row = enc_ref[:, pl.ds(r, 1), :].reshape(R, bwp)
-            enc = _col_i(enc_row, lanes, bp)
-            pos = jnp.clip(enc >> 1, 0, bw - 1)
-            is_diag = (enc & 1) == 1
-            bp2 = jnp.where(is_diag, pos - 1, pos)
+            mv_row = moves_ref[:, pl.ds(r, 1), :].reshape(R, bwp)
+            # last non-stay position <= bp (lane 0 is always non-stay on
+            # active rows, so the max is well-defined)
+            cand = jnp.where((lanes <= bp) & (mv_row != 0), lanes, -1)
+            pos = jnp.clip(jnp.max(cand, axis=1, keepdims=True), 0, bw - 1)
+            mv_at = _col_i(mv_row, lanes, pos)
+            bp2 = jnp.where(mv_at == 2, pos - 1, pos)
             bound_err = bound_err | (
                 active &
                 (jnp.minimum(bp2, bw - bp2 - 1) < band_bound_thresh)
@@ -367,7 +366,7 @@ def adaptive_banded_dp_tb(
             jax.ShapeDtypeStruct((B, bwp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, L, bwp), jnp.int32),      # enc (traceback rows)
+            pltpu.VMEM((R, L, bwp), jnp.int32),      # move codes
             pltpu.VMEM((R, L), jnp.int32),           # band starts
             pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
             pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row

@@ -612,7 +612,7 @@ class BatchedResquiggler:
             jnp.asarray(_pad_rows(start_rows, B_pad)))
         if _use_pallas():
             from ..ops import pallas_dp as pdp
-            # block size bounded by the enc scratch VMEM budget (~12 MB)
+            # block size bounded by the move-code scratch VMEM budget
             r_blk = 8
             while r_blk > 1 and r_blk * L_max * _round_up(bw, 128) * 4 > \
                     12 * 2 ** 20:
