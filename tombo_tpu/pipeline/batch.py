@@ -136,6 +136,7 @@ def _stage1_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
     scores -> greedy selection -> event means.  Only the (B, max_cpts)
     changepoints and the scale scalars are meant to leave the device; the
     (B, S) normalized signal and scores stay resident."""
+    raw = raw.astype(sv_shift.dtype)
     norm, shift, scale, lower, upper = nrm.normalize_median_batch(
         raw, sig_lens, outlier_thresh)
     shift = jnp.where(has_sv, sv_shift, shift)
@@ -317,7 +318,15 @@ class BatchedResquiggler:
         for i, s in enumerate(live):
             raw_pad[i, :s.raw.shape[0]] = s.raw
             s.dev_row = i
-        raw_j = jnp.asarray(_pad_rows(raw_pad.astype(self.dtype), B_pad))
+        # raw FAST5 signal is int16 DAC values; uploading them as int16
+        # halves the dominant host->device transfer (values convert to the
+        # compute dtype on device, exactly for |x| < 2^15)
+        if (np.abs(raw_pad).max(initial=0) < 2 ** 15 and
+                np.all(raw_pad == np.trunc(raw_pad))):
+            raw_up = raw_pad.astype(np.int16)
+        else:
+            raw_up = raw_pad.astype(self.dtype)
+        raw_j = jnp.asarray(_pad_rows(raw_up, B_pad))
         lens_j = jnp.asarray(_pad_rows(sig_lens, B_pad))
 
         w = p.running_stat_width
@@ -330,7 +339,8 @@ class BatchedResquiggler:
             # the host because event-based scaling consumes the selected
             # changepoints (reference: tombo/resquiggle.py:1079-1095)
             cpts_j, status_j = _stage1_rna_select(
-                raw_j, lens_j, ncpts_j, w, p.min_obs_per_base, max_cpts)
+                raw_j.astype(self.dtype), lens_j, ncpts_j, w,
+                p.min_obs_per_base, max_cpts)
             cpts_np, status = _fetch(cpts_j, status_j)
             cpts_np = cpts_np.astype(np.int64)[:B]
             status = status[:B]
