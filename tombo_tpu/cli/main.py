@@ -9,7 +9,6 @@ detect_modifications, text_output, build_model and plot.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from typing import List, Optional
 

@@ -10,7 +10,7 @@ attributes.
 from __future__ import annotations
 
 import os
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import h5py
 import numpy as np
@@ -18,7 +18,7 @@ import numpy as np
 from .._version import TOMBO_TPU_VERSION
 from ..errors import TomboTpuError
 from ..ops import ref_impl
-from ..types import (AlignInfo, ChannelInfo, GenomeLocation,
+from ..types import (ChannelInfo,
                      ResquiggleResults, ScaleValues, SequenceData)
 from ..seq import get_mean_q_score, rev_transcribe
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from .. import config
 from ..errors import TomboTpuError
-from ..seq import (TomboMotif, all_kmers, encode_seq, kmer_code_to_str,
+from ..seq import (TomboMotif, all_kmers, encode_seq,
                    seq_to_kmer_codes)
 
 STANDARD_MODEL_NAME = "standard"

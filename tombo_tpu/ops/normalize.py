@@ -8,7 +8,7 @@ are computed with masked sorts so padding never leaks into statistics.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ region FASTA output).
 from __future__ import annotations
 
 import io
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict
 
 import h5py
 import numpy as np

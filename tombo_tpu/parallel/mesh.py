@@ -13,8 +13,6 @@ pipeline (which interleaves host work between stages).
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -103,7 +101,6 @@ def sharded_production_step(mesh: Mesh, n_reads_per_device: int = 2,
     required, and the per-site coverage accumulator reduces across the
     mesh."""
     from ..pipeline import batch as pb
-    from ..config import load_resquiggle_parameters, DNA_SAMP_TYPE
 
     n_dev = len(mesh.devices.ravel())
     B = n_dev * n_reads_per_device

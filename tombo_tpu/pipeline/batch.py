@@ -26,8 +26,8 @@ host link; each stage costs one overlapped device->host fetch.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -39,7 +39,6 @@ import os
 from .. import config
 from ..config import MASK_FILL_Z_SCORE, ResquiggleParams, SIG_MATCH_THRESH
 from ..errors import TomboTpuError
-from ..native import greedy_cpts_batch
 from ..ops import dp as dpo
 from ..ops import normalize as nrm
 from ..ops import ref_impl

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import re
 from collections import namedtuple
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import h5py
 import numpy as np

@@ -14,8 +14,7 @@ Call flow mirrors the reference (SURVEY.md §3.1):
 """
 from __future__ import annotations
 
-import math
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -29,7 +28,7 @@ from ..ops import ref_impl
 from ..native import greedy_cpts_batch
 from ..types import (AlignInfo, DpResults, GenomeLocation, ResquiggleResults,
                      ScaleValues, SeqSampleType, SequenceData)
-from ..seq import invalid_seq, rev_comp
+from ..seq import rev_comp
 
 
 # --------------------------------------------------------------------------

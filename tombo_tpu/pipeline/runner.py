@@ -11,12 +11,9 @@ continues (SURVEY.md §5.3).
 """
 from __future__ import annotations
 
-import os
-import queue
-import threading
-from collections import Counter, defaultdict
+from collections import Counter
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

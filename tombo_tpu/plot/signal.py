@@ -8,16 +8,13 @@ trace clustering.
 """
 from __future__ import annotations
 
-import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import h5py
 import numpy as np
 
-from .. import config
 from ..errors import TomboTpuError
 from ..io import fast5 as f5io
-from ..seq import rev_comp
 from ..stats.region import RegionData
 
 _BASE_COLORS = {"A": "#00CC00", "C": "#0000CC", "G": "#FFB300",
@@ -163,7 +160,6 @@ def plot_kmer_dist(reads_index, pdf_fn, kmer_width=2, num_reads=100,
     """K-mer level distributions
     (reference: tombo/_plot_commands.py:451-560)."""
     import matplotlib.pyplot as plt
-    from ..seq import all_kmers
     levels: Dict[str, List[float]] = {}
     n_parsed = 0
     reads = list(reads_index.iter_reads())

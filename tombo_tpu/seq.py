@@ -9,7 +9,7 @@ into a ``4**k`` table (see tombo_tpu/io/model_io.py).
 from __future__ import annotations
 
 import re
-from typing import Iterator, List, Optional, Tuple
+from typing import Iterator, List, Optional
 
 import numpy as np
 

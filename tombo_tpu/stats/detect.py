@@ -15,10 +15,8 @@ single-writer process design, reference: tombo/tombo_stats.py:4448).
 """
 from __future__ import annotations
 
-import queue
-import threading
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -12,8 +12,7 @@ import io as _io
 import re
 from collections import defaultdict
 from concurrent.futures import ThreadPoolExecutor
-from itertools import product
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import h5py
 import numpy as np

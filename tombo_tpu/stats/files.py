@@ -10,12 +10,11 @@ from __future__ import annotations
 
 import os
 from collections import defaultdict
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import h5py
 import numpy as np
 
-from .. import config
 from ..errors import TomboTpuError
 from ..types import GroupStats, RegionStats
 from .kernels import calc_damp_fraction

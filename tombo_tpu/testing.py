@@ -8,7 +8,7 @@ segmentation, run through the full pipeline, and checked for recovery.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -16,7 +16,6 @@ from . import config
 from .io.fasta import Fasta
 from .io.model_io import KmerModel
 from .seq import rev_comp
-from .types import SequenceData
 
 
 @dataclass

@@ -7,7 +7,7 @@ Arrays are numpy on the host and handed to device kernels in batches.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np
