@@ -55,3 +55,21 @@ def test_pallas_matches_scan_engine():
         np.testing.assert_array_equal(segs_s[i, :n], segs_p[i, :n], str(i))
     np.testing.assert_allclose(np.asarray(final_fwd),
                                np.asarray(ffwd)[:, :bw], atol=1e-4)
+
+
+def test_pallas_small_block_subbatch():
+    """R < 8 blocks (long-read VMEM fallback) run one whole-array call
+    per sub-batch and still match the scan engine."""
+    p, args, seq_lens = _mk_case(9)
+    B, L_max, P_max, bw = 8, 128, 64, 32
+    tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+        *args, p, L_max, P_max)
+    top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+    segs_s, _ = dpo.banded_traceback(
+        tb, band_starts, args[4], top, 10, bw, L_max)
+    segs_p, band_err_p, _, _ = pdp.adaptive_banded_dp_tb(
+        *args, p, L_max, P_max, 10, block_reads=2, interpret=True)
+    segs_s, segs_p = np.asarray(segs_s), np.asarray(segs_p)
+    for i in range(B):
+        n = seq_lens[i] + 1
+        np.testing.assert_array_equal(segs_s[i, :n], segs_p[i, :n], str(i))

@@ -12,10 +12,10 @@ kernel keeps the whole recurrence on-core:
 * the band-position recurrence uses the same max-plus closure as
   ops/dp.py (cumsum + running-max), with lane scans implemented as
   Hillis-Steele passes over ``pltpu.roll``;
-* during the forward pass each row's moves are collapsed into an encoded
-  "last non-stay position" row ``cummax((lane << 1) | is_diag)`` so the
-  traceback needs just one masked-reduce per row per read
-  (reference semantics: tombo/_c_dynamic_programming.pyx:281-310).
+* the forward pass stores raw per-row move codes in VMEM; the traceback
+  resolves each row's "last non-stay position <= p" query with a single
+  masked max-reduce (reference semantics:
+  tombo/_c_dynamic_programming.pyx:281-310).
 
 Mosaic requires lane-dimension offsets to be 128-aligned, so all
 unaligned window gathers are expressed as an aligned dynamic slice
@@ -300,6 +300,33 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
     return kernel
 
 
+def _pallas_dp_block(ins, kernel, R: int, L: int, bwp: int,
+                     interpret: bool = False):
+    """One whole-array (grid-1) kernel invocation over an R-read slice."""
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[full] * 9,
+        out_specs=(full, full, full, full),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, L + 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, bwp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, L, bwp), jnp.int32),      # move codes
+            pltpu.VMEM((R, L), jnp.int32),           # band starts
+            pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
+            pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row
+            pltpu.VMEM((R, bwp), jnp.float32),       # window assembly
+            pltpu.VMEM((R, bwp), jnp.float32),       # diag assembly
+            pltpu.VMEM((R, bwp), jnp.float32),       # skip assembly
+        ],
+        interpret=interpret,
+    )(*ins)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "n_rows", "prefix_rows", "band_bound_thresh",
@@ -341,6 +368,22 @@ def adaptive_banded_dp_tb(
     col = lambda x: i32(x).reshape(B, 1)
 
     kernel = _make_kernel(params, R, L, P, E_tot, bwp, band_bound_thresh)
+    if R < 8 and R != B:
+        # Mosaic requires the sublane block dim to be a multiple of 8 or
+        # equal to the array dim; for small blocks (long reads with a
+        # large VMEM footprint) run one whole-array call per sub-batch
+        ins = (em, col(n_events), ref_means.astype(jnp.float32),
+               ref_sds.astype(jnp.float32), col(seq_lens),
+               i32(prefix_starts), col(prefix_valid_start),
+               i32(prefix_end), col(start_rows))
+        outs = []
+        for b0 in range(0, B, R):
+            outs.append(_pallas_dp_block(
+                tuple(a[b0:b0 + R] for a in ins), kernel, R, L, bwp,
+                interpret))
+        segs, band_err, bound_err, ffwd = (
+            jnp.concatenate([o[i] for o in outs]) for i in range(4))
+        return (segs, band_err[:, 0] != 0, bound_err[:, 0] != 0, ffwd)
     grid = (B // R,)
     bspec = lambda c: pl.BlockSpec((R, c), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM)
