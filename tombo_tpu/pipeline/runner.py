@@ -143,21 +143,33 @@ def resquiggle_all_reads(
         chunks: List[List[Tuple[str, ResquiggleResults]]] = []
 
         def iter_chunks():
-            chunk = []
+            # length-bucket within a sliding window of a few batches so
+            # padded device shapes stay tight on mixed-length datasets
+            window: List[Tuple[str, ResquiggleResults]] = []
+            window_cap = rc.batch_size * 4
+
+            def drain(n_batches):
+                window.sort(key=lambda t: t[1].raw_signal.shape[0])
+                for _ in range(n_batches):
+                    chunk, rest = (window[:rc.batch_size],
+                                   window[rc.batch_size:])
+                    del window[:]
+                    window.extend(rest)
+                    if chunk:
+                        chunks.append(chunk)
+                        yield [mr for _, mr in chunk]
+
             for fn, mr, err in map_iter:
                 if err is not None:
                     summary.n_failed += 1
                     summary.failure_modes[err] += 1
                     _write_status(fn, rc, bc_subgrp, err)
                     continue
-                chunk.append((fn, mr))
-                if len(chunk) >= rc.batch_size:
-                    chunks.append(chunk)
-                    yield [mr for _, mr in chunk]
-                    chunk = []
-            if chunk:
-                chunks.append(chunk)
-                yield [mr for _, mr in chunk]
+                window.append((fn, mr))
+                if len(window) >= window_cap:
+                    yield from drain(1)
+            while window:
+                yield from drain(1)
 
         # --- device-batched resquiggle + writeback
         for chunk_i, results in enumerate(
