@@ -177,6 +177,72 @@ def _stage1_rna_norm(raw, sig_lens, shift, scale, lower, upper, cpts,
     return norm, em
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "outlier_thresh", "w", "min_base_obs", "max_cpts", "sp", "use_pallas",
+    "use_event_scale", "scale_num_events", "scale_max_frac"))
+def _stage_a_rna(raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower,
+                 sv_upper, num_cpts, stall_starts, stall_ends, rm_start,
+                 rs_start, outlier_thresh: float, w: int,
+                 min_base_obs: int, max_cpts: int, sp: dpo.StartDpParams,
+                 use_pallas: bool, use_event_scale: bool,
+                 scale_num_events: int, scale_max_frac: float):
+    """RNA stages 1-3 in ONE device call: t-test changepoint scores ->
+    greedy selection -> stall-interval changepoint removal -> event-based
+    scale estimation -> normalization -> event means -> start DP +
+    validity score (reference flow: tombo/resquiggle.py:1057-1120 RNA
+    branches).  Returns compacted changepoints with per-read counts."""
+    raw_f = raw.astype(sv_shift.dtype)
+    scores = seg.cpt_scores_t_test_batch(raw_f, sig_lens, w)
+    cpts, status = sel.greedy_cpts_device(
+        scores, sig_lens - 2 * w, num_cpts, min_base_obs, w, max_cpts)
+
+    # stall removal (reference: tombo/tombo_stats.py:1576-1597): drop
+    # changepoints strictly inside any stall interval, then compact
+    idx = jnp.arange(max_cpts, dtype=jnp.int32)[None, :]
+    in_any = jnp.any(
+        (cpts[:, None, :] > stall_starts[:, :, None]) &
+        (cpts[:, None, :] < stall_ends[:, :, None]), axis=1)
+    valid = (idx < num_cpts[:, None].astype(jnp.int32)) & (~in_any)
+    big = jnp.int32(2 ** 30)
+    cpts = jnp.sort(jnp.where(valid, cpts, big), axis=1)
+    n_cpts = jnp.sum(valid, axis=1).astype(jnp.int32)
+    cpts = jnp.where(idx < n_cpts[:, None], cpts, 0)
+
+    # event-based scale estimation over raw event means (reference:
+    # tombo/tombo_stats.py:217-233 get_scale_values_from_events)
+    if use_event_scale:
+        k_sc = jnp.minimum(
+            jnp.int32(scale_num_events),
+            (n_cpts.astype(jnp.float32) * scale_max_frac).astype(jnp.int32))
+        em_raw = nrm.compute_base_means_batch(raw_f, cpts, n_cpts - 1)
+        n_means = jnp.maximum(k_sc - 1, 1)
+        shift = nrm.masked_median(em_raw, n_means)
+        scale = nrm.masked_mad(em_raw, shift, n_means)
+        lower = jnp.full_like(shift, -outlier_thresh)
+        upper = jnp.full_like(shift, outlier_thresh)
+    else:
+        _, shift, scale, lower, upper = nrm.normalize_median_batch(
+            raw_f, sig_lens, None)
+        lower = jnp.full_like(shift, jnp.nan)
+        upper = jnp.full_like(shift, jnp.nan)
+    shift = jnp.where(has_sv, sv_shift, shift)
+    scale = jnp.where(has_sv, sv_scale, scale)
+    lower = jnp.where(has_sv, sv_lower, lower)
+    upper = jnp.where(has_sv, sv_upper, upper)
+
+    norm, em = _stage1_rna_norm(raw_f, sig_lens, shift, scale, lower,
+                                upper, cpts, n_cpts - 1)
+
+    need = sp.num_bases + sp.num_events
+    em_p = em
+    if em_p.shape[1] < need:
+        em_p = jnp.pad(em_p, ((0, 0), (0, need - em_p.shape[1])))
+    start_segs, start_score, _ = _start_dp_with_score(
+        em_p[:, :need], rm_start, rs_start, sp, use_pallas)
+    return (norm, em, cpts, n_cpts, status, shift, scale, lower, upper,
+            start_segs, start_score)
+
+
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def _gather_clip_rows(em, rows, clips, out_width: int):
     """Gather per-read event-mean rows and left-clip each by ``clips``
@@ -334,47 +400,87 @@ class BatchedResquiggler:
         ncpts_j = jnp.asarray(_pad_rows(num_cpts, B_pad))
 
         if p.use_t_test_seg:
-            # RNA: scores + selection on device; normalization stays on
-            # the host because event-based scaling consumes the selected
-            # changepoints (reference: tombo/resquiggle.py:1079-1095)
-            cpts_j, status_j = _stage1_rna_select(
-                raw_j.astype(self.dtype), lens_j, ncpts_j, w,
-                p.min_obs_per_base, max_cpts)
-            cpts_np, status = _fetch(cpts_j, status_j)
+            # RNA: scores -> selection -> stall removal -> event-based
+            # scaling -> normalization -> event means -> start DP, all in
+            # one fused device call (reference flow:
+            # tombo/resquiggle.py:1057-1120 RNA branches)
+            has_sv = np.array(
+                [s.map_res.scale_values is not None for s in live])
+            sv_shift = np.zeros(B); sv_scale = np.ones(B)
+            sv_lower = np.full(B, np.nan)
+            sv_upper = np.full(B, np.nan)
+            K = max([1] + [len(s.map_res.stall_ints) for s in live
+                           if s.map_res.stall_ints is not None])
+            K = _round_up(K, 8)
+            stall_s = np.zeros((B, K), np.int64)
+            stall_e = np.zeros((B, K), np.int64)
+            nb = p.start_n_bases
+            rm_start = np.ones((B, nb))
+            rs_start = np.ones((B, nb))
+            for i, s in enumerate(live):
+                sv = s.map_res.scale_values
+                if sv is not None:
+                    sv_shift[i], sv_scale[i] = sv.shift, sv.scale
+                    if sv.lower_lim is not None:
+                        sv_lower[i] = sv.lower_lim
+                    if sv.upper_lim is not None:
+                        sv_upper[i] = sv.upper_lim
+                if s.map_res.stall_ints is not None:
+                    for k, (st, en) in enumerate(s.map_res.stall_ints):
+                        stall_s[i, k], stall_e[i, k] = st, en
+                if s.ref_means is not None and \
+                        s.ref_means.shape[0] >= nb:
+                    rm_start[i] = s.ref_means[:nb]
+                    rs_start[i] = s.ref_sds[:nb]
+            sp = dpo.StartDpParams(
+                z_shift=p.z_shift, skip_pen=p.skip_pen,
+                stay_pen=p.stay_pen,
+                max_half_z_score=p.max_half_z_score or -1.0,
+                num_bases=nb, num_events=p.start_bw)
+            (norm_j, em_j, cpts_j, n_cpts_j, status_j, shift, scale,
+             lower, upper, start_segs_j, start_score_j) = _stage_a_rna(
+                raw_j, lens_j, jnp.asarray(_pad_rows(has_sv, B_pad)),
+                jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
+                ncpts_j, jnp.asarray(_pad_rows(stall_s, B_pad)),
+                jnp.asarray(_pad_rows(stall_e, B_pad)),
+                jnp.asarray(_pad_rows(rm_start.astype(self.dtype), B_pad)),
+                jnp.asarray(_pad_rows(rs_start.astype(self.dtype), B_pad)),
+                float(self.outlier_thresh), w, p.min_obs_per_base,
+                max_cpts, sp, _use_pallas(), config.USE_RNA_EVENT_SCALE,
+                config.RNA_SCALE_NUM_EVENTS,
+                float(config.RNA_SCALE_MAX_FRAC_EVENTS))
+            (cpts_np, n_cpts, status, shift, scale, lower, upper,
+             start_segs, start_score) = _fetch(
+                cpts_j, n_cpts_j, status_j, shift, scale, lower, upper,
+                start_segs_j, start_score_j)
             cpts_np = cpts_np.astype(np.int64)[:B]
+            n_cpts = n_cpts[:B]
             status = status[:B]
-            em_w = 1
+            shift = shift[:B]; scale = scale[:B]
+            lower = lower[:B]; upper = upper[:B]
             for i, s in enumerate(live):
                 if status[i] != 0:
                     s.error = "Fewer changepoints found than requested"
                     continue
-                valid_cpts = cpts_np[i, :s.num_events].copy()
-                if s.map_res.stall_ints is not None:
-                    valid_cpts = rsq.remove_stall_cpts(
-                        s.map_res.stall_ints, valid_cpts)
-                s.cpts = valid_cpts
-                s.n_ev = valid_cpts.shape[0] - 1
-                if s.map_res.scale_values is not None:
-                    sv = s.map_res.scale_values
-                elif config.USE_RNA_EVENT_SCALE:
-                    sv = rsq.get_scale_values_from_events(
-                        s.raw, s.cpts, self.outlier_thresh,
-                        num_events=config.RNA_SCALE_NUM_EVENTS,
-                        max_frac_events=config.RNA_SCALE_MAX_FRAC_EVENTS)
-                else:
-                    sv = None
-                s.norm, s.scale_values = rsq.normalize_raw_signal(
-                    s.raw, scale_values=sv)
-                s.event_means = ref_impl.new_means(s.norm, s.cpts)
-                em_w = max(em_w, s.n_ev)
-            # upload host event means for the device DP stages
-            em_w = _pow2_bucket(em_w, 256)
-            em_pad = np.zeros((B, em_w))
-            for i, s in enumerate(live):
-                if s.error is None:
-                    em_pad[i, :s.n_ev] = s.event_means[:em_w]
-            em_j = jnp.asarray(_pad_rows(
-                em_pad.astype(self.dtype), B_pad))
+                s.cpts = cpts_np[i, :n_cpts[i]]
+                s.n_ev = int(n_cpts[i]) - 1
+                s.norm = None          # recomputed host-side on demand
+                s.event_means = None
+                s.scale_values = ScaleValues(
+                    float(shift[i]), float(scale[i]),
+                    None if np.isnan(lower[i]) else float(lower[i]),
+                    None if np.isnan(upper[i]) else float(upper[i]),
+                    None)
+                # stall removal may have dropped below the adaptive-DP
+                # minimum: route to the static fallback
+                if s.n_ev < p.start_bw + p.start_n_bases:
+                    s.use_static = True
+            return {"em": em_j,
+                    "start": (start_segs.astype(np.int64)[:B],
+                              start_score.astype(np.float64)[:B])}
         else:
             # DNA: stages 1-3 (normalize -> select -> event means -> start
             # DP + validity score) run in one fused device call; only the
@@ -792,19 +898,16 @@ class BatchedResquiggler:
 
     # ------------------------------------------------------------ run API
     def _run_pass(self, states: List[_ReadState]):
-        if self.params.use_t_test_seg:
-            # RNA: event count depends on stall removal, so planning
-            # follows segmentation
-            ctx = self._segment_batch(states)
-            self._plan_reads(states)
-        else:
-            # DNA: event count is deterministic, so planning runs first
-            # and segmentation + start discovery fuse into one device call
-            for s in states:
-                if s.error is None:
-                    s.n_ev = s.num_events - 1
-            self._plan_reads(states)
-            ctx = self._segment_batch(states)
+        # planning first (expected levels need only the mapped sequence);
+        # segmentation + start discovery then fuse into one device call.
+        # RNA stall removal can shrink the event count below the adaptive
+        # minimum after the fact; those reads are re-routed to the static
+        # fallback inside _segment_batch.
+        for s in states:
+            if s.error is None:
+                s.n_ev = s.num_events - 1
+        self._plan_reads(states)
+        ctx = self._segment_batch(states)
         if ctx is not None:
             failed_start = self._start_discovery(
                 states, ctx, self.params.start_bw, check_score=True,
