@@ -155,18 +155,6 @@ def _stage1_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
     return norm, em, cpts, status, shift, scale, lower, upper
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "w", "min_base_obs", "max_cpts"))
-def _stage1_rna_select(raw, sig_lens, num_cpts, w: int, min_base_obs: int,
-                       max_cpts: int):
-    """RNA stage 1a: t-test changepoint scores on raw signal + greedy
-    selection (normalization follows on the host side since RNA event
-    scaling consumes the selected changepoints)."""
-    scores = seg.cpt_scores_t_test_batch(raw, sig_lens, w)
-    return sel.greedy_cpts_device(
-        scores, sig_lens - 2 * w, num_cpts, min_base_obs, w, max_cpts)
-
-
 @jax.jit
 def _stage1_rna_norm(raw, sig_lens, shift, scale, lower, upper, cpts,
                      n_segs):
