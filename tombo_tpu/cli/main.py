@@ -114,6 +114,7 @@ def _resquiggle_main(args):
         if args.sequence_length_range else None,
         sig_match_thresh=args.signal_matching_score,
         skip_index=args.skip_index,
+        progress=not args.quiet,
         compute_sd=args.include_event_stdev,
         num_io_threads=args.processes * args.threads_per_process,
         batch_size=args.batch_size)

@@ -48,6 +48,43 @@ from ..types import ResquiggleResults, ScaleValues, SeqSampleType
 from . import resquiggle as rsq
 
 
+import time as _time
+from collections import defaultdict as _dd
+
+# per-stage wall-clock accumulators, enabled with TOMBO_TPU_PROFILE=1
+# (the TPU-era analog of the reference's _PROFILE_* cProfile toggles,
+# reference: tombo/resquiggle.py:72-73, tombo/tombo_stats.py:68-74)
+STAGE_TIMINGS = _dd(float)
+
+
+def _profiling() -> bool:
+    return os.environ.get("TOMBO_TPU_PROFILE", "") == "1"
+
+
+def _timed_stage(name):
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            if not _profiling():
+                return fn(*a, **k)
+            t0 = _time.perf_counter()
+            try:
+                return fn(*a, **k)
+            finally:
+                STAGE_TIMINGS[name] += _time.perf_counter() - t0
+        return wrapper
+    return deco
+
+
+def print_stage_timings(out=None):
+    import sys
+    out = out or sys.stderr
+    total = sum(STAGE_TIMINGS.values())
+    for name, t in sorted(STAGE_TIMINGS.items(), key=lambda kv: -kv[1]):
+        out.write("  %-18s %8.3f s (%4.1f%%)\n" % (
+            name, t, 100 * t / total if total else 0))
+
+
 def _use_pallas() -> bool:
     """Fused Pallas DP by default on TPU backends; scan engine elsewhere
     (Pallas interpret mode on CPU is far slower than the scan).  Override
@@ -357,6 +394,7 @@ class BatchedResquiggler:
                 seq_samp_type.name, use_save_bandwidth=True).bandwidth)
 
     # ------------------------------------------------------- stage drivers
+    @_timed_stage("segment")
     def _segment_batch(self, states: List[_ReadState]):
         """Stages 1-3: normalize, changepoint-select, event means."""
         p = self.params
@@ -537,6 +575,7 @@ class BatchedResquiggler:
                               start_score.astype(np.float64)[:B])}
         return {"em": em_j}
 
+    @_timed_stage("plan")
     def _plan_reads(self, states: List[_ReadState]):
         """Expected levels + start discovery routing."""
         p = self.params
@@ -561,6 +600,7 @@ class BatchedResquiggler:
                     r_means.shape[0] < p.start_n_bases):
                 s.use_static = True
 
+    @_timed_stage("start")
     def _start_discovery(self, states: List[_ReadState], ctx,
                          start_bw: int, check_score: bool,
                          precomputed=None):
@@ -624,6 +664,7 @@ class BatchedResquiggler:
             s.mapped_start = int(start_tb[0])
         return failed
 
+    @_timed_stage("adaptive")
     def _adaptive_batch(self, states: List[_ReadState], ctx):
         """Stage 5: masked-start prefix + adaptive DP + traceback."""
         p = self.params
@@ -753,6 +794,7 @@ class BatchedResquiggler:
             s.dp_segs = seq_segs
             s.dp_rsrtr = rsrtr
 
+    @_timed_stage("static")
     def _static_reads(self, states: List[_ReadState], ctx):
         """Short-read static-band fallback (host; rare)."""
         for s in states:
@@ -771,6 +813,7 @@ class BatchedResquiggler:
             except TomboTpuError as e:
                 s.error = str(e)
 
+    @_timed_stage("finalize")
     def _finalize(self, states: List[_ReadState], skip_seq_scaling=False):
         """Stage 6: deletion fix, rescale, score (host).
 

@@ -42,6 +42,7 @@ class RunConfig:
     obs_filter: Optional[List[Tuple[float, float]]] = None
     batch_size: int = 64
     num_io_threads: int = 8
+    progress: bool = False
     skip_index: bool = False
     compute_sd: bool = False
     dry_run: bool = False
@@ -172,11 +173,21 @@ def resquiggle_all_reads(
                 yield from drain(1)
 
         # --- device-batched resquiggle + writeback
+        bar = None
+        if rc.progress:
+            try:
+                from tqdm import tqdm
+                bar = tqdm(total=len(all_fns), smoothing=0,
+                           desc="Re-squiggling reads")
+            except ImportError:
+                pass
         for chunk_i, results in enumerate(
                 resquiggler.resquiggle_batches(
                     iter_chunks(), pipeline_depth=2,
                     max_scaling_iters=rc.max_scaling_iters)):
             chunk = chunks[chunk_i]
+            if bar is not None:
+                bar.update(len(chunk))
             for (fn, mr), (res, err) in zip(chunk, results):
                 if err is not None:
                     summary.n_failed += 1
@@ -217,6 +228,12 @@ def resquiggle_all_reads(
                             res.mean_q_score, res.align_info.read_id))
 
         map_pool.shutdown(wait=True)
+        if bar is not None:
+            bar.close()
+        import os as _os
+        if _os.environ.get("TOMBO_TPU_PROFILE", "") == "1":
+            from .batch import print_stage_timings
+            print_stage_timings()
         if reads_index is not None and not rc.dry_run:
             reads_index.write_index_file()
     finally:
