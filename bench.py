@@ -33,7 +33,7 @@ from tombo_tpu.types import SeqSampleType, SequenceData
 READ_LEN = 1000          # bases per read (E. coli-like)
 BATCH_SIZE = 64
 N_BATCHES = 4
-N_CPU_READS = 8          # single-read host-path sample for the baseline
+N_CPU_READS = 16         # single-read host-path sample for the baseline
 
 
 def build_dataset(n_reads):

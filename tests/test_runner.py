@@ -59,3 +59,49 @@ def test_directory_run(tmp_path):
         RunConfig(overwrite=False, batch_size=4, num_io_threads=2))
     assert summary2.n_success == 0
     assert summary2.n_failed == 8
+
+
+def test_failure_taxonomy_and_retry(tmp_path):
+    """Unmappable and truncated reads are recorded per failure mode and do
+    not crash the run (reference behavior: tombo/resquiggle.py:1704-1806)."""
+    import numpy as np
+    from tombo_tpu.testing import (random_reference, simulate_read,
+                                   write_synthetic_fast5)
+
+    tmp = str(tmp_path)
+    rng = np.random.default_rng(3)
+    fasta = random_reference(rng, 4000)
+    other = random_reference(np.random.default_rng(99), 4000, name="other")
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    fast5_dir = os.path.join(tmp, "fast5s")
+    os.makedirs(fast5_dir)
+    good = bad = 0
+    for i in range(6):
+        read = simulate_read(rng, fasta, model, read_len=300,
+                             read_id="ok_%02d" % i)
+        write_synthetic_fast5(
+            os.path.join(fast5_dir, read.read_id + ".fast5"), read)
+        good += 1
+    for i in range(3):
+        # reads from a different genome: alignment must fail cleanly
+        read = simulate_read(rng, other, model, read_len=300,
+                             read_id="bad_%02d" % i)
+        read.chrm = "other"
+        write_synthetic_fast5(
+            os.path.join(fast5_dir, read.read_id + ".fast5"), read)
+        bad += 1
+
+    summary, idx = resquiggle_all_reads(
+        fast5_dir, ExactAligner(fasta), model,
+        SeqSampleType(config.DNA_SAMP_TYPE, False),
+        config.load_resquiggle_parameters(config.DNA_SAMP_TYPE),
+        RunConfig(overwrite=True, batch_size=4, num_io_threads=2))
+    assert summary.n_success == good
+    assert summary.n_failed == bad
+    assert sum(summary.failure_modes.values()) == bad
+    # failure status recorded into the FAST5 corrected group
+    import h5py
+    with h5py.File(os.path.join(fast5_dir, "bad_00.fast5")) as fp:
+        grp = fp["/Analyses/" + config.DEFAULT_CORRECTED_GROUP + "/" +
+                 config.DEFAULT_BASECALL_SUBGROUP]
+        assert grp.attrs["status"] != "success"
