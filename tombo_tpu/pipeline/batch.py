@@ -202,6 +202,29 @@ def _stage1_rna_norm(raw, sig_lens, shift, scale, lower, upper, cpts,
     return norm, em
 
 
+@functools.partial(jax.jit, static_argnames=("sp", "use_pallas"))
+def _stage_a_rescale(raw, sig_lens, sv_shift, sv_scale, sv_lower, sv_upper,
+                     cpts, n_cpts, rm_start, rs_start,
+                     sp: dpo.StartDpParams, use_pallas: bool):
+    """Rescale-iteration stage A: changepoint scores are invariant under
+    the affine re-normalization (the diff/t-statistic scorers scale by a
+    positive constant, preserving the greedy selection), so redo passes
+    reuse the first pass's changepoints and only re-normalize, recompute
+    event means and re-run start discovery."""
+    raw_f = raw.astype(sv_shift.dtype)
+    norm = nrm.normalize_with_scale_batch(
+        raw_f, sig_lens, sv_shift, sv_scale, sv_lower, sv_upper)
+    em = nrm.compute_base_means_batch(norm, cpts,
+                                      n_cpts.astype(jnp.int32) - 1)
+    need = sp.num_bases + sp.num_events
+    em_p = em
+    if em_p.shape[1] < need:
+        em_p = jnp.pad(em_p, ((0, 0), (0, need - em_p.shape[1])))
+    start_segs, start_score, _ = _start_dp_with_score(
+        em_p[:, :need], rm_start, rs_start, sp, use_pallas)
+    return norm, em, start_segs, start_score
+
+
 @functools.partial(jax.jit, static_argnames=(
     "outlier_thresh", "w", "min_base_obs", "max_cpts", "sp", "use_pallas",
     "use_event_scale", "scale_num_events", "scale_max_frac"))
@@ -425,6 +448,13 @@ class BatchedResquiggler:
         max_cpts = _pow2_bucket(int(num_cpts.max()), 256)
         ncpts_j = jnp.asarray(_pad_rows(num_cpts, B_pad))
 
+        # rescale iterations: every read carries scale values and its
+        # first-pass changepoints; selection is skipped entirely
+        if all(s.map_res.scale_values is not None and s.cpts is not None
+               for s in live):
+            return self._segment_rescale(live, raw_j, lens_j, B, B_pad,
+                                         max_cpts)
+
         if p.use_t_test_seg:
             # RNA: scores -> selection -> stall removal -> event-based
             # scaling -> normalization -> event means -> start DP, all in
@@ -574,6 +604,60 @@ class BatchedResquiggler:
                     "start": (start_segs.astype(np.int64)[:B],
                               start_score.astype(np.float64)[:B])}
         return {"em": em_j}
+
+    def _segment_rescale(self, live, raw_j, lens_j, B, B_pad, max_cpts):
+        """Rescale-pass segmentation: reuse first-pass changepoints (the
+        greedy selection is invariant under affine re-normalization) and
+        only re-normalize + recompute event means + start discovery."""
+        p = self.params
+        nb = p.start_n_bases
+        max_n = max(s.cpts.shape[0] for s in live)
+        max_n = _pow2_bucket(max_n, 256)
+        cpts = np.zeros((B, max_n), np.int64)
+        n_cpts = np.zeros(B, np.int64)
+        sv_shift = np.zeros(B); sv_scale = np.ones(B)
+        sv_lower = np.full(B, np.nan)
+        sv_upper = np.full(B, np.nan)
+        rm_start = np.ones((B, nb))
+        rs_start = np.ones((B, nb))
+        for i, s in enumerate(live):
+            n = s.cpts.shape[0]
+            cpts[i, :n] = s.cpts
+            n_cpts[i] = n
+            sv = s.map_res.scale_values
+            sv_shift[i], sv_scale[i] = sv.shift, sv.scale
+            if sv.lower_lim is not None:
+                sv_lower[i] = sv.lower_lim
+            if sv.upper_lim is not None:
+                sv_upper[i] = sv.upper_lim
+            if s.ref_means is not None and s.ref_means.shape[0] >= nb:
+                rm_start[i] = s.ref_means[:nb]
+                rs_start[i] = s.ref_sds[:nb]
+        sp = dpo.StartDpParams(
+            z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
+            max_half_z_score=p.max_half_z_score or -1.0,
+            num_bases=nb, num_events=p.start_bw)
+        norm_j, em_j, start_segs_j, start_score_j = _stage_a_rescale(
+            raw_j, lens_j,
+            jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(cpts, B_pad)),
+            jnp.asarray(_pad_rows(n_cpts, B_pad)),
+            jnp.asarray(_pad_rows(rm_start.astype(self.dtype), B_pad)),
+            jnp.asarray(_pad_rows(rs_start.astype(self.dtype), B_pad)),
+            sp, _use_pallas())
+        start_segs, start_score = _fetch(start_segs_j, start_score_j)
+        for i, s in enumerate(live):
+            s.n_ev = s.cpts.shape[0] - 1
+            s.norm = None
+            s.event_means = None
+            sv = s.map_res.scale_values
+            s.scale_values = sv.replace()
+        return {"em": em_j,
+                "start": (start_segs.astype(np.int64)[:B],
+                          start_score.astype(np.float64)[:B])}
 
     @_timed_stage("plan")
     def _plan_reads(self, states: List[_ReadState]):
