@@ -20,7 +20,7 @@ def test_cli_full_workflow(ds, capsys):
     tmp, ref_fn, fast5_dir = ds
 
     # resquiggle
-    assert main(["resquiggle", fast5_dir, ref_fn, "--overwrite",
+    assert main(["resquiggle", fast5_dir, ref_fn, "--overwrite", "--allow-exact-aligner",
                  "--dna", "--processes", "2"]) == 0
     out = capsys.readouterr().out
     assert "succeeded" in out
@@ -132,7 +132,7 @@ def test_preprocess_annotate_fastqs(tmp_path):
     fasta_fn = str(tmp_path / "ref.fasta")
     fasta.write(fasta_fn)
     assert main(["resquiggle", fast5_dir, fasta_fn, "--overwrite",
-                 "--dna", "-q"]) == 0
+                 "--allow-exact-aligner", "--dna", "-q"]) == 0
     from tombo_tpu.io.index import ReadsIndex
     idx = ReadsIndex([fast5_dir])
     assert sum(len(v) for v in idx.reads_index.values()) == 5

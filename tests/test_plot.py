@@ -15,7 +15,7 @@ def ds(tmp_path_factory):
         tmp, n_reads=12, seed=17, read_len=400, ref_len=2500)
     ref_fn = os.path.join(tmp, "reference.fasta")
     assert main(["resquiggle", fast5_dir, ref_fn, "--overwrite", "--dna",
-                 "-q"]) == 0
+                 "--allow-exact-aligner", "-q"]) == 0
     stats_bn = os.path.join(tmp, "pl")
     assert main(["detect_modifications", "de_novo", fast5_dir,
                  "--statistics-file-basename", stats_bn,

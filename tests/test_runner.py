@@ -61,6 +61,47 @@ def test_directory_run(tmp_path):
     assert summary2.n_failed == 8
 
 
+def test_all_basecall_subgroups_processed(tmp_path):
+    """Every requested basecall subgroup yields its own corrected subgroup
+    (reference behavior: tombo/resquiggle.py:1612-1656 iterates all
+    subgroups per read)."""
+    from tombo_tpu.testing import (random_reference, simulate_read,
+                                   write_synthetic_fast5)
+
+    rng = np.random.default_rng(7)
+    fasta = random_reference(rng, 5000)
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    fast5_dir = os.path.join(str(tmp_path), "fast5s")
+    os.makedirs(fast5_dir)
+    subgroups = ("BaseCalled_template", "BaseCalled_complement")
+    n_reads = 4
+    for i in range(n_reads):
+        read = simulate_read(rng, fasta, model, read_len=300,
+                             read_id="multi_%02d" % i)
+        fn = os.path.join(fast5_dir, read.read_id + ".fast5")
+        write_synthetic_fast5(fn, read, bc_subgrp=subgroups[0])
+        with h5py.File(fn, "r+") as f:
+            src = ("Analyses/" + config.DEFAULT_BASECALL_GROUP + "/" +
+                   subgroups[0])
+            f.copy(f[src], f[src].parent, name=subgroups[1])
+
+    summary, idx = resquiggle_all_reads(
+        fast5_dir, ExactAligner(fasta), model,
+        SeqSampleType(config.DNA_SAMP_TYPE, False),
+        config.load_resquiggle_parameters(config.DNA_SAMP_TYPE),
+        RunConfig(overwrite=True, batch_size=4, num_io_threads=2,
+                  basecall_subgroups=subgroups))
+    assert summary.n_success == n_reads * len(subgroups), summary.as_dict()
+    with h5py.File(os.path.join(fast5_dir, "multi_00.fast5")) as fp:
+        corr = fp["/Analyses/" + config.DEFAULT_CORRECTED_GROUP]
+        for sg in subgroups:
+            assert corr[sg].attrs["status"] == "success"
+            assert "Events" in corr[sg]
+    # both subgroups land in the index
+    assert sum(len(v) for v in idx.reads_index.values()) == \
+        n_reads * len(subgroups)
+
+
 def test_failure_taxonomy_and_retry(tmp_path):
     """Unmappable and truncated reads are recorded per failure mode and do
     not crash the run (reference behavior: tombo/resquiggle.py:1704-1806)."""

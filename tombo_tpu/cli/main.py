@@ -41,6 +41,31 @@ def _add_common(p):
     p.add_argument("--quiet", "-q", action="store_true")
 
 
+def _open_genomic_aligner(args):
+    """Open minimap2 for genomic resquiggle; never silently downgrade.
+
+    The reference hard-fails when mappy is unavailable
+    (reference: tombo/resquiggle.py:14-21).  The built-in exact aligner
+    maps ~nothing on real error-prone reads, so it is only usable behind
+    an explicit opt-in flag.
+    """
+    from ..io.fasta import Fasta
+    from ..pipeline.aligner import ExactAligner, MappyAligner
+    try:
+        return MappyAligner(args.reference)
+    except TomboTpuError as e:
+        if not getattr(args, "allow_exact_aligner", False):
+            raise TomboTpuError(
+                "minimap2 (mappy) could not be loaded (%s). The built-in "
+                "exact aligner fails to map real error-prone reads; pass "
+                "--allow-exact-aligner to use it anyway (synthetic or "
+                "error-free reads only)." % e)
+        print("WARNING: mappy unavailable; using the built-in exact "
+              "aligner. Real error-prone reads will fail to map.",
+              file=sys.stderr)
+        return ExactAligner(Fasta(args.reference))
+
+
 def _reads_index(dirs, args):
     from ..io.index import ReadsIndex
     return ReadsIndex(dirs, args.corrected_group,
@@ -52,9 +77,7 @@ def _reads_index(dirs, args):
 def _resquiggle_main(args):
     import jax.numpy as jnp
     from ..io import fast5 as f5io
-    from ..io.fasta import Fasta
     from ..io.model_io import KmerModel
-    from ..pipeline.aligner import ExactAligner, MappyAligner
     from ..pipeline.runner import RunConfig, resquiggle_all_reads
     from ..types import SeqSampleType
 
@@ -84,10 +107,7 @@ def _resquiggle_main(args):
         std_ref = KmerModel.load(args.tombo_model_filename)
     else:
         std_ref = KmerModel.load_default(samp_type)
-    try:
-        aligner = MappyAligner(args.reference)
-    except TomboTpuError:
-        aligner = ExactAligner(Fasta(args.reference))
+    aligner = _open_genomic_aligner(args)
 
     params = config.load_resquiggle_parameters(samp_type)
     if args.signal_align_parameters:
@@ -152,6 +172,9 @@ def _add_resquiggle_parser(subparsers):
     p.add_argument("--signal-align-parameters", type=float, nargs="+")
     p.add_argument("--segmentation-parameters", type=int, nargs="+")
     p.add_argument("--include-event-stdev", action="store_true")
+    p.add_argument("--allow-exact-aligner", action="store_true",
+                   help="Permit the built-in exact aligner when mappy is "
+                        "unavailable (synthetic/error-free reads only).")
     p.add_argument("--skip-index", action="store_true")
     p.add_argument("--threads-per-process", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=64)
@@ -624,13 +647,8 @@ def _add_build_model_parsers(subparsers):
     p.set_defaults(func=_est_motif_alt)
 
     def _event_rsq(args):
-        from ..io.fasta import Fasta
-        from ..pipeline.aligner import ExactAligner, MappyAligner
         from ..pipeline.event_resquiggle import event_resquiggle_all_reads
-        try:
-            aligner = MappyAligner(args.reference)
-        except TomboTpuError:
-            aligner = ExactAligner(Fasta(args.reference))
+        aligner = _open_genomic_aligner(args)
         n_ok, n_fail, fails = event_resquiggle_all_reads(
             args.fast5_basedir, aligner, args.basecall_group,
             args.basecall_subgroups[0], args.corrected_group,
@@ -648,6 +666,9 @@ def _add_build_model_parsers(subparsers):
     p.add_argument("reference")
     p.add_argument("--basecall-group", default="Basecall_1D_000")
     p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--allow-exact-aligner", action="store_true",
+                   help="Permit the built-in exact aligner when mappy is "
+                        "unavailable (synthetic/error-free reads only).")
     _add_common(p)
     p.set_defaults(func=_event_rsq)
 

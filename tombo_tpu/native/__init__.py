@@ -41,7 +41,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH) and not _try_build():
+        # Always invoke make (incremental; a no-op when up to date) so an
+        # edited csrc/tombo_native.cpp never runs behind a stale binary.
+        # Fall back to an existing library only if no toolchain is present.
+        if not _try_build() and not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
         try:

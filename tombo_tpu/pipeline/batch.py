@@ -9,7 +9,7 @@ runs batch N under JAX async dispatch).
 
 This replaces the reference's N-process × M-thread CPU fan-out
 (reference: tombo/resquiggle.py:1859-1948 ``resquiggle_all_reads``) with a
-single host feeding a device (and, via pipeline/sharding.py, a mesh of
+single host feeding a device (and, via parallel/mesh.py, a mesh of
 devices with batches sharded data-parallel).
 
 Stage map (mirrors the single-read path in pipeline/resquiggle.py):

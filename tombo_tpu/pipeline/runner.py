@@ -63,8 +63,8 @@ class RunSummary:
 
 def _load_and_map_one(fast5_fn: str, aligner, std_ref,
                       seq_samp_type: SeqSampleType, rc: RunConfig,
-                      rsqgl_params):
-    """Host I/O + mapping for one read (thread-pool work item); mirrors
+                      rsqgl_params, bc_subgrp: str):
+    """Host I/O + mapping for one (read, basecall subgroup) unit; mirrors
     reference: tombo/resquiggle.py:1385-1481 ``_io_and_map_read``."""
     import h5py
     with h5py.File(fast5_fn, "r") as fast5_data:
@@ -74,11 +74,10 @@ def _load_and_map_one(fast5_fn: str, aligner, std_ref,
                 rc.signal_length_range[1]):
             raise TomboTpuError("Raw signal not within --signal-length-range")
         seq_data = f5io.get_read_seq(
-            fast5_data, rc.basecall_group, rc.basecall_subgroups[0],
+            fast5_data, rc.basecall_group, bc_subgrp,
             seq_samp_type.name == config.RNA_SAMP_TYPE, rc.q_score_thresh)
     map_res = rsq.map_read(seq_data, aligner, std_ref, seq_samp_type,
-                           rc.basecall_subgroups[0],
-                           rc.sequence_length_range)
+                           bc_subgrp, rc.sequence_length_range)
     if invalid := _invalid_seq(map_res.genome_seq):
         raise TomboTpuError(
             "Reference mapping contains non-canonical bases")
@@ -117,21 +116,33 @@ def resquiggle_all_reads(
                 std_ref, rsqgl_params, seq_samp_type, rc.outlier_thresh)
 
         all_fns = list(f5io.iter_fast5_reads(fast5s_dir))
-        bc_subgrp = rc.basecall_subgroups[0]
 
-        # --- threaded host stage: prep + read + map
+        # --- threaded host stage: prep + read + map. One work unit per
+        # (FAST5 file, basecall subgroup), matching the reference's
+        # all-subgroup iteration (reference: tombo/resquiggle.py:1612-1656).
         def map_worker(fn):
             try:
                 if not rc.dry_run:
                     f5io.prep_fast5(fn, rc.corrected_group, rc.overwrite,
                                     rc.basecall_group)
-                mr = _load_and_map_one(fn, aligner, std_ref, seq_samp_type,
-                                       rc, rsqgl_params)
-                return fn, mr, None
             except TomboTpuError as e:
-                return fn, None, str(e)
-            except Exception as e:  # unexpected: record, don't crash run
-                return fn, None, "Unexpected error: " + repr(e)
+                return [(fn, rc.basecall_subgroups[0], None, str(e))]
+            except Exception as e:
+                return [(fn, rc.basecall_subgroups[0], None,
+                         "Unexpected error: " + repr(e))]
+            units = []
+            for subgrp in rc.basecall_subgroups:
+                try:
+                    mr = _load_and_map_one(fn, aligner, std_ref,
+                                           seq_samp_type, rc, rsqgl_params,
+                                           subgrp)
+                    units.append((fn, subgrp, mr, None))
+                except TomboTpuError as e:
+                    units.append((fn, subgrp, None, str(e)))
+                except Exception as e:  # unexpected: record, don't crash
+                    units.append((fn, subgrp, None,
+                                  "Unexpected error: " + repr(e)))
+            return units
 
         # --- streaming pipeline: mapping threads feed device batches;
         # two batches are in flight so one batch's host stages overlap
@@ -160,15 +171,16 @@ def resquiggle_all_reads(
                         chunks.append(chunk)
                         yield [mr for _, mr in chunk]
 
-            for fn, mr, err in map_iter:
-                if err is not None:
-                    summary.n_failed += 1
-                    summary.failure_modes[err] += 1
-                    _write_status(fn, rc, bc_subgrp, err)
-                    continue
-                window.append((fn, mr))
-                if len(window) >= window_cap:
-                    yield from drain(1)
+            for units in map_iter:
+                for fn, subgrp, mr, err in units:
+                    if err is not None:
+                        summary.n_failed += 1
+                        summary.failure_modes[err] += 1
+                        _write_status(fn, rc, subgrp, err)
+                        continue
+                    window.append((fn, mr))
+                    if len(window) >= window_cap:
+                        yield from drain(1)
             while window:
                 yield from drain(1)
 
@@ -177,8 +189,8 @@ def resquiggle_all_reads(
         if rc.progress:
             try:
                 from tqdm import tqdm
-                bar = tqdm(total=len(all_fns), smoothing=0,
-                           desc="Re-squiggling reads")
+                bar = tqdm(total=len(all_fns) * len(rc.basecall_subgroups),
+                           smoothing=0, desc="Re-squiggling reads")
             except ImportError:
                 pass
         for chunk_i, results in enumerate(
@@ -192,7 +204,7 @@ def resquiggle_all_reads(
                 if err is not None:
                     summary.n_failed += 1
                     summary.failure_modes[err] += 1
-                    _write_status(fn, rc, bc_subgrp, err)
+                    _write_status(fn, rc, mr.align_info.subgroup, err)
                     continue
                 try:
                     if not rc.dry_run:
@@ -223,7 +235,8 @@ def resquiggle_all_reads(
                             res.genome_loc.start, mapped_end, is_filtered,
                             res.read_start_rel_to_raw,
                             res.genome_loc.strand, fn,
-                            rc.corrected_group + "/" + bc_subgrp,
+                            rc.corrected_group + "/" +
+                            res.align_info.subgroup,
                             seq_samp_type.rev_sig, res.sig_match_score,
                             res.mean_q_score, res.align_info.read_id))
 
