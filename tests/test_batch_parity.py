@@ -71,6 +71,26 @@ def test_batch_matches_single(samp_type, sim_kw):
         assert b_res.genome_seq == s_res.genome_seq
 
 
+def test_batch_long_read_save_bandwidth():
+    """A long read through the batched lane at the save bandwidth (the
+    retry lane for hard reads) matches the single-read path; on TPU this
+    shape routes to the seq-axis-chunked Pallas kernels."""
+    samp_type = config.DNA_SAMP_TYPE
+    model, params, sst, map_results, _ = _prep_reads(
+        1, samp_type, seed=23, read_len=8000)
+    save_params = config.load_resquiggle_parameters(
+        samp_type, use_save_bandwidth=True)
+    single = rsq.resquiggle_read_with_retries(
+        map_results[0], model, save_params, save_params,
+        outlier_thresh=config.OUTLIER_THRESH, seq_samp_type=sst)
+    br = BatchedResquiggler(model, save_params, sst, config.OUTLIER_THRESH,
+                            dtype=jnp.float64)
+    (res, err), = br.resquiggle_batch(map_results)
+    assert err is None, err
+    assert res.segs.shape[0] == single.segs.shape[0]
+    assert np.mean(res.segs == single.segs) > 0.99
+
+
 def test_batch_rna():
     model, params, sst, map_results, _ = _prep_reads(
         3, config.RNA_SAMP_TYPE, read_len=1700, mean_dwell=12.0,

@@ -57,6 +57,61 @@ def test_pallas_matches_scan_engine():
                                np.asarray(ffwd)[:, :bw], atol=1e-4)
 
 
+def test_pallas_chunked_matches_scan_engine():
+    """Seq-axis-chunked kernels (long-read path: carried band state across
+    grid steps, int8 move codes in HBM) match the scan engine."""
+    p, args, seq_lens = _mk_case(5)
+    B, L_max, P_max, bw = 8, 128, 64, 32
+
+    tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+        *args, p, L_max, P_max)
+    top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+    segs_s, bound_err_s = dpo.banded_traceback(
+        tb, band_starts, args[4], top, 10, bw, L_max)
+
+    for R, Lc in ((4, 32), (8, 64)):
+        segs_p, band_err_p, bound_err_p, ffwd = \
+            pdp.adaptive_banded_dp_tb_chunked(
+                *args, p, L_max, P_max, 10, block_reads=R, chunk_rows=Lc,
+                interpret=True)
+        np.testing.assert_array_equal(np.asarray(band_err),
+                                      np.asarray(band_err_p))
+        np.testing.assert_array_equal(np.asarray(bound_err_s),
+                                      np.asarray(bound_err_p))
+        segs_s_np, segs_p_np = np.asarray(segs_s), np.asarray(segs_p)
+        for i in range(B):
+            n = seq_lens[i] + 1
+            np.testing.assert_array_equal(
+                segs_s_np[i, :n], segs_p_np[i, :n], "%d/%d/%d" % (R, Lc, i))
+        np.testing.assert_allclose(np.asarray(final_fwd),
+                                   np.asarray(ffwd)[:, :bw],
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_plan_dp_layout_never_over_budget():
+    """No (L, bandwidth) combination yields a fused layout whose move
+    scratch exceeds the VMEM budget (the round-1 failure mode: r_blk
+    bottomed at 1 and called anyway); long-read/save-bandwidth shapes
+    route to the chunked kernels."""
+    budget = 12 * 2 ** 20
+    for bw in (300, 500, 1500):
+        bwp = ((bw + 127) // 128) * 128
+        for L in (256, 1024, 4096, 32768, 131072):
+            E = L * 8
+            layout = pdp.plan_dp_layout(8, L, E, bw, budget)
+            if layout[0] == "fused":
+                r = layout[1]
+                assert r * L * bwp * 4 <= budget, (bw, L, layout)
+            else:
+                _, R, Lc = layout
+                assert L % Lc == 0 and Lc >= 128, (bw, L, layout)
+                # chunked VMEM is independent of L
+                assert R * Lc * bwp * 5 <= budget, (bw, L, layout)
+    # the ADVICE scenario: 30 kb read at save bandwidth 1500
+    layout = pdp.plan_dp_layout(8, 32768, 32768 * 8, 1500, budget)
+    assert layout[0] == "chunked"
+
+
 def test_pallas_small_block_subbatch():
     """R < 8 blocks (long-read VMEM fallback) run one whole-array call
     per sub-batch and still match the scan engine."""

@@ -327,6 +327,416 @@ def _pallas_dp_block(ins, kernel, R: int, L: int, bwp: int,
     )(*ins)
 
 
+# --------------------------------------------------------------------------
+# Seq-axis-chunked variant: long reads / save-bandwidth lane
+# --------------------------------------------------------------------------
+#
+# The fused kernel above keeps the whole (R, L, bwp) move-code matrix in
+# VMEM, which caps read length at a few kb (at the DNA save bandwidth 1500
+# even R=1 blows the ~16 MB budget past L ~ 2000).  Real nanopore reads run
+# 10-100 kb (reference handles unbounded L by streaming rows,
+# tombo/_c_dynamic_programming.pyx:314).  This pair of kernels tiles the
+# sequence axis instead:
+#
+# * forward kernel: grid over L/Lc chunks; the carried DP state (forward
+#   row, band start, band-error flag, final row) lives in VMEM scratch,
+#   which persists across sequential TPU grid steps; each chunk's move
+#   codes are written to an HBM-backed int8 output block (4x smaller than
+#   the fused kernel's int32 scratch, and not VMEM-resident at all);
+# * traceback kernel: the same grid iterated through a reversed index_map,
+#   carrying the walking event position in scratch and re-reading each
+#   chunk's move codes.
+#
+# Per-chunk VMEM is R*Lc*bwp*(4+1) bytes (int32 staging buffer + int8
+# block; single-row dynamic sublane stores only lower for 32-bit types, so
+# rows accumulate in int32 and convert once per chunk), independent of L.
+
+
+def _make_fwd_chunk_kernel(p: DpParams, R: int, Lc: int, L: int, P: int,
+                           bwp: int):
+    bw = p.bandwidth
+    half_bw = bw // 2
+    neg = float(NEG_LARGE)
+    mask_fill = float(p.mask_fill_z_score)
+    z_shift = float(p.z_shift)
+    skip_pen = float(p.skip_pen)
+    stay_pen = float(p.stay_pen)
+    max_half_z = float(p.max_half_z_score)
+    W_seg = bwp + 256
+    W_f = 2 * bwp + 256
+
+    def gather_row(ref, i, start):
+        base = pl.multiple_of((start // 128) * 128, 128)
+        seg = ref[pl.ds(i, 1), pl.ds(base, W_seg)]
+        return pltpu.roll(seg, W_seg - (start - base), 1)
+
+    def kernel(em_ref, nev_ref, rm_ref, rs_ref, sl_ref, ps_ref, pv_ref,
+               pe_ref, sr_ref,
+               moves_ref, bstarts_ref, banderr_ref, ffwd_ref, lastbs_ref,
+               fwd_ref, pstart_ref, berr_ref, ffacc_ref, lbs_ref,
+               mv_buf_ref, bs_buf_ref, fwdpad_ref, win_ref, dw_ref, sw_ref):
+        l_idx = pl.program_id(0)
+        base_r = l_idx * Lc
+        lanes = _lane_iota(R, bwp)
+        lanes_Lc = _lane_iota(R, Lc)
+        lanes_P = _lane_iota(R, P)
+        lane_lt_bw = lanes < bw
+
+        nev = nev_ref[:, :]
+        sl = sl_ref[:, :]
+        pv = pv_ref[:, :]
+        sr = sr_ref[:, :]
+        rm = rm_ref[:, :]            # (R, Lc) this chunk's ref levels
+        rs = rs_ref[:, :]
+        ps = ps_ref[:, :]
+        pe = pe_ref[:, :]
+
+        @pl.when(l_idx == 0)
+        def _init():
+            fwd_ref[:, :] = jnp.where(lane_lt_bw, 0.0, neg)
+            pstart_ref[:, :] = ps[:, 0:1].astype(jnp.int32)
+            berr_ref[:, :] = jnp.zeros((R, 1), jnp.int32)
+            ffacc_ref[:, :] = jnp.full((R, bwp), neg, jnp.float32)
+            lbs_ref[:, :] = jnp.zeros((R, 1), jnp.int32)
+
+        fwdpad_ref[:, :] = jnp.full((R, W_f), neg, jnp.float32)
+        bs_buf_ref[:, :] = jnp.zeros((R, Lc), jnp.int32)
+
+        def fwd_body(r_local, carry):
+            fwd, prev_start, band_err, final_fwd, last_bs = carry
+            r = base_r + r_local
+            active = r < sl
+            is_prefix = r < sr
+
+            amax = _first_argmax(fwd, bw)
+            adapt_start = prev_start + amax - half_bw + 1
+            adapt_start = jnp.maximum(adapt_start, prev_start)
+            overrun = adapt_start >= nev
+            band_err = band_err | (
+                overrun & (r < sl - 2) & active & (~is_prefix)
+            ).astype(jnp.int32)
+            adapt_start = jnp.minimum(adapt_start, nev - 1)
+
+            pref_idx = jnp.minimum(r, P - 1)
+            pref_start = _col_i(ps, lanes_P, pref_idx)
+            band_start = jnp.where(is_prefix, pref_start, adapt_start)
+            band_start = jnp.where(active, band_start, prev_start)
+
+            lo = jnp.where(is_prefix, jnp.maximum(pv, 0), 0)
+            hi = jnp.where(is_prefix,
+                           jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
+                           nev)
+            for i in range(R):
+                w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
+                win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
+            win = win_ref[:, :]
+            mu = _col_f(rm, lanes_Lc, r_local)
+            sd = _col_f(rs, lanes_Lc, r_local)
+            z = jnp.abs((win - mu) / sd)
+            if max_half_z > 0:
+                z = jnp.minimum(z, max_half_z)
+            shifted = z_shift - z
+            abs_pos = band_start + lanes
+            valid = (abs_pos >= lo) & (abs_pos < hi) & lane_lt_bw
+            shifted = jnp.where(valid, shifted, mask_fill)
+
+            diff = jnp.clip(band_start - prev_start, 0, bwp)
+            same = diff == 0
+            fwdpad_ref[:, pl.ds(128, bwp)] = fwd
+            for i in range(R):
+                d_i = diff[i, 0]
+                row = gather_row(fwdpad_ref, i, 127 + d_i)
+                dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
+                sw_ref[pl.ds(i, 1), :] = pltpu.roll(
+                    row, W_seg - 1, 1)[:, :bwp]
+            diag_w = dw_ref[:, :]
+            skip_w = sw_ref[:, :]
+            diag_score = diag_w + shifted
+            skip_score = skip_w - skip_pen
+
+            first_skip = fwd[:, 0:1] - skip_pen
+            first_diag = diag_w[:, 0:1] + shifted[:, 0:1]
+            first_val = jnp.where(same, first_skip, first_diag)
+            first_move = jnp.where(same, 1, 2)
+
+            lane0 = lanes == 0
+            d = jnp.maximum(diag_score, skip_score)
+            s = jnp.where(lane0, 0.0, shifted - stay_pen)
+            c = _cumsum_lanes(s)
+            u = jnp.where(lane0, first_val, d - c)
+            run = _cummax_lanes_f(u)
+            new_fwd = jnp.where(lane0, first_val, c + run)
+
+            stay_score = jnp.where(
+                lane0, neg,
+                pltpu.roll(new_fwd, 1, 1) - stay_pen + shifted)
+            moves = jnp.zeros((R, bwp), jnp.int32)
+            moves = jnp.where(diag_score > stay_score, 2, moves)
+            moves = jnp.where(
+                skip_score > jnp.maximum(stay_score, diag_score), 1, moves)
+            moves = jnp.where(lane0, first_move, moves)
+            moves = jnp.where(lane_lt_bw, moves, 0)
+            new_fwd = jnp.where(lane_lt_bw, new_fwd, neg)
+
+            new_fwd = jnp.where(active, new_fwd, fwd)
+            moves = jnp.where(active, moves, 0)
+            final_fwd = jnp.where(r == sl - 1, new_fwd, final_fwd)
+            last_bs = jnp.where(r == sl - 1, band_start, last_bs)
+
+            mv_buf_ref[:, pl.ds(r_local, 1), :] = moves.reshape(R, 1, bwp)
+            bs_buf_ref[:, :] = jnp.where(lanes_Lc == r_local, band_start,
+                                         bs_buf_ref[:, :])
+            return new_fwd, band_start, band_err, final_fwd, last_bs
+
+        fwd, prev_start, band_err, final_fwd, last_bs = lax.fori_loop(
+            0, Lc, fwd_body,
+            (fwd_ref[:, :], pstart_ref[:, :], berr_ref[:, :],
+             ffacc_ref[:, :], lbs_ref[:, :]))
+
+        fwd_ref[:, :] = fwd
+        pstart_ref[:, :] = prev_start
+        berr_ref[:, :] = band_err
+        ffacc_ref[:, :] = final_fwd
+        lbs_ref[:, :] = last_bs
+
+        moves_ref[:, :, :] = mv_buf_ref[:, :, :].astype(jnp.int8)
+        bstarts_ref[:, :] = bs_buf_ref[:, :]
+        banderr_ref[:, :] = band_err
+        ffwd_ref[:, :] = final_fwd
+        lastbs_ref[:, :] = last_bs
+
+    return kernel
+
+
+def _make_tb_chunk_kernel(R: int, Lc: int, L: int, bw: int, bwp: int,
+                          band_bound_thresh: int):
+    n_chunks = L // Lc
+
+    def kernel(moves_ref, bstarts_ref, sl_ref, ffwd_ref, lastbs_ref,
+               segs_ref, bounderr_ref, initpos_ref,
+               epos_ref, berr_ref, mv_buf_ref, seg_buf_ref):
+        l_idx = pl.program_id(0)
+        chunk = n_chunks - 1 - l_idx
+        base_r = chunk * Lc
+        lanes = _lane_iota(R, bwp)
+        lanes_Lc = _lane_iota(R, Lc)
+        sl = sl_ref[:, :]
+
+        @pl.when(l_idx == 0)
+        def _init():
+            top = _first_argmax(ffwd_ref[:, :], bw)
+            epos_ref[:, :] = top + lastbs_ref[:, :]
+            berr_ref[:, :] = jnp.zeros((R, 1), jnp.int32)
+
+        mv_buf_ref[:, :, :] = moves_ref[:, :, :].astype(jnp.int32)
+        seg_buf_ref[:, :] = jnp.zeros((R, Lc), jnp.int32)
+        bs = bstarts_ref[:, :]
+
+        def tb_body(t, carry):
+            event_pos, bound_err = carry
+            r_local = Lc - 1 - t
+            r = base_r + r_local
+            active = r < sl
+            bs_row = _col_i(bs, lanes_Lc, r_local)
+            bp = jnp.clip(event_pos - bs_row, 0, bw - 1)
+            mv_row = mv_buf_ref[:, pl.ds(r_local, 1), :].reshape(R, bwp)
+            cand = jnp.where((lanes <= bp) & (mv_row != 0), lanes, -1)
+            pos = jnp.clip(jnp.max(cand, axis=1, keepdims=True), 0, bw - 1)
+            mv_at = _col_i(mv_row, lanes, pos)
+            bp2 = jnp.where(mv_at == 2, pos - 1, pos)
+            bound_err = bound_err | (
+                active &
+                (jnp.minimum(bp2, bw - bp2 - 1) < band_bound_thresh)
+            ).astype(jnp.int32)
+            new_event_pos = jnp.where(active, bs_row + bp2, event_pos)
+            seg_buf_ref[:, :] = jnp.where(
+                (lanes_Lc == r_local) & active, new_event_pos + 1,
+                seg_buf_ref[:, :])
+            return new_event_pos, bound_err
+
+        event_pos, bound_err = lax.fori_loop(
+            0, Lc, tb_body, (epos_ref[:, :], berr_ref[:, :]))
+        epos_ref[:, :] = event_pos
+        berr_ref[:, :] = bound_err
+
+        segs_ref[:, :] = seg_buf_ref[:, :]
+        bounderr_ref[:, :] = bound_err
+        top = _first_argmax(ffwd_ref[:, :], bw)
+        initpos_ref[:, :] = top + lastbs_ref[:, :]
+
+    return kernel
+
+
+def _chunked_dp_block(ins, p: DpParams, R: int, L: int, Lc: int, P: int,
+                      bwp: int, band_bound_thresh: int,
+                      interpret: bool = False):
+    """Forward + traceback over one R-read slice, chunked along the
+    sequence axis (grid = L/Lc sequential steps per kernel)."""
+    n_chunks = L // Lc
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    fwd_kernel = _make_fwd_chunk_kernel(p, R, Lc, L, P, bwp)
+    chunk3 = pl.BlockSpec((R, Lc, bwp), lambda l: (0, l, 0),
+                          memory_space=pltpu.VMEM)
+    chunk2 = pl.BlockSpec((R, Lc), lambda l: (0, l),
+                          memory_space=pltpu.VMEM)
+    fixed = lambda c: pl.BlockSpec((R, c), lambda l: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    moves, bstarts, band_err, ffwd, last_bs = pl.pallas_call(
+        fwd_kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            fixed(ins[0].shape[1]),     # em (full)
+            fixed(1),                   # n_events
+            chunk2,                     # ref_means
+            chunk2,                     # ref_sds
+            fixed(1),                   # seq_lens
+            fixed(P),                   # prefix_starts
+            fixed(1),                   # prefix_valid_start
+            fixed(P),                   # prefix_end
+            fixed(1),                   # start_rows
+        ],
+        out_specs=(chunk3, chunk2, fixed(1), fixed(bwp), fixed(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, L, bwp), jnp.int8),
+            jax.ShapeDtypeStruct((R, L), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, bwp), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, bwp), jnp.float32),       # carried fwd row
+            pltpu.VMEM((R, 1), jnp.int32),           # carried band start
+            pltpu.VMEM((R, 1), jnp.int32),           # band-error acc
+            pltpu.VMEM((R, bwp), jnp.float32),       # final fwd acc
+            pltpu.VMEM((R, 1), jnp.int32),           # last band start acc
+            pltpu.VMEM((R, Lc, bwp), jnp.int32),     # move staging
+            pltpu.VMEM((R, Lc), jnp.int32),          # band-start staging
+            pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),
+            pltpu.VMEM((R, bwp), jnp.float32),
+            pltpu.VMEM((R, bwp), jnp.float32),
+            pltpu.VMEM((R, bwp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*ins)
+
+    tb_kernel = _make_tb_chunk_kernel(R, Lc, L, p.bandwidth, bwp,
+                                      band_bound_thresh)
+    rchunk3 = pl.BlockSpec((R, Lc, bwp), lambda l: (0, n_chunks - 1 - l, 0),
+                           memory_space=pltpu.VMEM)
+    rchunk2 = pl.BlockSpec((R, Lc), lambda l: (0, n_chunks - 1 - l),
+                           memory_space=pltpu.VMEM)
+    segs_lo, bound_err, init_pos = pl.pallas_call(
+        tb_kernel,
+        grid=(n_chunks,),
+        in_specs=[rchunk3, rchunk2, fixed(1), fixed(bwp), fixed(1)],
+        out_specs=(rchunk2, fixed(1), fixed(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, L), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, 1), jnp.int32),           # carried event pos
+            pltpu.VMEM((R, 1), jnp.int32),           # bound-error acc
+            pltpu.VMEM((R, Lc, bwp), jnp.int32),     # move staging
+            pltpu.VMEM((R, Lc), jnp.int32),          # segs staging
+        ],
+        interpret=interpret,
+    )(moves, bstarts, ins[4], ffwd, last_bs)
+    return segs_lo, band_err, bound_err, ffwd, init_pos
+
+
+def plan_dp_layout(B: int, L: int, E: int, bandwidth: int,
+                   vmem_budget: int = 12 * 2 ** 20):
+    """Choose the kernel layout for a padded (B, L, E) DP problem.
+
+    Returns ("fused", r_blk) when the whole (r_blk, L, bwp) move matrix
+    fits in the VMEM budget, else ("chunked", R, Lc) with the sequence
+    axis tiled.  The chunked layout always exists (Lc floors at 128 and R
+    at 1), so no shape routes back to the host path for capacity reasons.
+    """
+    bwp = _round_up(bandwidth, 128)
+    E_tot = _round_up(E + 2 * bwp + 384, 128)
+
+    def fused_vmem(r):
+        return r * (L * bwp * 4 + E_tot * 4 + (L + 1) * 8 + L * 4 +
+                    bwp * 4 * 5 + 2 * bwp * 4 + 1024)
+
+    r_blk = 8
+    while r_blk > 1 and fused_vmem(r_blk) > vmem_budget:
+        r_blk //= 2
+    if fused_vmem(r_blk) <= vmem_budget:
+        return ("fused", r_blk)
+
+    def chunked_vmem(r, lc):
+        return r * (lc * bwp * 5 + E_tot * 4 + lc * 16 + bwp * 4 * 6 +
+                    2 * bwp * 4 + 1024)
+
+    for r in (8, 4, 2, 1):
+        if B % r != 0:
+            continue
+        lc = min(L, 1024)
+        while lc > 128 and chunked_vmem(r, lc) > vmem_budget:
+            lc //= 2
+        if chunked_vmem(r, lc) <= vmem_budget:
+            return ("chunked", r, lc)
+    return ("chunked", 1, 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "n_rows", "prefix_rows", "band_bound_thresh",
+                     "block_reads", "chunk_rows", "interpret"))
+def adaptive_banded_dp_tb_chunked(
+        event_means: jnp.ndarray, n_events: jnp.ndarray,
+        ref_means: jnp.ndarray, ref_sds: jnp.ndarray,
+        seq_lens: jnp.ndarray, prefix_starts: jnp.ndarray,
+        prefix_valid_start: jnp.ndarray, prefix_end: jnp.ndarray,
+        start_rows: jnp.ndarray, params: DpParams,
+        n_rows: int, prefix_rows: int, band_bound_thresh: int,
+        block_reads: int = 8, chunk_rows: int = 512,
+        interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequence-axis-chunked forward + traceback for long reads.
+
+    Same contract as :func:`adaptive_banded_dp_tb`; works for any L
+    (VMEM use is independent of read length — SURVEY.md §5.7's seq-axis
+    tiling with carried (band_start, fwd row) state).
+    """
+    B, E = event_means.shape
+    L, P = n_rows, prefix_rows
+    bw = params.bandwidth
+    bwp = _round_up(bw, 128)
+    R = min(block_reads, B)
+    assert B % R == 0, (B, R)
+    Lc = min(chunk_rows, L)
+    assert L % Lc == 0, (L, Lc)
+
+    right = _round_up(E + 2 * bwp + 384, 128) - (E + bwp)
+    em = jnp.pad(event_means.astype(jnp.float32), ((0, 0), (bwp, right)))
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+    col = lambda x: i32(x).reshape(B, 1)
+    ins = (em, col(n_events), ref_means.astype(jnp.float32),
+           ref_sds.astype(jnp.float32), col(seq_lens), i32(prefix_starts),
+           col(prefix_valid_start), i32(prefix_end), col(start_rows))
+
+    outs = []
+    for b0 in range(0, B, R):
+        outs.append(_chunked_dp_block(
+            tuple(a[b0:b0 + R] for a in ins), params, R, L, Lc, P, bwp,
+            band_bound_thresh, interpret))
+    segs_lo, band_err, bound_err, ffwd, init_pos = (
+        jnp.concatenate([o[i] for o in outs]) for i in range(5))
+
+    # segs[r] = boundary of base r for r < seq_len; segs[seq_len] is the
+    # top-row event position (reference: pyx:290-293)
+    segs = jnp.concatenate(
+        [segs_lo, jnp.zeros((B, 1), segs_lo.dtype)], axis=1)
+    segs = jax.vmap(lambda s, n, v: s.at[n].set(v))(
+        segs, jnp.asarray(seq_lens, jnp.int32), init_pos[:, 0] + 1)
+    return (segs, band_err[:, 0] != 0, bound_err[:, 0] != 0, ffwd)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "n_rows", "prefix_rows", "band_bound_thresh",

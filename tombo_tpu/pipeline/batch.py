@@ -319,15 +319,16 @@ def _start_dp_pallas(em_rows, rm, rs, sp: dpo.StartDpParams):
     pstarts = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :],
                                (B, nb))
     col0 = jnp.zeros((B,), jnp.int32)
-    r_blk = 8
-    while r_blk > 1 and r_blk * nb * _round_up(ne, 128) * 4 > 12 * 2 ** 20:
-        r_blk //= 2
-    segs, _band_err, _bound_err, _ffwd = pdp.adaptive_banded_dp_tb(
+    layout = pdp.plan_dp_layout(B, nb, em_rows.shape[1], ne)
+    dp_fn = (pdp.adaptive_banded_dp_tb if layout[0] == "fused"
+             else functools.partial(pdp.adaptive_banded_dp_tb_chunked,
+                                    chunk_rows=layout[2]))
+    segs, _band_err, _bound_err, _ffwd = dp_fn(
         em_rows, jnp.full((B,), need, jnp.int32), rm, rs,
         jnp.full((B,), nb, jnp.int32), pstarts, col0,
         jnp.full((B, nb), 2 ** 31 - 1, jnp.int32),
         jnp.full((B,), nb, jnp.int32), dpp, nb, nb, -1,
-        block_reads=r_blk)
+        block_reads=layout[1])
     return segs
 
 
@@ -787,6 +788,22 @@ class BatchedResquiggler:
         if not live:
             return
 
+        # bound the chunked path's HBM move buffer (B_pad * L * bwp int8)
+        # by slicing very-long-read batches; each slice is a full device
+        # call with its own tight L bucket
+        bw = p.bandwidth
+        bwp = _round_up(bw, 128)
+        L_all = _pow2_bucket(max(s.ref_means.shape[0] for s in live), 256)
+        max_b = max(8, int(1.5e9 // (L_all * bwp)))
+        if len(live) > max_b:
+            live.sort(key=lambda s: s.ref_means.shape[0])
+            for i in range(0, len(live), max_b):
+                self._adaptive_device_call(live[i:i + max_b], ctx)
+            return
+        self._adaptive_device_call(live, ctx)
+
+    def _adaptive_device_call(self, live: List[_ReadState], ctx):
+        p = self.params
         bw = p.bandwidth
         L_max = _pow2_bucket(max(s.ref_means.shape[0] for s in live), 256)
         P_max = _round_up(max(s.prefix_starts.shape[0] for s in live), 64)
@@ -840,14 +857,19 @@ class BatchedResquiggler:
             jnp.asarray(_pad_rows(start_rows, B_pad)))
         if _use_pallas():
             from ..ops import pallas_dp as pdp
-            # block size bounded by the move-code scratch VMEM budget
-            r_blk = 8
-            while r_blk > 1 and r_blk * L_max * _round_up(bw, 128) * 4 > \
-                    12 * 2 ** 20:
-                r_blk //= 2
-            segs_j, band_err, bound_err, _ = pdp.adaptive_banded_dp_tb(
-                *dp_args, dpp, L_max, P_max, p.band_bound_thresh,
-                block_reads=r_blk)
+            # VMEM-budgeted layout: whole-matrix fused kernel when the
+            # (r_blk, L, bwp) move scratch fits, sequence-axis-chunked
+            # kernels otherwise (long reads / save-bandwidth lane)
+            layout = pdp.plan_dp_layout(B_pad, L_max, E_max, bw)
+            if layout[0] == "fused":
+                segs_j, band_err, bound_err, _ = pdp.adaptive_banded_dp_tb(
+                    *dp_args, dpp, L_max, P_max, p.band_bound_thresh,
+                    block_reads=layout[1])
+            else:
+                segs_j, band_err, bound_err, _ = \
+                    pdp.adaptive_banded_dp_tb_chunked(
+                        *dp_args, dpp, L_max, P_max, p.band_bound_thresh,
+                        block_reads=layout[1], chunk_rows=layout[2])
         else:
             tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
                 *dp_args, dpp, L_max, P_max)
