@@ -12,11 +12,16 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <numeric>
 #include <thread>
 #include <vector>
+#ifdef __AVX512F__
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -141,34 +146,124 @@ int64_t greedy_cpts_uncapped(const double* scores, int64_t n_cands,
 // c_compute_slopes + numpy median in tombo/tombo_stats.py:417-419).
 // Equal event means contribute max_slope.  Returns (slope, intercept) where
 // intercept = median(model - slope * event).
+// Exact k-th smallest (0-based) of v[0..len), v preserved.  Floyd-Rivest
+// style: an evenly-strided sample brackets the target quantile, one
+// branchless pass counts + compacts the bracket (few % of the data), and a
+// small nth_element finishes.  Falls back to nth_element on a copy when the
+// bracket misses (duplicates-heavy or adversarial data).
+static double select_kth(const double* v, size_t len, size_t k,
+                         std::vector<double>& scratch) {
+  if (len < 8192) {
+    scratch.assign(v, v + len);
+    std::nth_element(scratch.begin(), scratch.begin() + k, scratch.end());
+    return scratch[k];
+  }
+  // deterministic sample at fixed stride
+  constexpr size_t kSample = 4096;
+  thread_local std::vector<double> samp_v(kSample);
+  double* samp = samp_v.data();
+  const size_t stride = len / kSample;
+  for (size_t i = 0; i < kSample; ++i) samp[i] = v[i * stride];
+  const double q = static_cast<double>(k) / static_cast<double>(len);
+  // bracket the quantile with ~4 standard errors of the sample estimate
+  const double se = 4.0 * std::sqrt(q * (1.0 - q) / kSample) + 2.0 / kSample;
+  auto samp_quant = [&](double qq) {
+    size_t j = static_cast<size_t>(qq * kSample);
+    if (j >= kSample) j = kSample - 1;
+    std::nth_element(samp, samp + j, samp + kSample);
+    return samp[j];
+  };
+  const double lo = samp_quant(q > se ? q - se : 0.0);
+  const double hi = samp_quant(q + se < 1.0 ? q + se : 1.0);
+  // one branchless pass: count below-bracket and compact the bracket.
+  // The bracket straddles the dense distribution center, so any branch on
+  // x >= lo is a ~50% coin flip — always-store / masked-compress avoids
+  // the mispredict wall
+  if (scratch.size() < len) scratch.resize(len);
+  double* mid = scratch.data();
+  size_t c_lo = 0, n_mid = 0, i0 = 0;
+#ifdef __AVX512F__
+  {
+    const __m512d vlo = _mm512_set1_pd(lo), vhi = _mm512_set1_pd(hi);
+    for (; i0 + 8 <= len; i0 += 8) {
+      const __m512d x = _mm512_loadu_pd(v + i0);
+      const __mmask8 mlt = _mm512_cmp_pd_mask(x, vlo, _CMP_LT_OQ);
+      const __mmask8 mbr = _mm512_cmp_pd_mask(x, vlo, _CMP_GE_OQ) &
+                           _mm512_cmp_pd_mask(x, vhi, _CMP_LE_OQ);
+      c_lo += static_cast<size_t>(__builtin_popcount(mlt));
+      _mm512_mask_compressstoreu_pd(mid + n_mid, mbr, x);
+      n_mid += static_cast<size_t>(__builtin_popcount(mbr));
+    }
+  }
+#endif
+  for (size_t i = i0; i < len; ++i) {
+    const double x = v[i];
+    c_lo += x < lo;
+    mid[n_mid] = x;
+    n_mid += (x >= lo) & (x <= hi);
+  }
+  if (k >= c_lo && k < c_lo + n_mid && n_mid <= len / 8) {
+    std::nth_element(mid, mid + (k - c_lo), mid + n_mid);
+    return mid[k - c_lo];
+  }
+  scratch.assign(v, v + len);
+  std::nth_element(scratch.begin(), scratch.begin() + k, scratch.end());
+  return scratch[k];
+}
+
+// numpy-compatible median over v[0..len) (v preserved): averages the two
+// middle order statistics for even len.
+static double median_of(const double* v, size_t len,
+                        std::vector<double>& scratch) {
+  const size_t m = len / 2;
+  const double hi = select_kth(v, len, m, scratch);
+  if (len % 2 == 0) {
+    // (m-1)-th: equal to hi when duplicates span the middle, else the
+    // largest element strictly below hi — one vectorizable pass
+    size_t c_strict = 0;
+    double max_less = -std::numeric_limits<double>::infinity();
+    for (size_t i = 0; i < len; ++i) {
+      const double x = v[i];
+      c_strict += x < hi;
+      if (x < hi && x > max_less) max_less = x;
+    }
+    const double lo_mid = c_strict <= m - 1 ? hi : max_less;
+    return (hi + lo_mid) / 2.0;
+  }
+  return hi;
+}
+
 static void theil_sen_one(const double* ev, const double* mod, int64_t n,
                           double max_slope, double* out_slope,
                           double* out_inter) {
   const int64_t n_pairs = n * (n - 1) / 2;
-  std::vector<double> slopes;
-  slopes.reserve(static_cast<size_t>(n_pairs));
+  // thread-local scratch reused across reads: a fresh multi-MB vector per
+  // read costs more in page faults than the median computation itself
+  thread_local std::vector<double> slopes;
+  if (static_cast<int64_t>(slopes.size()) < n_pairs)
+    slopes.resize(static_cast<size_t>(n_pairs));
+  double* sp = slopes.data();
+  size_t k = 0;
   for (int64_t i = 0; i < n; ++i) {
     const double evi = ev[i], modi = mod[i];
+    // branch-free inner loop vectorizes (the de == 0 case selects
+    // max_slope after the division, matching numpy's where() semantics)
     for (int64_t j = i + 1; j < n; ++j) {
       const double de = evi - ev[j];
-      slopes.push_back(de == 0.0 ? max_slope : (modi - mod[j]) / de);
+      const double s = (modi - mod[j]) / de;
+      sp[k++] = de == 0.0 ? max_slope : s;
     }
   }
-  auto median_of = [](std::vector<double>& v) {
-    const size_t m = v.size() / 2;
-    std::nth_element(v.begin(), v.begin() + m, v.end());
-    double hi = v[m];
-    if (v.size() % 2 == 0) {
-      std::nth_element(v.begin(), v.begin() + m - 1, v.begin() + m);
-      return (hi + v[m - 1]) / 2.0;
-    }
-    return hi;
-  };
-  const double slope = median_of(slopes);
-  std::vector<double> inters(static_cast<size_t>(n));
+  thread_local std::vector<double> sel_scratch;
+  const double slope =
+      median_of(sp, static_cast<size_t>(n_pairs), sel_scratch);
+  thread_local std::vector<double> inters;
+  if (static_cast<int64_t>(inters.size()) < n)
+    inters.resize(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) inters[i] = mod[i] - slope * ev[i];
   *out_slope = slope;
-  *out_inter = median_of(inters);
+  *out_inter = median_of(inters.data(), static_cast<size_t>(n),
+                         sel_scratch);
 }
 
 extern "C" {
