@@ -737,6 +737,40 @@ def adaptive_banded_dp_tb_chunked(
     return (segs, band_err[:, 0] != 0, bound_err[:, 0] != 0, ffwd)
 
 
+def adaptive_banded_dp_tb_sharded(
+        mesh, axis_name: str, dp_args, params: DpParams,
+        n_rows: int, prefix_rows: int, band_bound_thresh: int,
+        layout, interpret: bool = False):
+    """Run the fused/chunked Pallas DP data-parallel over a device mesh.
+
+    ``dp_args`` is the 9-tuple of batch-axis arrays accepted by
+    :func:`adaptive_banded_dp_tb`; the batch axis shards over
+    ``axis_name`` and each device runs the kernel on its local shard (the
+    recurrence is independent per read, so no collectives are needed —
+    the mesh expression of the reference's read-level process pool,
+    tombo/resquiggle.py:1859-1948).  The global batch must divide evenly
+    by the mesh size and each shard by ``layout``'s block_reads."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec
+
+    if layout[0] == "fused":
+        fn = functools.partial(
+            adaptive_banded_dp_tb, params=params, n_rows=n_rows,
+            prefix_rows=prefix_rows, band_bound_thresh=band_bound_thresh,
+            block_reads=layout[1], interpret=interpret)
+    else:
+        fn = functools.partial(
+            adaptive_banded_dp_tb_chunked, params=params, n_rows=n_rows,
+            prefix_rows=prefix_rows, band_bound_thresh=band_bound_thresh,
+            block_reads=layout[1], chunk_rows=layout[2],
+            interpret=interpret)
+    spec = PartitionSpec(axis_name)
+    return shard_map(
+        fn, mesh=mesh, in_specs=(spec,) * 9,
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False)(*dp_args)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "n_rows", "prefix_rows", "band_bound_thresh",

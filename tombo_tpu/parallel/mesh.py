@@ -153,6 +153,58 @@ def sharded_production_step(mesh: Mesh, n_reads_per_device: int = 2,
     assert jax.block_until_ready(cov).shape == (E + 1,)
 
 
+def production_lane_dryrun(mesh: Mesh, n_reads: int = 0,
+                           read_len: int = 650) -> None:
+    """Run THE production batched resquiggle lane
+    (pipeline.batch.BatchedResquiggler.resquiggle_batch) over a mesh:
+    simulated DNA reads, batch sharded on the reads axis, full stage
+    pipeline (fused stage A -> start discovery -> adaptive DP under
+    shard_map on TPU / partitioned scan elsewhere -> host finalize).
+    Asserts every read resquiggles and that results match a 1-device run
+    read-for-read."""
+    import jax.numpy as jnp
+    from .. import config
+    from ..io.model_io import KmerModel
+    from ..pipeline import resquiggle as rsq
+    from ..pipeline.aligner import ExactAligner
+    from ..pipeline.batch import BatchedResquiggler
+    from ..testing import random_reference, simulate_read
+    from ..types import SeqSampleType, SequenceData
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_reads = n_reads or 2 * n_dev
+    rng = np.random.default_rng(11)
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    fasta = random_reference(np.random.default_rng(12), 30000)
+    aligner = ExactAligner(fasta)
+    sst = SeqSampleType(config.DNA_SAMP_TYPE, False)
+    params = config.load_resquiggle_parameters(config.DNA_SAMP_TYPE)
+    map_results = []
+    for i in range(n_reads):
+        read = simulate_read(rng, fasta, model, read_id="dry_%03d" % i,
+                             read_len=read_len)
+        mr = rsq.map_read(SequenceData(read.seq, read.read_id, 12.0),
+                          aligner, model, sst)
+        mr = rsq.adjust_map_res(
+            mr.replace(raw_signal=read.raw_signal), sst, params)
+        map_results.append(mr)
+
+    br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                            dtype=jnp.float64, mesh=mesh)
+    out = br.resquiggle_batch(map_results)
+    assert len(out) == n_reads
+    for i, (res, err) in enumerate(out):
+        assert err is None, (i, err)
+        assert res.segs.shape[0] == len(res.genome_seq) + 1
+
+    br1 = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                             dtype=jnp.float64)
+    out1 = br1.resquiggle_batch(map_results)
+    for i, ((res_m, _), (res_1, _)) in enumerate(zip(out, out1)):
+        assert np.array_equal(res_m.segs, res_1.segs), i
+        assert res_m.scale_values.shift == res_1.scale_values.shift, i
+
+
 def dryrun(n_devices: int, bandwidth: int = 16, n_rows: int = 32,
            prefix_rows: int = 4, sig_len: int = 256) -> None:
     """Compile and execute one full sharded step on tiny shapes across an
@@ -195,3 +247,4 @@ def dryrun(n_devices: int, bandwidth: int = 16, n_rows: int = 32,
     assert site_cov.shape == (64,)
 
     sharded_production_step(mesh)
+    production_lane_dryrun(mesh)

@@ -407,7 +407,7 @@ class BatchedResquiggler:
     def __init__(self, std_ref, rsqgl_params: ResquiggleParams,
                  seq_samp_type: SeqSampleType,
                  outlier_thresh: Optional[float] = config.OUTLIER_THRESH,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
         self.std_ref = std_ref
         self.params = rsqgl_params
         self.seq_samp_type = seq_samp_type
@@ -416,6 +416,36 @@ class BatchedResquiggler:
         self.save_params = rsqgl_params.replace(
             bandwidth=config.load_resquiggle_parameters(
                 seq_samp_type.name, use_save_bandwidth=True).bandwidth)
+        # multi-chip: batches shard data-parallel on the reads axis of the
+        # mesh (parallel/mesh.py); the elementwise/scan stages partition
+        # through plain jit and the Pallas DP runs under shard_map
+        self.mesh = mesh
+        self.n_dev = (1 if mesh is None
+                      else int(np.prod(mesh.devices.shape)))
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            self._bsh = batch_sharding(mesh)
+
+    def _b_pad(self, b: int) -> int:
+        """Batch-axis bucket: a power-of-two shard of >= 8 reads per
+        device (so every Pallas read-block is full), times the mesh
+        size."""
+        per = -(-b // self.n_dev)
+        return self.n_dev * _pow2_bucket(per, 8)
+
+    def _up(self, arr, b_pad: int):
+        """Pad the batch axis and place on device(s): single-device
+        ``jnp.asarray`` or batch-sharded ``device_put`` over the mesh."""
+        arr = _pad_rows(np.asarray(arr), b_pad)
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(arr, self._bsh)
+
+    def _pallas_in_jit(self) -> bool:
+        """Pallas kernels embedded in plain jitted stages (stage A start
+        DP) only partition trivially; with a real mesh the scan engine is
+        used there and Pallas runs only under shard_map (main DP)."""
+        return _use_pallas() and self.n_dev == 1
 
     # ------------------------------------------------------- stage drivers
     @_timed_stage("segment")
@@ -427,7 +457,7 @@ class BatchedResquiggler:
             return
         S_max = _pow2_bucket(max(s.raw.shape[0] for s in live), 1024)
         B = len(live)
-        B_pad = _pow2_bucket(B, 8)
+        B_pad = self._b_pad(B)
         raw_pad = np.zeros((B, S_max), np.float64)
         sig_lens = np.array([s.raw.shape[0] for s in live], np.int64)
         for i, s in enumerate(live):
@@ -441,13 +471,13 @@ class BatchedResquiggler:
             raw_up = raw_pad.astype(np.int16)
         else:
             raw_up = raw_pad.astype(self.dtype)
-        raw_j = jnp.asarray(_pad_rows(raw_up, B_pad))
-        lens_j = jnp.asarray(_pad_rows(sig_lens, B_pad))
+        raw_j = self._up(raw_up, B_pad)
+        lens_j = self._up(sig_lens, B_pad)
 
         w = p.running_stat_width
         num_cpts = np.array([s.num_events for s in live], np.int64)
         max_cpts = _pow2_bucket(int(num_cpts.max()), 256)
-        ncpts_j = jnp.asarray(_pad_rows(num_cpts, B_pad))
+        ncpts_j = self._up(num_cpts, B_pad)
 
         # rescale iterations: every read carries scale values and its
         # first-pass changepoints; selection is skipped entirely
@@ -496,17 +526,17 @@ class BatchedResquiggler:
                 num_bases=nb, num_events=p.start_bw)
             (norm_j, em_j, cpts_j, n_cpts_j, status_j, shift, scale,
              lower, upper, start_segs_j, start_score_j) = _stage_a_rna(
-                raw_j, lens_j, jnp.asarray(_pad_rows(has_sv, B_pad)),
-                jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
-                ncpts_j, jnp.asarray(_pad_rows(stall_s, B_pad)),
-                jnp.asarray(_pad_rows(stall_e, B_pad)),
-                jnp.asarray(_pad_rows(rm_start.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(rs_start.astype(self.dtype), B_pad)),
+                raw_j, lens_j, self._up(has_sv, B_pad),
+                self._up(sv_shift.astype(self.dtype), B_pad),
+                self._up(sv_scale.astype(self.dtype), B_pad),
+                self._up(sv_lower.astype(self.dtype), B_pad),
+                self._up(sv_upper.astype(self.dtype), B_pad),
+                ncpts_j, self._up(stall_s, B_pad),
+                self._up(stall_e, B_pad),
+                self._up(rm_start.astype(self.dtype), B_pad),
+                self._up(rs_start.astype(self.dtype), B_pad),
                 float(self.outlier_thresh), w, p.min_obs_per_base,
-                max_cpts, sp, _use_pallas(), config.USE_RNA_EVENT_SCALE,
+                max_cpts, sp, self._pallas_in_jit(), config.USE_RNA_EVENT_SCALE,
                 config.RNA_SCALE_NUM_EVENTS,
                 float(config.RNA_SCALE_MAX_FRAC_EVENTS))
             (cpts_np, n_cpts, status, shift, scale, lower, upper,
@@ -569,16 +599,16 @@ class BatchedResquiggler:
                 num_bases=nb, num_events=p.start_bw)
             (norm_j, em_j, cpts_j, status_j, shift, scale, lower, upper,
              start_segs_j, start_score_j) = _stage_a_dna(
-                raw_j, lens_j, jnp.asarray(_pad_rows(has_sv, B_pad)),
-                jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
+                raw_j, lens_j, self._up(has_sv, B_pad),
+                self._up(sv_shift.astype(self.dtype), B_pad),
+                self._up(sv_scale.astype(self.dtype), B_pad),
+                self._up(sv_lower.astype(self.dtype), B_pad),
+                self._up(sv_upper.astype(self.dtype), B_pad),
                 ncpts_j,
-                jnp.asarray(_pad_rows(rm_start.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(rs_start.astype(self.dtype), B_pad)),
+                self._up(rm_start.astype(self.dtype), B_pad),
+                self._up(rs_start.astype(self.dtype), B_pad),
                 float(self.outlier_thresh), w, p.min_obs_per_base,
-                max_cpts, sp, _use_pallas())
+                max_cpts, sp, self._pallas_in_jit())
             (cpts_np, status, shift, scale, lower, upper, start_segs,
              start_score) = _fetch(
                 cpts_j, status_j, shift, scale, lower, upper,
@@ -640,15 +670,15 @@ class BatchedResquiggler:
             num_bases=nb, num_events=p.start_bw)
         norm_j, em_j, start_segs_j, start_score_j = _stage_a_rescale(
             raw_j, lens_j,
-            jnp.asarray(_pad_rows(sv_shift.astype(self.dtype), B_pad)),
-            jnp.asarray(_pad_rows(sv_scale.astype(self.dtype), B_pad)),
-            jnp.asarray(_pad_rows(sv_lower.astype(self.dtype), B_pad)),
-            jnp.asarray(_pad_rows(sv_upper.astype(self.dtype), B_pad)),
-            jnp.asarray(_pad_rows(cpts, B_pad)),
-            jnp.asarray(_pad_rows(n_cpts, B_pad)),
-            jnp.asarray(_pad_rows(rm_start.astype(self.dtype), B_pad)),
-            jnp.asarray(_pad_rows(rs_start.astype(self.dtype), B_pad)),
-            sp, _use_pallas())
+            self._up(sv_shift.astype(self.dtype), B_pad),
+            self._up(sv_scale.astype(self.dtype), B_pad),
+            self._up(sv_lower.astype(self.dtype), B_pad),
+            self._up(sv_upper.astype(self.dtype), B_pad),
+            self._up(cpts, B_pad),
+            self._up(n_cpts, B_pad),
+            self._up(rm_start.astype(self.dtype), B_pad),
+            self._up(rs_start.astype(self.dtype), B_pad),
+            sp, self._pallas_in_jit())
         start_segs, start_score = _fetch(start_segs_j, start_score_j)
         for i, s in enumerate(live):
             s.n_ev = s.cpts.shape[0] - 1
@@ -715,7 +745,7 @@ class BatchedResquiggler:
                     s.use_static = True
                 return []
             B = len(live)
-            B_pad = _pow2_bucket(B, 8)
+            B_pad = self._b_pad(B)
             rows = np.array([s.dev_row for s in live], np.int32)
             rm_pad = np.ones((B, nb), np.float64)
             rs_pad = np.ones((B, nb), np.float64)
@@ -727,10 +757,10 @@ class BatchedResquiggler:
                 max_half_z_score=p.max_half_z_score or -1.0,
                 num_bases=nb, num_events=ne)
             segs, score, n_valid = _stage_start_dp(
-                ctx["em"], jnp.asarray(_pad_rows(rows, B_pad)),
-                jnp.asarray(_pad_rows(rm_pad.astype(self.dtype), B_pad)),
-                jnp.asarray(_pad_rows(rs_pad.astype(self.dtype), B_pad)),
-                sp, use_pallas=_use_pallas())
+                ctx["em"], self._up(rows, B_pad),
+                self._up(rm_pad.astype(self.dtype), B_pad),
+                self._up(rs_pad.astype(self.dtype), B_pad),
+                sp, use_pallas=self._pallas_in_jit())
             segs, score = _fetch(segs, score)
             segs = segs.astype(np.int64)[:B]
             score = score.astype(np.float64)[:B]
@@ -810,7 +840,7 @@ class BatchedResquiggler:
         E_max = _pow2_bucket(
             max(s.n_ev - s.events_start_clip for s in live) + bw, 256)
         B = len(live)
-        B_pad = _pow2_bucket(B, 8)
+        B_pad = self._b_pad(B)
 
         rows = np.array([s.dev_row for s in live], np.int32)
         clips = np.array([s.events_start_clip for s in live], np.int64)
@@ -838,30 +868,38 @@ class BatchedResquiggler:
 
         # event means gathered + left-clipped on device from stage 1
         em_j = _gather_clip_rows(
-            ctx["em"], jnp.asarray(_pad_rows(rows, B_pad)),
-            jnp.asarray(_pad_rows(clips, B_pad)), E_max)
+            ctx["em"], self._up(rows, B_pad),
+            self._up(clips, B_pad), E_max)
 
         dpp = dpo.DpParams(
             z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
             mask_fill_z_score=MASK_FILL_Z_SCORE,
             max_half_z_score=p.max_half_z_score or -1.0, bandwidth=bw)
-        seq_lens_j = jnp.asarray(_pad_rows(seq_lens, B_pad))
+        seq_lens_j = self._up(seq_lens, B_pad)
         dp_args = (
             em_j,
-            jnp.asarray(_pad_rows(n_events, B_pad)),
-            jnp.asarray(_pad_rows(rm.astype(self.dtype), B_pad)),
-            jnp.asarray(_pad_rows(rs.astype(self.dtype), B_pad)),
-            seq_lens_j, jnp.asarray(_pad_rows(pstarts, B_pad)),
-            jnp.asarray(_pad_rows(pvalid, B_pad)),
-            jnp.asarray(_pad_rows(pend, B_pad)),
-            jnp.asarray(_pad_rows(start_rows, B_pad)))
+            self._up(n_events, B_pad),
+            self._up(rm.astype(self.dtype), B_pad),
+            self._up(rs.astype(self.dtype), B_pad),
+            seq_lens_j, self._up(pstarts, B_pad),
+            self._up(pvalid, B_pad),
+            self._up(pend, B_pad),
+            self._up(start_rows, B_pad))
         if _use_pallas():
             from ..ops import pallas_dp as pdp
             # VMEM-budgeted layout: whole-matrix fused kernel when the
             # (r_blk, L, bwp) move scratch fits, sequence-axis-chunked
             # kernels otherwise (long reads / save-bandwidth lane)
-            layout = pdp.plan_dp_layout(B_pad, L_max, E_max, bw)
-            if layout[0] == "fused":
+            layout = pdp.plan_dp_layout(B_pad // self.n_dev, L_max, E_max,
+                                        bw)
+            if self.n_dev > 1:
+                # batch shards data-parallel over the mesh; each device
+                # runs the kernel on its own read shard under shard_map
+                segs_j, band_err, bound_err, _ = \
+                    pdp.adaptive_banded_dp_tb_sharded(
+                        self.mesh, "reads", dp_args, dpp, L_max, P_max,
+                        p.band_bound_thresh, layout)
+            elif layout[0] == "fused":
                 segs_j, band_err, bound_err, _ = pdp.adaptive_banded_dp_tb(
                     *dp_args, dpp, L_max, P_max, p.band_bound_thresh,
                     block_reads=layout[1])
@@ -1132,7 +1170,7 @@ class BatchedResquiggler:
         if retry:
             saver = BatchedResquiggler(
                 self.std_ref, self.save_params, self.seq_samp_type,
-                self.outlier_thresh, self.dtype)
+                self.outlier_thresh, self.dtype, mesh=self.mesh)
             retry_map = [s.map_res.replace(scale_values=None) for s in retry]
             retry_out = saver.resquiggle_batch(
                 retry_map, max_scaling_iters=max_scaling_iters)

@@ -48,6 +48,10 @@ class RunConfig:
     dry_run: bool = False
     max_scaling_iters: int = config.MAX_SCALING_ITERS
     outlier_thresh: float = config.OUTLIER_THRESH
+    # multi-chip: a jax.sharding.Mesh with a "reads" axis; batches shard
+    # data-parallel across it (parallel/mesh.py) and batch_size is
+    # interpreted per device
+    mesh: Optional[object] = None
 
 
 @dataclass
@@ -113,7 +117,14 @@ def resquiggle_all_reads(
     try:
         if resquiggler is None:
             resquiggler = BatchedResquiggler(
-                std_ref, rsqgl_params, seq_samp_type, rc.outlier_thresh)
+                std_ref, rsqgl_params, seq_samp_type, rc.outlier_thresh,
+                mesh=rc.mesh)
+        if resquiggler.n_dev > 1:
+            # batch_size is per device: feed n_dev-times-larger chunks so
+            # every mesh shard stays full
+            rc = RunConfig(**{**rc.__dict__,
+                              "batch_size":
+                              rc.batch_size * resquiggler.n_dev})
 
         all_fns = list(f5io.iter_fast5_reads(fast5s_dir))
 
