@@ -160,6 +160,9 @@ class _ReadState:
     mapped_start: int = 0
     events_per_base: float = 0.0
     result: Optional[ResquiggleResults] = None
+    # device-finalize products for deletion-free adaptive reads:
+    # (slope, inter, post-rescale sig-match score)
+    dev_fin: Optional[Tuple[float, float, float]] = None
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -289,6 +292,73 @@ def _stage_a_rna(raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower,
         em_p[:, :need], rm_start, rs_start, sp, use_pallas)
     return (norm, em, cpts, n_cpts, status, shift, scale, lower, upper,
             start_segs, start_score)
+
+
+@functools.partial(jax.jit, static_argnames=("max_slope", "n_rows"))
+def _stage_finalize(norm, cpts, rows, clips, segs_dp, seq_lens, ev_lens,
+                    rm, rs, ts_idx, ts_n, max_slope: float, n_rows: int):
+    """Device finalize for non-deletion reads: traceback trim, raw
+    coordinates, event means, Theil-Sen rescale fit and validity score in
+    one fused call (host equivalents: pipeline/resquiggle.py
+    ``_trim_traceback``/``get_rel_raw_coords``/``get_read_seg_score``,
+    ops/ref_impl.new_means, native theil_sen_batch; reference:
+    tombo/resquiggle.py:754-764,858-864,1122-1220).
+
+    Only per-read scalars and the (B, L+1) segment table are fetched;
+    reads with deletion windows (``has_del``) are re-finalized on the
+    host through the raw-signal deletion-fix DP.  Means accumulate in
+    f64 (a f32 cumsum over 10^4+ samples would cost ~1e-3 absolute error
+    on event means, visible in the fitted scale)."""
+    from ..ops import rescale as rsc
+
+    L = n_rows
+    iot_L1 = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+    ev_lens = ev_lens.astype(jnp.int32)[:, None]
+    seq_lens = seq_lens.astype(jnp.int32)
+
+    # traceback trim: only leading (<0) and trailing (>events_len)
+    # positions can be out of range, so a clip is exactly equivalent
+    tb = jnp.clip(segs_dp.astype(jnp.int32), 0, ev_lens)
+    cpts_rows = jnp.take(cpts, rows, axis=0).astype(jnp.int32)
+    gather_idx = jnp.clip(clips.astype(jnp.int32)[:, None] + tb, 0,
+                          cpts_rows.shape[1] - 1)
+    seq_segs_abs = jnp.take_along_axis(cpts_rows, gather_idx, axis=1)
+    rsrtr = seq_segs_abs[:, 0]
+    seq_segs = seq_segs_abs - rsrtr[:, None]
+
+    d = jnp.diff(seq_segs, axis=1)                        # (B, L)
+    base_valid = iot_L1[:, :L] < seq_lens[:, None]
+    has_del = jnp.any((d == 0) & base_valid, axis=1)
+
+    # per-base event means, f64 accumulation
+    norm_rows = jnp.take(norm, rows, axis=0).astype(jnp.float64)
+    cs = jnp.cumsum(norm_rows, axis=1)
+    cs = jnp.concatenate(
+        [jnp.zeros((cs.shape[0], 1), cs.dtype), cs], axis=1)
+    g = jnp.take_along_axis(
+        cs, jnp.clip(seq_segs_abs, 0, cs.shape[1] - 1), axis=1)
+    sums = g[:, 1:] - g[:, :-1]
+    means = sums / jnp.where(d > 0, d, 1)
+    means = jnp.where(base_valid & (d > 0), means, 0.0)
+
+    # Theil-Sen over (sampled) points in the compute dtype
+    dt = rm.dtype
+    means_c = means.astype(dt)
+    ev_s = jnp.take_along_axis(means_c, ts_idx, axis=1)
+    mod_s = jnp.take_along_axis(rm, ts_idx, axis=1)
+    slope, inter = rsc.theil_sen_device(ev_s, mod_s, ts_n,
+                                        max_slope=max_slope)
+
+    # post-correction validity score over all bases
+    # (reference: tombo/tombo_stats.py:2327-2339 on the rescaled means)
+    safe_slope = jnp.where(slope == 0, 1.0, slope).astype(dt)
+    scale_corr = 1.0 / safe_slope
+    shift_corr = -inter.astype(dt) / safe_slope
+    ev_resc = (means_c - shift_corr[:, None]) / scale_corr[:, None]
+    half_z = jnp.abs((ev_resc - rm) / rs)
+    score = (jnp.sum(jnp.where(base_valid, half_z, 0.0), axis=1) /
+             jnp.maximum(seq_lens, 1))
+    return seq_segs, rsrtr, has_del, slope, inter, score
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -565,7 +635,7 @@ class BatchedResquiggler:
                 # minimum: route to the static fallback
                 if s.n_ev < p.start_bw + p.start_n_bases:
                     s.use_static = True
-            return {"em": em_j,
+            return {"em": em_j, "norm": norm_j, "cpts": cpts_j,
                     "start": (start_segs.astype(np.int64)[:B],
                               start_score.astype(np.float64)[:B])}
         else:
@@ -631,7 +701,7 @@ class BatchedResquiggler:
                     float(upper[i]),
                     prev_sv.outlier_thresh if prev_sv is not None
                     else self.outlier_thresh)
-            return {"em": em_j,
+            return {"em": em_j, "norm": norm_j, "cpts": cpts_j,
                     "start": (start_segs.astype(np.int64)[:B],
                               start_score.astype(np.float64)[:B])}
         return {"em": em_j}
@@ -668,13 +738,14 @@ class BatchedResquiggler:
             z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
             max_half_z_score=p.max_half_z_score or -1.0,
             num_bases=nb, num_events=p.start_bw)
+        cpts_j = self._up(cpts, B_pad)
         norm_j, em_j, start_segs_j, start_score_j = _stage_a_rescale(
             raw_j, lens_j,
             self._up(sv_shift.astype(self.dtype), B_pad),
             self._up(sv_scale.astype(self.dtype), B_pad),
             self._up(sv_lower.astype(self.dtype), B_pad),
             self._up(sv_upper.astype(self.dtype), B_pad),
-            self._up(cpts, B_pad),
+            cpts_j,
             self._up(n_cpts, B_pad),
             self._up(rm_start.astype(self.dtype), B_pad),
             self._up(rs_start.astype(self.dtype), B_pad),
@@ -686,7 +757,7 @@ class BatchedResquiggler:
             s.event_means = None
             sv = s.map_res.scale_values
             s.scale_values = sv.replace()
-        return {"em": em_j,
+        return {"em": em_j, "norm": norm_j, "cpts": cpts_j,
                 "start": (start_segs.astype(np.int64)[:B],
                           start_score.astype(np.float64)[:B])}
 
@@ -867,9 +938,9 @@ class BatchedResquiggler:
             start_rows[i] = P
 
         # event means gathered + left-clipped on device from stage 1
-        em_j = _gather_clip_rows(
-            ctx["em"], self._up(rows, B_pad),
-            self._up(clips, B_pad), E_max)
+        rows_j = self._up(rows, B_pad)
+        clips_j = self._up(clips, B_pad)
+        em_j = _gather_clip_rows(ctx["em"], rows_j, clips_j, E_max)
 
         dpp = dpo.DpParams(
             z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
@@ -915,8 +986,48 @@ class BatchedResquiggler:
             segs_j, bound_err = dpo.banded_traceback(
                 tb, band_starts, seq_lens_j, top,
                 p.band_bound_thresh, bw, L_max)
-        segs_np, band_err, bound_err = _fetch(segs_j, band_err, bound_err)
-        segs_np = segs_np.astype(np.int64)[:B]
+        use_dev_fin = (ctx.get("norm") is not None and
+                       os.environ.get("TOMBO_TPU_DEV_FINALIZE", "1") == "1")
+        if use_dev_fin:
+            # fused device finalize: traceback trim + raw coordinates +
+            # event means + Theil-Sen fit + validity score in one call;
+            # only per-read scalars and the (B, L+1) segment table come
+            # back.  Reads whose DP path contains deletions are flagged
+            # (has_del) and re-finalized through the host raw-signal DP.
+            max_n = config.MAX_POINTS_FOR_THEIL_SEN
+            W_ts = min(L_max,
+                       _pow2_bucket(min(int(seq_lens.max()), max_n), 256))
+            ts_idx = np.zeros((B, W_ts), np.int32)
+            ts_n = np.zeros(B, np.int32)
+            for i, s in enumerate(live):
+                n = s.ref_means.shape[0]
+                if n > max_n:
+                    # identical sampling to the host lane (rng(0) over n)
+                    samp = np.random.default_rng(0).choice(
+                        n, max_n, replace=False)
+                    ts_idx[i, :max_n] = samp
+                    ts_n[i] = max_n
+                else:
+                    ts_idx[i, :n] = np.arange(n, dtype=np.int32)
+                    ts_n[i] = n
+            (seq_segs_j, rsrtr_j, has_del_j, slope_j, inter_j,
+             score_j) = _stage_finalize(
+                ctx["norm"], ctx["cpts"], rows_j, clips_j, segs_j,
+                seq_lens_j, dp_args[1], dp_args[2], dp_args[3],
+                self._up(ts_idx, B_pad), self._up(ts_n, B_pad),
+                max_slope=1000.0, n_rows=L_max)
+            (band_err, bound_err, seq_segs_np, rsrtr_np, has_del, slopes,
+             inters, scores) = _fetch(
+                band_err, bound_err, seq_segs_j, rsrtr_j, has_del_j,
+                slope_j, inter_j, score_j)
+            seq_segs_np = seq_segs_np.astype(np.int64)[:B]
+            rsrtr_np = rsrtr_np[:B]
+            has_del = has_del[:B]
+            slopes = slopes[:B]; inters = inters[:B]; scores = scores[:B]
+        else:
+            segs_np, band_err, bound_err = _fetch(
+                segs_j, band_err, bound_err)
+            segs_np = segs_np.astype(np.int64)[:B]
         band_err = band_err[:B]
         bound_err = bound_err[:B]
 
@@ -930,6 +1041,13 @@ class BatchedResquiggler:
                            "bandwidth")
                 continue
             L = s.ref_means.shape[0]
+            if use_dev_fin:
+                s.dp_segs = seq_segs_np[i, :L + 1]
+                s.dp_rsrtr = int(rsrtr_np[i])
+                if not has_del[i]:
+                    s.dev_fin = (float(slopes[i]), float(inters[i]),
+                                 float(scores[i]))
+                continue
             read_tb = segs_np[i, :L + 1].copy()
             read_tb = rsq._trim_traceback(
                 read_tb, events_len=s.n_ev - s.events_start_clip)
@@ -969,7 +1087,10 @@ class BatchedResquiggler:
         from ..types import DpResults
         from ..native import theil_sen_batch
 
-        # pass A: deletion fix + gather Theil-Sen inputs
+        # pass A: deletion fix + gather Theil-Sen inputs.  Reads already
+        # finalized on device (``dev_fin``: deletion-free DP path, fit and
+        # score computed in _stage_finalize) skip the raw-signal DP — with
+        # no zero-length segments it is exactly a no-op — and pass B/C.
         pending = []
         for s in states:
             if s.error is not None or s.result is not None:
@@ -989,8 +1110,11 @@ class BatchedResquiggler:
                 norm_signal = s.norm[
                     dp_res.read_start_rel_to_raw:
                     dp_res.read_start_rel_to_raw + dp_res.segs[-1]]
-                segs = rsq.resolve_skipped_bases_with_raw(
-                    dp_res, norm_signal, self.params)
+                if s.dev_fin is not None and not skip_seq_scaling:
+                    segs = dp_res.segs
+                else:
+                    segs = rsq.resolve_skipped_bases_with_raw(
+                        dp_res, norm_signal, self.params)
                 s._dp_res = dp_res
                 s._norm_signal = norm_signal
                 s._segs = segs
@@ -998,41 +1122,50 @@ class BatchedResquiggler:
             except TomboTpuError as e:
                 s.error = str(e)
 
-        # pass B: batched Theil-Sen rescale (native, threaded)
+        def apply_fit(s, slope, inter):
+            if slope == 0:
+                s.error = ("Read failed sequence-based signal re-scaling "
+                           "parameter estimation.")
+                return
+            scale_corr = 1.0 / slope
+            shift_corr = -inter / slope
+            sv = s.scale_values
+            s.scale_values = sv.replace(
+                shift=sv.shift + shift_corr * sv.scale,
+                scale=sv.scale * scale_corr,
+                outlier_thresh=self.outlier_thresh)
+            s._norm_signal = (s._norm_signal - shift_corr) / scale_corr
+            s._norm_params_changed = (
+                abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
+                abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
+
+        # pass B: rescale fit — device results where available, batched
+        # native Theil-Sen (threaded C++) for the host-lane remainder
         if pending and not skip_seq_scaling:
-            max_n = config.MAX_POINTS_FOR_THEIL_SEN
-            B = len(pending)
-            ev = np.zeros((B, max_n), np.float64)
-            mod = np.zeros((B, max_n), np.float64)
-            n_pts = np.zeros(B, np.int64)
-            for i, s in enumerate(pending):
-                r_ev = ref_impl.new_means(s._norm_signal, s._segs)
-                r_mod = s._dp_res.ref_means
-                n = r_mod.shape[0]
-                if n > max_n:
-                    samp = np.random.default_rng(0).choice(
-                        n, max_n, replace=False)
-                    r_ev, r_mod, n = r_ev[samp], r_mod[samp], max_n
-                ev[i, :n] = r_ev
-                mod[i, :n] = r_mod
-                n_pts[i] = n
-            slopes, inters = theil_sen_batch(ev, mod, n_pts)
-            for s, slope, inter in zip(pending, slopes, inters):
-                if slope == 0:
-                    s.error = ("Read failed sequence-based signal re-scaling "
-                               "parameter estimation.")
-                    continue
-                scale_corr = 1.0 / slope
-                shift_corr = -inter / slope
-                sv = s.scale_values
-                s.scale_values = sv.replace(
-                    shift=sv.shift + shift_corr * sv.scale,
-                    scale=sv.scale * scale_corr,
-                    outlier_thresh=self.outlier_thresh)
-                s._norm_signal = (s._norm_signal - shift_corr) / scale_corr
-                s._norm_params_changed = (
-                    abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
-                    abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
+            host_fit = [s for s in pending if s.dev_fin is None]
+            for s in pending:
+                if s.dev_fin is not None:
+                    apply_fit(s, s.dev_fin[0], s.dev_fin[1])
+            if host_fit:
+                max_n = config.MAX_POINTS_FOR_THEIL_SEN
+                B = len(host_fit)
+                ev = np.zeros((B, max_n), np.float64)
+                mod = np.zeros((B, max_n), np.float64)
+                n_pts = np.zeros(B, np.int64)
+                for i, s in enumerate(host_fit):
+                    r_ev = ref_impl.new_means(s._norm_signal, s._segs)
+                    r_mod = s._dp_res.ref_means
+                    n = r_mod.shape[0]
+                    if n > max_n:
+                        samp = np.random.default_rng(0).choice(
+                            n, max_n, replace=False)
+                        r_ev, r_mod, n = r_ev[samp], r_mod[samp], max_n
+                    ev[i, :n] = r_ev
+                    mod[i, :n] = r_mod
+                    n_pts[i] = n
+                slopes, inters = theil_sen_batch(ev, mod, n_pts)
+                for s, slope, inter in zip(host_fit, slopes, inters):
+                    apply_fit(s, slope, inter)
         else:
             for s in pending:
                 s._norm_params_changed = False
@@ -1044,9 +1177,12 @@ class BatchedResquiggler:
             try:
                 dp_res, segs = s._dp_res, s._segs
                 norm_signal = s._norm_signal
-                sig_match_score = rsq.get_read_seg_score(
-                    ref_impl.new_means(norm_signal, segs), dp_res.ref_means,
-                    dp_res.ref_sds)
+                if s.dev_fin is not None and not skip_seq_scaling:
+                    sig_match_score = s.dev_fin[2]
+                else:
+                    sig_match_score = rsq.get_read_seg_score(
+                        ref_impl.new_means(norm_signal, segs),
+                        dp_res.ref_means, dp_res.ref_sds)
                 if segs.shape[0] != len(dp_res.genome_seq) + 1:
                     raise TomboTpuError(
                         "Aligned sequence does not match number of segments "
@@ -1158,6 +1294,7 @@ class BatchedResquiggler:
                 s.result = None
                 s.scale_values = None
                 s.use_static = False
+                s.dev_fin = None
                 if hasattr(s, "dp_segs"):
                     del s.dp_segs
             self._run_pass(redo)
