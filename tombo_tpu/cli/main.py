@@ -41,6 +41,26 @@ def _add_common(p):
     p.add_argument("--quiet", "-q", action="store_true")
 
 
+def _add_multihost(p):
+    """Multi-host execution flags (TPU-native addition; the reference is
+    single-node only — SURVEY §5.8)."""
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="Total hosts in a multi-host run. Default: "
+                        "%(default)d")
+    p.add_argument("--host-id", type=int, default=None,
+                   help="This host's rank in [0, num-hosts).")
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of the rank-0 coordination service.")
+
+
+def _dist_from_args(args):
+    from ..parallel.distributed import init_distributed
+    n = getattr(args, "num_hosts", 1)
+    if n <= 1:
+        return None
+    return init_distributed(args.coordinator_address, n, args.host_id)
+
+
 def _open_genomic_aligner(args):
     """Open minimap2 for genomic resquiggle; never silently downgrade.
 
@@ -137,7 +157,8 @@ def _resquiggle_main(args):
         progress=not args.quiet,
         compute_sd=args.include_event_stdev,
         num_io_threads=args.processes * args.threads_per_process,
-        batch_size=args.batch_size)
+        batch_size=args.batch_size,
+        dist=_dist_from_args(args))
     summary, _ = resquiggle_all_reads(
         args.fast5_basedir, aligner, std_ref, sst, params, rc)
     if not args.quiet:
@@ -179,6 +200,7 @@ def _add_resquiggle_parser(subparsers):
     p.add_argument("--threads-per-process", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=64)
     _add_common(p)
+    _add_multihost(p)
     p.set_defaults(func=_resquiggle_main)
 
 
@@ -332,6 +354,7 @@ def _add_detect_parsers(subparsers):
         p.add_argument("--dna", action="store_true")
         p.add_argument("--rna", action="store_true")
         _add_common(p)
+        _add_multihost(p)
 
     def setup(args, stat_type, thresh_table):
         from ..io.fasta import Fasta
@@ -376,7 +399,8 @@ def _add_detect_parsers(subparsers):
         idx = _reads_index(args.fast5_basedirs, args)
         dt.test_significance(
             idx, params, stats_fn_of(args), fasta=fasta, std_ref=std_ref,
-            per_read_bn=pr_fn_of(args), num_processes=args.processes)
+            per_read_bn=pr_fn_of(args), num_processes=args.processes,
+            dist=_dist_from_args(args))
         return 0
     p = sub.add_parser("de_novo", help="Test against a canonical model.")
     common_test_opts(p)
@@ -398,7 +422,7 @@ def _add_detect_parsers(subparsers):
         dt.test_significance(
             idx, params, stats_fn_of(args), fasta=fasta, std_ref=std_ref,
             alt_refs=alt_refs, per_read_bn=pr_fn_of(args),
-            num_processes=args.processes)
+            num_processes=args.processes, dist=_dist_from_args(args))
         return 0
     p = sub.add_parser("alternative_model",
                        help="Test against known non-canonical base "
@@ -421,7 +445,7 @@ def _add_detect_parsers(subparsers):
             idx, params, stats_fn_of(args), fasta=fasta,
             std_ref=None if args.sample_only_estimates else std_ref,
             ctrl_reads_index=ctrl, per_read_bn=pr_fn_of(args),
-            num_processes=args.processes)
+            num_processes=args.processes, dist=_dist_from_args(args))
         return 0
     p = sub.add_parser("model_sample_compare",
                        help="Test against levels estimated from a "
@@ -443,7 +467,7 @@ def _add_detect_parsers(subparsers):
         ctrl = _reads_index(args.control_fast5_basedirs, args)
         dt.test_significance(
             idx, params, stats_fn_of(args), ctrl_reads_index=ctrl,
-            num_processes=args.processes)
+            num_processes=args.processes, dist=_dist_from_args(args))
         return 0
     p = sub.add_parser("level_sample_compare",
                        help="Group level tests against a control sample.")
@@ -460,6 +484,7 @@ def _add_detect_parsers(subparsers):
     p.add_argument("--num-most-significant-stored", type=int,
                    default=100000)
     _add_common(p)
+    _add_multihost(p)
     p.set_defaults(func=_level_comp)
 
     def _aggregate(args):

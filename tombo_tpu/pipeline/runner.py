@@ -11,6 +11,7 @@ continues (SURVEY.md §5.3).
 """
 from __future__ import annotations
 
+import os
 from collections import Counter
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
@@ -52,6 +53,10 @@ class RunConfig:
     # data-parallel across it (parallel/mesh.py) and batch_size is
     # interpreted per device
     mesh: Optional[object] = None
+    # multi-host: a parallel.distributed.DistContext; this host processes
+    # only its hash shard of the FAST5 files (disjoint writeback + index
+    # shards across hosts)
+    dist: Optional[object] = None
 
 
 @dataclass
@@ -127,6 +132,15 @@ def resquiggle_all_reads(
                               rc.batch_size * resquiggler.n_dev})
 
         all_fns = list(f5io.iter_fast5_reads(fast5s_dir))
+        if rc.dist is not None and rc.dist.n_hosts > 1:
+            # deterministic host shard of the read files (the multi-host
+            # analog of the reference's file work queue, reference:
+            # tombo/resquiggle.py:1851-1857); FAST5 writeback and the
+            # index shard stay host-local and disjoint
+            from ..parallel.distributed import read_shard
+            all_fns = [fn for fn in all_fns
+                       if read_shard(os.path.basename(fn),
+                                     rc.dist.n_hosts) == rc.dist.host_id]
 
         # --- threaded host stage: prep + read + map. One work unit per
         # (FAST5 file, basecall subgroup), matching the reference's

@@ -395,6 +395,170 @@ def collate_reg_stats(stats, stat_locs, read_ids, per_read_file,
                        np.asarray(out_ctrl_cov), valid_cov), per_read_payload
 
 
+def _accum_span(reg_data: RegionData, params: TestParams):
+    """Dense-accumulator span for a region: per-read statistic positions
+    can extend up to ``fm_offset`` (plus k-mer lags for motif stats) past
+    the region bounds, mirroring the windows in
+    ``compute_*_read_stats``."""
+    margin = params.fm_offset + 16
+    lo = reg_data.start - margin
+    return lo, (reg_data.end - reg_data.start) + 2 * margin
+
+
+def site_accumulators(stats_list, locs_list, span_lo: int, span_n: int,
+                      single_read_thresh, lower_thresh, stat_type):
+    """Dense per-site (coverage, valid coverage, above-threshold count)
+    accumulators from per-read statistics.
+
+    These are exactly the quantities the per-site fraction aggregation
+    (``apply_per_read_thresh``; reference: tombo/tombo_stats.py:4084-4123)
+    reduces over reads — and, being sums, they reduce identically across
+    read shards on different hosts (``parallel.distributed.psum_hosts``)."""
+    cov = np.zeros(span_n, np.int64)
+    valid = np.zeros(span_n, np.int64)
+    above = np.zeros(span_n, np.int64)
+    if stats_list:
+        stats = np.concatenate(stats_list)
+        locs = np.concatenate(locs_list)
+        keep = ~np.isnan(stats)
+        stats, locs = stats[keep], locs[keep]
+        rel = locs - span_lo
+        if rel.shape[0] and (rel.min() < 0 or rel.max() >= span_n):
+            raise TomboTpuError(
+                "Per-read statistic position outside accumulator span")
+        np.add.at(cov, rel, 1)
+        if lower_thresh is not None:
+            is_valid = np.logical_or(stats <= lower_thresh,
+                                     stats >= single_read_thresh)
+        elif stat_type == ALT_MODEL_TXT:
+            is_valid = np.abs(stats) >= single_read_thresh
+        else:
+            is_valid = np.ones(stats.shape[0], bool)
+        np.add.at(valid, rel[is_valid], 1)
+        np.add.at(above, rel[stats >= single_read_thresh], 1)
+    return cov, valid, above
+
+
+def region_stats_from_accumulators(reg_data: RegionData, span_lo: int,
+                                   cov, valid, above, ctrl_cov_dense,
+                                   stat_type):
+    """Rebuild a ``RegionStats`` block from (possibly cross-host-summed)
+    dense accumulators; numerically identical to ``collate_reg_stats``
+    on the union of the contributing read shards."""
+    poss = np.where(cov > 0)[0]
+    if poss.shape[0] == 0:
+        return None
+    with np.errstate(invalid="ignore"):
+        frac_std = np.where(valid[poss] > 0,
+                            above[poss] / np.maximum(valid[poss], 1),
+                            np.nan)
+    if stat_type == SAMP_COMP_TXT and ctrl_cov_dense is not None:
+        out_ctrl = ctrl_cov_dense[poss]
+    else:
+        out_ctrl = np.zeros(poss.shape[0], np.int64)
+    return RegionStats(frac_std, poss + span_lo, reg_data.chrm,
+                       reg_data.strand, reg_data.start, cov[poss],
+                       np.asarray(out_ctrl), valid[poss])
+
+
+def compute_reg_accumulators(reg_data: RegionData, params: TestParams,
+                             ctrl_reg_data: Optional[RegionData], fasta,
+                             std_ref: Optional[KmerModel],
+                             alt_refs, emit_per_read: bool, stat_names):
+    """Per-region dense accumulators over THIS host's read shard.
+
+    Unlike ``compute_reg_stats`` this never raises on an empty shard —
+    a host owning no reads in the region must still contribute zeros to
+    the cross-host reduction."""
+    stat_type = params.stat_type
+    span_lo, span_n = _accum_span(reg_data, params)
+    ctrl_cov = None
+    ctrl_cov_dense = np.zeros(span_n, np.int64)
+    if stat_type == SAMP_COMP_TXT:
+        try:
+            ctrl_means, ctrl_sds, ctrl_cov = get_reads_ref(
+                ctrl_reg_data, fasta, params.min_test_reads,
+                params.fm_offset, std_ref, params.prior_weights)
+        except TomboTpuError:
+            ctrl_means = ctrl_sds = None
+        if ctrl_cov is not None:
+            for pos, c in ctrl_cov.items():
+                rel = pos - span_lo
+                if 0 <= rel < span_n:
+                    ctrl_cov_dense[rel] = c
+
+    reg_read_stats = {n: [] for n in stat_names}
+    stat_locs = {n: [] for n in stat_names}
+    reg_ids = {n: [] for n in stat_names}
+    need_seq = stat_type in (DE_NOVO_TXT, ALT_MODEL_TXT)
+    if stat_type != SAMP_COMP_TXT or ctrl_cov is not None:
+        for rl in reg_data.load_levels(with_seq=need_seq):
+            try:
+                if stat_type == SAMP_COMP_TXT:
+                    r_stats, r_poss, read_id = \
+                        compute_sample_compare_read_stats(
+                            rl, ctrl_means, ctrl_sds, params.fm_offset,
+                            reg_data)
+                elif stat_type == DE_NOVO_TXT:
+                    r_stats, r_poss, read_id = compute_de_novo_read_stats(
+                        rl, std_ref, params.fm_offset, reg_data)
+                else:
+                    r_stats, r_poss, read_id = compute_alt_model_read_stats(
+                        rl, std_ref, alt_refs, params.use_standard_llhr,
+                        reg_data)
+            except TomboTpuError:
+                continue
+            for name, s in r_stats.items():
+                reg_read_stats[name].append(s)
+                reg_ids[name].append((read_id, s.shape[0]))
+                stat_locs[name].append(r_poss[name])
+
+    out = {}
+    for name in stat_names:
+        cov, valid, above = site_accumulators(
+            reg_read_stats[name], stat_locs[name], span_lo, span_n,
+            params.single_read_thresh, params.lower_thresh, stat_type)
+        pr_payload = None
+        if emit_per_read and reg_read_stats[name]:
+            try:
+                _, pr_payload = collate_reg_stats(
+                    reg_read_stats[name], stat_locs[name], reg_ids[name],
+                    True, reg_data, params.single_read_thresh,
+                    params.lower_thresh, stat_type, name, ctrl_cov)
+            except TomboTpuError:
+                pr_payload = None
+        out[name] = (cov, valid, above, ctrl_cov_dense, pr_payload)
+    return out
+
+
+def group_stats_dense(reg_data: RegionData, params: TestParams,
+                      results) -> tuple:
+    """Pack group (level) statistics into dense region-span arrays so a
+    non-owning host can contribute zeros to the cross-host sum."""
+    span_lo, span_n = _accum_span(reg_data, params)
+    stat = np.zeros(span_n, np.float64)
+    mask = np.zeros(span_n, np.int64)
+    cov = np.zeros(span_n, np.int64)
+    ctrl = np.zeros(span_n, np.int64)
+    for _, gs in results:
+        rel = gs.reg_poss - span_lo
+        stat[rel] = gs.reg_stats
+        mask[rel] = 1
+        cov[rel] = gs.reg_cov
+        ctrl[rel] = gs.ctrl_cov
+    return stat, mask, cov, ctrl
+
+
+def group_stats_from_dense(reg_data: RegionData, params: TestParams,
+                           stat, mask, cov, ctrl):
+    span_lo, _ = _accum_span(reg_data, params)
+    rel = np.where(mask > 0)[0]
+    if rel.shape[0] == 0:
+        return None
+    return GroupStats(stat[rel], rel + span_lo, reg_data.chrm,
+                      reg_data.strand, reg_data.start, cov[rel], ctrl[rel])
+
+
 def compute_reg_stats(reg_data: RegionData, params: TestParams,
                       ctrl_reg_data: Optional[RegionData], fasta,
                       std_ref: Optional[KmerModel],
@@ -515,48 +679,71 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
                       ctrl_reads_index=None,
                       per_read_bn: Optional[str] = None,
                       num_processes: int = 4,
-                      verbose: bool = False):
+                      verbose: bool = False,
+                      dist=None):
     """Run per-site testing over all covered regions and write stats files
     (reference: tombo/tombo_stats.py:4574-4634 ``test_significance``).
 
     Regions are computed by a thread pool; stats files are written by this
     (single) thread in deterministic region order, so results are
     independent of worker count (reference guarantee:
-    docs/modified_base_detection.rst:151-153)."""
+    docs/modified_base_detection.rst:151-153).
+
+    Multi-host: pass a ``parallel.distributed.DistContext``.  Per-read
+    model statistics shard READS across hosts by stable hash and merge
+    dense per-site accumulators with a cross-host sum; group (level)
+    statistics shard REGIONS (their per-site tests need every read at a
+    site).  Either way all hosts hold identical totals, the main host
+    writes the files, and results are independent of the host count —
+    extending the reference's process-count invariance across hosts.
+    Per-read statistic files are written per host
+    (``<name>.host<i>``, disjoint read shards)."""
+    from ..parallel.distributed import DistContext, psum_hosts, read_key
     stat_type = params.stat_type
     is_level = stat_type in LEVEL_STATS_TXTS
     alt_items = sorted(alt_refs.items()) if alt_refs else None
+    if dist is None:
+        dist = DistContext()
+    multi = dist.n_hosts > 1
 
     regions = [
         RegionData(chrm, strand, start, start + params.region_size)
         for chrm, strand, start in reads_index.iter_cov_regs(
             1, params.region_size, ctrl_reads_index)]
 
-    # open output files
     if is_level:
-        stats_files = {stat_type: LevelStats(
-            stats_fn, stat_type, params.region_size, params.min_test_reads,
-            params.num_most_signif)}
+        stat_names = [stat_type]
     elif stat_type == ALT_MODEL_TXT:
-        stats_files = {}
-        for name, _ in alt_items:
-            fn = (stats_fn if len(alt_items) == 1 else
-                  _alt_stats_fn(stats_fn, name))
-            stats_files[name] = ModelStats(
-                fn, stat_type, params.region_size, params.cov_damp_counts,
-                params.min_test_reads, params.num_most_signif)
+        stat_names = [name for name, _ in alt_items]
     else:
-        stats_files = {stat_type: ModelStats(
-            stats_fn, stat_type, params.region_size, params.cov_damp_counts,
-            params.min_test_reads, params.num_most_signif)}
+        stat_names = [stat_type]
+
+    # output files: in a multi-host run only the main host writes the
+    # merged stats files; per-read blocks are host-local shards
+    stats_files = {}
+    if not multi or dist.is_main:
+        for name in stat_names:
+            fn = (stats_fn if len(stat_names) == 1 else
+                  _alt_stats_fn(stats_fn, name))
+            if is_level:
+                stats_files[name] = LevelStats(
+                    fn, stat_type, params.region_size,
+                    params.min_test_reads, params.num_most_signif)
+            else:
+                stats_files[name] = ModelStats(
+                    fn, stat_type, params.region_size,
+                    params.cov_damp_counts, params.min_test_reads,
+                    params.num_most_signif)
     pr_files = {}
     if per_read_bn is not None and not is_level:
-        for name in stats_files:
-            fn = (per_read_bn if len(stats_files) == 1 else
+        for name in stat_names:
+            fn = (per_read_bn if len(stat_names) == 1 else
                   _alt_stats_fn(per_read_bn, name))
+            if multi:
+                fn = "%s.host%d" % (fn, dist.host_id)
             pr_files[name] = PerReadStats(fn, stat_type, params.region_size)
 
-    def run_region(reg: RegionData):
+    def run_region_single(reg: RegionData):
         reg.add_reads(reads_index)
         ctrl_reg = None
         if ctrl_reads_index is not None:
@@ -572,18 +759,76 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
         except TomboTpuError:
             return []
 
+    def run_region_multi(args):
+        reg_idx, reg = args
+        if is_level:
+            # region-sharded: the owning host computes with ALL reads,
+            # other hosts contribute zero-filled dense arrays
+            if dist.owns_region(reg_idx):
+                reg.add_reads(reads_index)
+                ctrl_reg = RegionData(
+                    reg.chrm, reg.strand, reg.start,
+                    reg.end).add_reads(ctrl_reads_index)
+                try:
+                    results = compute_group_reg_stats(reg, ctrl_reg, params)
+                except TomboTpuError:
+                    results = []
+            else:
+                results = []
+            return {stat_type: group_stats_dense(reg, params, results)}
+        # read-sharded: this host's hash shard only
+        reg.add_reads(reads_index)
+        reg.reads = [r for r in reg.reads if dist.owns_read(read_key(r))]
+        ctrl_reg = None
+        if ctrl_reads_index is not None:
+            # the control posterior reference is a per-site median over
+            # ALL control reads (not decomposable) — every host loads it
+            ctrl_reg = RegionData(reg.chrm, reg.strand, reg.start,
+                                  reg.end).add_reads(ctrl_reads_index)
+        return compute_reg_accumulators(
+            reg, params, ctrl_reg, fasta, std_ref, alt_items,
+            bool(pr_files), stat_names)
+
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=num_processes) as pool:
-        for reg, results in zip(regions, pool.map(run_region, regions)):
-            for name, reg_stats, pr_payload in results:
-                stats_files[name]._write_stat_block(reg_stats)
-                if pr_payload is not None and name in pr_files:
-                    _, block, lookup, chrm, strand, start = pr_payload
-                    pr_files[name]._write_per_read_block(
-                        block, lookup, chrm, strand, start)
-            if verbose:
-                print("  processed %s:%s:%d" % (reg.chrm, reg.strand,
-                                                reg.start))
+        if multi:
+            # collectives must run in deterministic region order on every
+            # host: the thread pool computes host-local accumulators, the
+            # cross-host sums happen serially here
+            for reg, acc in zip(regions, pool.map(
+                    run_region_multi, enumerate(regions))):
+                for name in stat_names:
+                    if is_level:
+                        merged = psum_hosts(dist, *acc[name])
+                        reg_stats = group_stats_from_dense(
+                            reg, params, *merged)
+                        pr_payload = None
+                    else:
+                        cov, valid, above, ctrl_dense, pr_payload = acc[name]
+                        cov, valid, above = psum_hosts(
+                            dist, cov, valid, above)
+                        span_lo, _ = _accum_span(reg, params)
+                        reg_stats = region_stats_from_accumulators(
+                            reg, span_lo, cov, valid, above, ctrl_dense,
+                            stat_type)
+                    if reg_stats is not None and name in stats_files:
+                        stats_files[name]._write_stat_block(reg_stats)
+                    if pr_payload is not None and name in pr_files:
+                        _, block, lookup, chrm, strand, start = pr_payload
+                        pr_files[name]._write_per_read_block(
+                            block, lookup, chrm, strand, start)
+        else:
+            for reg, results in zip(regions,
+                                    pool.map(run_region_single, regions)):
+                for name, reg_stats, pr_payload in results:
+                    stats_files[name]._write_stat_block(reg_stats)
+                    if pr_payload is not None and name in pr_files:
+                        _, block, lookup, chrm, strand, start = pr_payload
+                        pr_files[name]._write_per_read_block(
+                            block, lookup, chrm, strand, start)
+                if verbose:
+                    print("  processed %s:%s:%d" % (reg.chrm, reg.strand,
+                                                    reg.start))
 
     for sf in stats_files.values():
         if sf.is_empty:
