@@ -35,8 +35,8 @@ from tombo_tpu.testing import random_reference, simulate_read
 from tombo_tpu.types import SeqSampleType, SequenceData
 
 READ_LEN = 1000          # bases per read (uniform config)
-BATCH_SIZE = 64
-N_BATCHES = 4
+BATCH_SIZE = int(os.environ.get("TOMBO_TPU_BENCH_BATCH", "256"))
+N_BATCHES = max(2, 16384 // BATCH_SIZE // 16)
 N_CPU_READS = 32         # single-core native-baseline sample
 
 MIXED = "--mixed" in sys.argv[1:]

@@ -160,9 +160,9 @@ class _ReadState:
     mapped_start: int = 0
     events_per_base: float = 0.0
     result: Optional[ResquiggleResults] = None
-    # device-finalize products for deletion-free adaptive reads:
-    # (slope, inter, post-rescale sig-match score)
-    dev_fin: Optional[Tuple[float, float, float]] = None
+    # device-finalize deletion flag: False = DP path has no zero-length
+    # segments (skip the raw-signal fix), None = unknown (host decides)
+    has_del: Optional[bool] = None
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -294,23 +294,16 @@ def _stage_a_rna(raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower,
             start_segs, start_score)
 
 
-@functools.partial(jax.jit, static_argnames=("max_slope", "n_rows"))
-def _stage_finalize(norm, cpts, rows, clips, segs_dp, seq_lens, ev_lens,
-                    rm, rs, ts_idx, ts_n, max_slope: float, n_rows: int):
-    """Device finalize for non-deletion reads: traceback trim, raw
-    coordinates, event means, Theil-Sen rescale fit and validity score in
-    one fused call (host equivalents: pipeline/resquiggle.py
-    ``_trim_traceback``/``get_rel_raw_coords``/``get_read_seg_score``,
-    ops/ref_impl.new_means, native theil_sen_batch; reference:
-    tombo/resquiggle.py:754-764,858-864,1122-1220).
-
-    Only per-read scalars and the (B, L+1) segment table are fetched;
-    reads with deletion windows (``has_del``) are re-finalized on the
-    host through the raw-signal deletion-fix DP.  Means accumulate in
-    f64 (a f32 cumsum over 10^4+ samples would cost ~1e-3 absolute error
-    on event means, visible in the fitted scale)."""
-    from ..ops import rescale as rsc
-
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _stage_finalize(cpts, rows, clips, segs_dp, seq_lens, ev_lens,
+                    n_rows: int):
+    """Device traceback finalize: trim + raw coordinates + deletion flag
+    in the same fused program as the DP (host equivalents:
+    pipeline/resquiggle.py ``_trim_traceback``/``get_rel_raw_coords``;
+    reference: tombo/resquiggle.py:754-764,858-864).  Integer-exact, so
+    results are bitwise identical to the host loop; ``has_del`` routes
+    reads with zero-length segments to the host raw-signal deletion DP
+    and lets clean reads skip window planning entirely."""
     L = n_rows
     iot_L1 = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
     ev_lens = ev_lens.astype(jnp.int32)[:, None]
@@ -329,36 +322,7 @@ def _stage_finalize(norm, cpts, rows, clips, segs_dp, seq_lens, ev_lens,
     d = jnp.diff(seq_segs, axis=1)                        # (B, L)
     base_valid = iot_L1[:, :L] < seq_lens[:, None]
     has_del = jnp.any((d == 0) & base_valid, axis=1)
-
-    # per-base event means, f64 accumulation
-    norm_rows = jnp.take(norm, rows, axis=0).astype(jnp.float64)
-    cs = jnp.cumsum(norm_rows, axis=1)
-    cs = jnp.concatenate(
-        [jnp.zeros((cs.shape[0], 1), cs.dtype), cs], axis=1)
-    g = jnp.take_along_axis(
-        cs, jnp.clip(seq_segs_abs, 0, cs.shape[1] - 1), axis=1)
-    sums = g[:, 1:] - g[:, :-1]
-    means = sums / jnp.where(d > 0, d, 1)
-    means = jnp.where(base_valid & (d > 0), means, 0.0)
-
-    # Theil-Sen over (sampled) points in the compute dtype
-    dt = rm.dtype
-    means_c = means.astype(dt)
-    ev_s = jnp.take_along_axis(means_c, ts_idx, axis=1)
-    mod_s = jnp.take_along_axis(rm, ts_idx, axis=1)
-    slope, inter = rsc.theil_sen_device(ev_s, mod_s, ts_n,
-                                        max_slope=max_slope)
-
-    # post-correction validity score over all bases
-    # (reference: tombo/tombo_stats.py:2327-2339 on the rescaled means)
-    safe_slope = jnp.where(slope == 0, 1.0, slope).astype(dt)
-    scale_corr = 1.0 / safe_slope
-    shift_corr = -inter.astype(dt) / safe_slope
-    ev_resc = (means_c - shift_corr[:, None]) / scale_corr[:, None]
-    half_z = jnp.abs((ev_resc - rm) / rs)
-    score = (jnp.sum(jnp.where(base_valid, half_z, 0.0), axis=1) /
-             jnp.maximum(seq_lens, 1))
-    return seq_segs, rsrtr, has_del, slope, inter, score
+    return seq_segs, rsrtr, has_del
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -986,44 +950,21 @@ class BatchedResquiggler:
             segs_j, bound_err = dpo.banded_traceback(
                 tb, band_starts, seq_lens_j, top,
                 p.band_bound_thresh, bw, L_max)
-        use_dev_fin = (ctx.get("norm") is not None and
+        use_dev_fin = (ctx.get("cpts") is not None and
                        os.environ.get("TOMBO_TPU_DEV_FINALIZE", "1") == "1")
         if use_dev_fin:
             # fused device finalize: traceback trim + raw coordinates +
-            # event means + Theil-Sen fit + validity score in one call;
-            # only per-read scalars and the (B, L+1) segment table come
-            # back.  Reads whose DP path contains deletions are flagged
-            # (has_del) and re-finalized through the host raw-signal DP.
-            max_n = config.MAX_POINTS_FOR_THEIL_SEN
-            W_ts = min(L_max,
-                       _pow2_bucket(min(int(seq_lens.max()), max_n), 256))
-            ts_idx = np.zeros((B, W_ts), np.int32)
-            ts_n = np.zeros(B, np.int32)
-            for i, s in enumerate(live):
-                n = s.ref_means.shape[0]
-                if n > max_n:
-                    # identical sampling to the host lane (rng(0) over n)
-                    samp = np.random.default_rng(0).choice(
-                        n, max_n, replace=False)
-                    ts_idx[i, :max_n] = samp
-                    ts_n[i] = max_n
-                else:
-                    ts_idx[i, :n] = np.arange(n, dtype=np.int32)
-                    ts_n[i] = n
-            (seq_segs_j, rsrtr_j, has_del_j, slope_j, inter_j,
-             score_j) = _stage_finalize(
-                ctx["norm"], ctx["cpts"], rows_j, clips_j, segs_j,
-                seq_lens_j, dp_args[1], dp_args[2], dp_args[3],
-                self._up(ts_idx, B_pad), self._up(ts_n, B_pad),
-                max_slope=1000.0, n_rows=L_max)
-            (band_err, bound_err, seq_segs_np, rsrtr_np, has_del, slopes,
-             inters, scores) = _fetch(
-                band_err, bound_err, seq_segs_j, rsrtr_j, has_del_j,
-                slope_j, inter_j, score_j)
+            # per-read deletion flag in the same device program; only the
+            # (B, L+1) segment table and per-read scalars come back
+            seq_segs_j, rsrtr_j, has_del_j = _stage_finalize(
+                ctx["cpts"], rows_j, clips_j, segs_j, seq_lens_j,
+                dp_args[1], n_rows=L_max)
+            (band_err, bound_err, seq_segs_np, rsrtr_np,
+             has_del) = _fetch(band_err, bound_err, seq_segs_j, rsrtr_j,
+                               has_del_j)
             seq_segs_np = seq_segs_np.astype(np.int64)[:B]
             rsrtr_np = rsrtr_np[:B]
             has_del = has_del[:B]
-            slopes = slopes[:B]; inters = inters[:B]; scores = scores[:B]
         else:
             segs_np, band_err, bound_err = _fetch(
                 segs_j, band_err, bound_err)
@@ -1044,9 +985,7 @@ class BatchedResquiggler:
             if use_dev_fin:
                 s.dp_segs = seq_segs_np[i, :L + 1]
                 s.dp_rsrtr = int(rsrtr_np[i])
-                if not has_del[i]:
-                    s.dev_fin = (float(slopes[i]), float(inters[i]),
-                                 float(scores[i]))
+                s.has_del = bool(has_del[i])
                 continue
             read_tb = segs_np[i, :L + 1].copy()
             read_tb = rsq._trim_traceback(
@@ -1085,13 +1024,15 @@ class BatchedResquiggler:
         across reads into one threaded native call rather than run
         per-read."""
         from ..types import DpResults
-        from ..native import theil_sen_batch
+        from ..native import raw_windows_dp_batch, theil_sen_batch
 
-        # pass A: deletion fix + gather Theil-Sen inputs.  Reads already
-        # finalized on device (``dev_fin``: deletion-free DP path, fit and
-        # score computed in _stage_finalize) skip the raw-signal DP — with
-        # no zero-length segments it is exactly a no-op — and pass B/C.
+        # pass A: deletion-fix planning.  The device finalize already
+        # flagged reads with zero-length segments (has_del); clean reads
+        # skip window planning entirely, and all windows of all flagged
+        # reads run in ONE threaded native DP call instead of one call
+        # per read.
         pending = []
+        del_jobs = []
         for s in states:
             if s.error is not None or s.result is not None:
                 continue
@@ -1110,62 +1051,84 @@ class BatchedResquiggler:
                 norm_signal = s.norm[
                     dp_res.read_start_rel_to_raw:
                     dp_res.read_start_rel_to_raw + dp_res.segs[-1]]
-                if s.dev_fin is not None and not skip_seq_scaling:
-                    segs = dp_res.segs
-                else:
-                    segs = rsq.resolve_skipped_bases_with_raw(
-                        dp_res, norm_signal, self.params)
                 s._dp_res = dp_res
                 s._norm_signal = norm_signal
-                s._segs = segs
+                if s.has_del is False:
+                    s._segs = dp_res.segs
+                else:
+                    windows = rsq.plan_del_fix_windows(dp_res, self.params)
+                    if not windows:
+                        s._segs = dp_res.segs.copy()
+                    else:
+                        s._segs = None
+                        del_jobs.append((s, windows))
                 pending.append(s)
             except TomboTpuError as e:
                 s.error = str(e)
 
-        def apply_fit(s, slope, inter):
-            if slope == 0:
-                s.error = ("Read failed sequence-based signal re-scaling "
-                           "parameter estimation.")
-                return
-            scale_corr = 1.0 / slope
-            shift_corr = -inter / slope
-            sv = s.scale_values
-            s.scale_values = sv.replace(
-                shift=sv.shift + shift_corr * sv.scale,
-                scale=sv.scale * scale_corr,
-                outlier_thresh=self.outlier_thresh)
-            s._norm_signal = (s._norm_signal - shift_corr) / scale_corr
-            s._norm_params_changed = (
-                abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
-                abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
+        # one native raw-DP call over every deletion window in the batch
+        if del_jobs:
+            all_inputs = []
+            counts = []
+            for s, windows in del_jobs:
+                inp = rsq.build_del_fix_inputs(s._dp_res, s._norm_signal,
+                                               windows)
+                all_inputs.extend(inp)
+                counts.append(len(inp))
+            native_out = raw_windows_dp_batch(
+                all_inputs, self.params.raw_min_obs_per_base,
+                self.params.max_half_z_score)
+            off = 0
+            for (s, windows), cnt in zip(del_jobs, counts):
+                try:
+                    if native_out is None:
+                        out = rsq._del_fix_numpy(
+                            s._dp_res, s._norm_signal, windows, self.params)
+                    else:
+                        out = (native_out[0][off:off + cnt],
+                               native_out[1][off:off + cnt])
+                    s._segs = rsq.apply_del_fix(
+                        s._dp_res, s._norm_signal, windows, *out)
+                except TomboTpuError as e:
+                    s.error = str(e)
+                off += cnt
+            pending = [s for s in pending if s.error is None]
 
-        # pass B: rescale fit — device results where available, batched
-        # native Theil-Sen (threaded C++) for the host-lane remainder
+        # pass B: batched Theil-Sen rescale (native, threaded)
         if pending and not skip_seq_scaling:
-            host_fit = [s for s in pending if s.dev_fin is None]
-            for s in pending:
-                if s.dev_fin is not None:
-                    apply_fit(s, s.dev_fin[0], s.dev_fin[1])
-            if host_fit:
-                max_n = config.MAX_POINTS_FOR_THEIL_SEN
-                B = len(host_fit)
-                ev = np.zeros((B, max_n), np.float64)
-                mod = np.zeros((B, max_n), np.float64)
-                n_pts = np.zeros(B, np.int64)
-                for i, s in enumerate(host_fit):
-                    r_ev = ref_impl.new_means(s._norm_signal, s._segs)
-                    r_mod = s._dp_res.ref_means
-                    n = r_mod.shape[0]
-                    if n > max_n:
-                        samp = np.random.default_rng(0).choice(
-                            n, max_n, replace=False)
-                        r_ev, r_mod, n = r_ev[samp], r_mod[samp], max_n
-                    ev[i, :n] = r_ev
-                    mod[i, :n] = r_mod
-                    n_pts[i] = n
-                slopes, inters = theil_sen_batch(ev, mod, n_pts)
-                for s, slope, inter in zip(host_fit, slopes, inters):
-                    apply_fit(s, slope, inter)
+            max_n = config.MAX_POINTS_FOR_THEIL_SEN
+            B = len(pending)
+            ev = np.zeros((B, max_n), np.float64)
+            mod = np.zeros((B, max_n), np.float64)
+            n_pts = np.zeros(B, np.int64)
+            for i, s in enumerate(pending):
+                r_ev = ref_impl.new_means(s._norm_signal, s._segs)
+                r_mod = s._dp_res.ref_means
+                n = r_mod.shape[0]
+                if n > max_n:
+                    samp = np.random.default_rng(0).choice(
+                        n, max_n, replace=False)
+                    r_ev, r_mod, n = r_ev[samp], r_mod[samp], max_n
+                ev[i, :n] = r_ev
+                mod[i, :n] = r_mod
+                n_pts[i] = n
+            slopes, inters = theil_sen_batch(ev, mod, n_pts)
+            for s, slope, inter in zip(pending, slopes, inters):
+                if slope == 0:
+                    s.error = ("Read failed sequence-based signal re-scaling "
+                               "parameter estimation.")
+                    continue
+                scale_corr = 1.0 / slope
+                shift_corr = -inter / slope
+                sv = s.scale_values
+                s.scale_values = sv.replace(
+                    shift=sv.shift + shift_corr * sv.scale,
+                    scale=sv.scale * scale_corr,
+                    outlier_thresh=self.outlier_thresh)
+                s._norm_signal = (s._norm_signal - shift_corr) / scale_corr
+                s._norm_params_changed = (
+                    abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
+                    abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
         else:
             for s in pending:
                 s._norm_params_changed = False
@@ -1177,12 +1140,9 @@ class BatchedResquiggler:
             try:
                 dp_res, segs = s._dp_res, s._segs
                 norm_signal = s._norm_signal
-                if s.dev_fin is not None and not skip_seq_scaling:
-                    sig_match_score = s.dev_fin[2]
-                else:
-                    sig_match_score = rsq.get_read_seg_score(
-                        ref_impl.new_means(norm_signal, segs),
-                        dp_res.ref_means, dp_res.ref_sds)
+                sig_match_score = rsq.get_read_seg_score(
+                    ref_impl.new_means(norm_signal, segs), dp_res.ref_means,
+                    dp_res.ref_sds)
                 if segs.shape[0] != len(dp_res.genome_seq) + 1:
                     raise TomboTpuError(
                         "Aligned sequence does not match number of segments "
@@ -1294,7 +1254,7 @@ class BatchedResquiggler:
                 s.result = None
                 s.scale_values = None
                 s.use_static = False
-                s.dev_fin = None
+                s.has_del = None
                 if hasattr(s, "dp_segs"):
                     del s.dp_segs
             self._run_pass(redo)

@@ -604,13 +604,16 @@ def find_adaptive_base_assignment(
 # Skipped-base resolution (reference: tombo/resquiggle.py:402-540)
 # --------------------------------------------------------------------------
 
-def resolve_skipped_bases_with_raw(
-        dp_res: DpResults, norm_signal, rsqgl_params: ResquiggleParams,
+def plan_del_fix_windows(
+        dp_res: DpResults, rsqgl_params: ResquiggleParams,
         max_raw_cpts=MAX_RAW_CPTS, del_fix_window=DEL_FIX_WINDOW,
         max_del_fix_window=MAX_DEL_FIX_WINDOW,
         extra_sig_factor=EXTRA_SIG_FACTOR):
-    """Raw-signal DP in windows around skipped bases
-    (reference: tombo/resquiggle.py:402 ``resolve_skipped_bases_with_raw``)."""
+    """Window planning half of the skipped-base fix: merged/expanded
+    (start, end) base windows around zero-length segments, or [] when the
+    path has no deletions (reference: tombo/resquiggle.py:402-480).
+    Split out so the batched lane can plan per read but run ONE native
+    DP call over every window of every read in the batch."""
 
     def merge_windows(ws):
         merged = []
@@ -654,9 +657,8 @@ def resolve_skipped_bases_with_raw(
         else:
             all_del_windows.append((del_pos - del_fix_window,
                                     del_pos + del_fix_window + 1))
-    resolved_segs = dp_res.segs.copy()
     if not all_del_windows:
-        return resolved_segs
+        return []
 
     windows_expanded = False
     all_del_windows = trim_ends(merge_windows(all_del_windows))
@@ -674,45 +676,31 @@ def resolve_skipped_bases_with_raw(
             e - s for s, e in all_del_windows) > max_raw_cpts:
         raise TomboTpuError(
             "Read contains too many potential genomic deletions")
+    return all_del_windows
 
-    from ..native import raw_windows_dp_batch
-    native_windows = [
+
+def build_del_fix_inputs(dp_res: DpResults, norm_signal, windows):
+    """Native raw-window DP inputs for planned windows: (signal slice,
+    expected levels, SDs, evenly-spaced pseudo starts) per window."""
+    return [
         (norm_signal[dp_res.segs[start]:dp_res.segs[end]],
          dp_res.ref_means[start:end], dp_res.ref_sds[start:end],
          np.linspace(0, dp_res.segs[end] - dp_res.segs[start],
                      end - start + 1, dtype=np.int64))
-        for start, end in all_del_windows]
-    native_out = raw_windows_dp_batch(
-        native_windows, rsqgl_params.raw_min_obs_per_base,
-        rsqgl_params.max_half_z_score)
-    if native_out is not None:
-        segs_list, status = native_out
-        for (start, end), reg_segs, st in zip(
-                all_del_windows, segs_list, status):
-            if st != 0:
-                raise TomboTpuError(
-                    "Raw-signal traceback failed to find boundary")
-            resolved_segs[start + 1:end] = reg_segs + dp_res.segs[start]
-    else:
-        for start, end in all_del_windows:
-            n_events = end - start
-            sig_start, sig_end = dp_res.segs[start], dp_res.segs[end]
-            sig_len = sig_end - sig_start
-            pseudo_starts = np.linspace(0, sig_len, n_events + 1,
-                                        dtype=np.int64)
-            reg_zs = ref_impl.reg_z_scores(
-                norm_signal[sig_start:sig_end], dp_res.ref_means[start:end],
-                dp_res.ref_sds[start:end], pseudo_starts, 0, n_events,
-                n_events, rsqgl_params.raw_min_obs_per_base,
-                max_half_z_score=rsqgl_params.max_half_z_score)
-            reg_fwd = ref_impl.raw_forward_pass(
-                reg_zs, rsqgl_params.raw_min_obs_per_base)
-            reg_segs = ref_impl.raw_traceback(
-                reg_fwd, rsqgl_params.raw_min_obs_per_base) + sig_start
-            if reg_segs.shape[0] != end - start - 1:
-                raise TomboTpuError("Invalid segmentation results.")
-            resolved_segs[start + 1:end] = reg_segs
+        for start, end in windows]
 
+
+def apply_del_fix(dp_res: DpResults, norm_signal, windows, segs_list,
+                  status):
+    """Scatter per-window raw-DP boundaries back into the segment table
+    and run the reference's validity checks
+    (reference: tombo/resquiggle.py:470-500)."""
+    resolved_segs = dp_res.segs.copy()
+    for (start, end), reg_segs, st in zip(windows, segs_list, status):
+        if st != 0:
+            raise TomboTpuError(
+                "Raw-signal traceback failed to find boundary")
+        resolved_segs[start + 1:end] = reg_segs + dp_res.segs[start]
     if np.diff(resolved_segs).min() < 1:
         raise TomboTpuError("New segments include zero length events")
     if resolved_segs[0] < 0:
@@ -720,6 +708,54 @@ def resolve_skipped_bases_with_raw(
     if resolved_segs[-1] > norm_signal.shape[0]:
         raise TomboTpuError("New segments end past raw signal values")
     return resolved_segs
+
+
+def _del_fix_numpy(dp_res: DpResults, norm_signal, windows,
+                   rsqgl_params: ResquiggleParams):
+    """Pure-numpy fallback for the window DP (native lib unavailable)."""
+    segs_list, status = [], []
+    for start, end in windows:
+        n_events = end - start
+        sig_start, sig_end = dp_res.segs[start], dp_res.segs[end]
+        pseudo_starts = np.linspace(0, sig_end - sig_start, n_events + 1,
+                                    dtype=np.int64)
+        reg_zs = ref_impl.reg_z_scores(
+            norm_signal[sig_start:sig_end], dp_res.ref_means[start:end],
+            dp_res.ref_sds[start:end], pseudo_starts, 0, n_events,
+            n_events, rsqgl_params.raw_min_obs_per_base,
+            max_half_z_score=rsqgl_params.max_half_z_score)
+        reg_fwd = ref_impl.raw_forward_pass(
+            reg_zs, rsqgl_params.raw_min_obs_per_base)
+        reg_segs = ref_impl.raw_traceback(
+            reg_fwd, rsqgl_params.raw_min_obs_per_base)
+        if reg_segs.shape[0] != end - start - 1:
+            raise TomboTpuError("Invalid segmentation results.")
+        segs_list.append(reg_segs)
+        status.append(0)
+    return segs_list, status
+
+
+def resolve_skipped_bases_with_raw(
+        dp_res: DpResults, norm_signal, rsqgl_params: ResquiggleParams,
+        max_raw_cpts=MAX_RAW_CPTS, del_fix_window=DEL_FIX_WINDOW,
+        max_del_fix_window=MAX_DEL_FIX_WINDOW,
+        extra_sig_factor=EXTRA_SIG_FACTOR):
+    """Raw-signal DP in windows around skipped bases
+    (reference: tombo/resquiggle.py:402 ``resolve_skipped_bases_with_raw``)."""
+    windows = plan_del_fix_windows(
+        dp_res, rsqgl_params, max_raw_cpts, del_fix_window,
+        max_del_fix_window, extra_sig_factor)
+    if not windows:
+        return dp_res.segs.copy()
+    from ..native import raw_windows_dp_batch
+    native_out = raw_windows_dp_batch(
+        build_del_fix_inputs(dp_res, norm_signal, windows),
+        rsqgl_params.raw_min_obs_per_base,
+        rsqgl_params.max_half_z_score)
+    if native_out is None:
+        native_out = _del_fix_numpy(dp_res, norm_signal, windows,
+                                    rsqgl_params)
+    return apply_del_fix(dp_res, norm_signal, windows, *native_out)
 
 
 # --------------------------------------------------------------------------
