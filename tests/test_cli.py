@@ -184,3 +184,48 @@ def test_event_resquiggle(tmp_path):
     assert events.shape[0] == true_rel.shape[0] - 1
     idx = ReadsIndex([fast5_dir])
     assert sum(len(v) for v in idx.reads_index.values()) == 5
+
+
+def test_resquiggle_advanced_options(tmp_path, capsys):
+    """Advanced re-squiggle options (reference:
+    tombo/_option_parsers.py:732-806): --print-advanced-arguments,
+    --fixed-scale / --skip-sequence-rescaling / --failed-reads-filename /
+    --outlier-threshold / --max-scaling-iterations."""
+    tmp = str(tmp_path)
+    fasta, reads, fast5_dir = make_synthetic_dataset(
+        tmp, n_reads=6, seed=21, read_len=400, ref_len=2500)
+    ref_fn = os.path.join(tmp, "reference.fasta")
+
+    assert main(["resquiggle", fast5_dir, ref_fn,
+                 "--print-advanced-arguments"]) == 0
+    out = capsys.readouterr().out
+    for opt in ("--fixed-scale", "--outlier-threshold",
+                "--skip-sequence-rescaling", "--max-scaling-iterations"):
+        assert opt in out
+
+    # a fixed scale near the dataset's true MAD so reads still align
+    sig = reads[0].raw_signal
+    const = float(np.median(np.abs(sig - np.median(sig))))
+    failed_fn = os.path.join(tmp, "failed.txt")
+    assert main(["resquiggle", fast5_dir, ref_fn, "--overwrite",
+                 "--allow-exact-aligner", "--dna", "--processes", "2",
+                 "--fixed-scale", str(const), "--skip-sequence-rescaling",
+                 "--max-scaling-iterations", "1",
+                 "--outlier-threshold", "5.0",
+                 "--failed-reads-filename", failed_fn,
+                 "--obs-per-base-filter", "99:200", "100:5000"]) == 0
+    out = capsys.readouterr().out
+    assert "succeeded" in out
+    assert os.path.exists(failed_fn)
+
+    # fixed scale must actually pin every read's scale parameter
+    from tombo_tpu.io.index import ReadsIndex
+    import h5py
+    idx = ReadsIndex([fast5_dir])
+    n_checked = 0
+    for rd in idx.iter_reads():
+        with h5py.File(rd.fn, "r") as fp:
+            grp = fp["/Analyses/%s" % rd.corr_group]
+            assert abs(grp.attrs["scale"] - const) < 1e-9
+            n_checked += 1
+    assert n_checked >= 5

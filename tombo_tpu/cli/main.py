@@ -86,6 +86,11 @@ def _open_genomic_aligner(args):
         return ExactAligner(Fasta(args.reference))
 
 
+def _parse_obs_filter_args(obs_filter):
+    from .. import filters as filt
+    return filt.parse_obs_filter(obs_filter) if obs_filter else None
+
+
 def _reads_index(dirs, args):
     from ..io.index import ReadsIndex
     return ReadsIndex(dirs, args.corrected_group,
@@ -94,12 +99,38 @@ def _reads_index(dirs, args):
 
 # ------------------------------------------------------------- resquiggle
 
+_RESQUIGGLE_ADVANCED = [
+    "--tombo-model-filename", "--signal-align-parameters",
+    "--segmentation-parameters", "--skip-sequence-rescaling",
+    "--max-scaling-iterations", "--signal-length-range",
+    "--sequence-length-range", "--fit-global-scale", "--fixed-scale",
+    "--outlier-threshold", "--skip-index", "--include-event-stdev",
+    "--ignore-read-locks", "--threads-per-process", "--batch-size",
+    "--num-hosts", "--host-id", "--coordinator-address",
+]
+
+
+def _print_advanced_resquiggle(parser):
+    """--print-advanced-arguments (reference:
+    tombo/_option_parsers.py:438,785-806): list the advanced/hidden
+    re-squiggle options with their help text."""
+    print("Advanced re-squiggle arguments:")
+    for act in parser._actions:
+        if any(opt in _RESQUIGGLE_ADVANCED for opt in act.option_strings):
+            h = act.help or ""
+            print("  %-28s %s" % (", ".join(act.option_strings), h))
+
+
 def _resquiggle_main(args):
     import jax.numpy as jnp
     from ..io import fast5 as f5io
     from ..io.model_io import KmerModel
     from ..pipeline.runner import RunConfig, resquiggle_all_reads
     from ..types import SeqSampleType
+
+    if args.print_advanced_arguments:
+        _print_advanced_resquiggle(args._parser)
+        return 0
 
     # detect sample type from the first read (reference:
     # tombo/tombo_helper.py:872-965)
@@ -158,7 +189,17 @@ def _resquiggle_main(args):
         compute_sd=args.include_event_stdev,
         num_io_threads=args.processes * args.threads_per_process,
         batch_size=args.batch_size,
-        dist=_dist_from_args(args))
+        dist=_dist_from_args(args),
+        obs_filter=_parse_obs_filter_args(args.obs_per_base_filter),
+        max_scaling_iters=args.max_scaling_iterations,
+        skip_seq_rescaling=args.skip_sequence_rescaling,
+        fit_global_scale=args.fit_global_scale,
+        const_scale=args.fixed_scale,
+        outlier_thresh=(args.outlier_threshold
+                        if args.outlier_threshold is not None and
+                        args.outlier_threshold > 0 else None),
+        failed_reads_fn=args.failed_reads_filename,
+        num_most_common_errors=args.num_most_common_errors)
     summary, _ = resquiggle_all_reads(
         args.fast5_basedir, aligner, std_ref, sst, params, rc)
     if not args.quiet:
@@ -199,9 +240,33 @@ def _add_resquiggle_parser(subparsers):
     p.add_argument("--skip-index", action="store_true")
     p.add_argument("--threads-per-process", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--obs-per-base-filter", nargs="+", default=[],
+                   help='Observations-per-base percentile filters, e.g. '
+                        '"99:200 100:5000".')
+    p.add_argument("--max-scaling-iterations", type=int,
+                   default=config.MAX_SCALING_ITERS,
+                   help="Maximum re-squiggle scale re-fit iterations. "
+                        "Default: %(default)d")
+    p.add_argument("--skip-sequence-rescaling", action="store_true",
+                   help="Skip the sequence-fitted (Theil-Sen) re-scaling.")
+    p.add_argument("--fit-global-scale", action="store_true",
+                   help="Fit one global scale parameter from a read subset "
+                        "instead of per-read scales.")
+    p.add_argument("--fixed-scale", type=float,
+                   help="Fixed constant scale value (advanced).")
+    p.add_argument("--outlier-threshold", type=float,
+                   default=config.OUTLIER_THRESH,
+                   help="Windsorize the signal at this number of scale "
+                        "values. Negative disables. Default: %(default)f")
+    p.add_argument("--failed-reads-filename",
+                   help="Write failed read filenames with errors here.")
+    p.add_argument("--num-most-common-errors", type=int, default=0,
+                   help="Show this many most common errors during the run.")
+    p.add_argument("--print-advanced-arguments", action="store_true",
+                   help="Print advanced re-squiggle arguments and exit.")
     _add_common(p)
     _add_multihost(p)
-    p.set_defaults(func=_resquiggle_main)
+    p.set_defaults(func=_resquiggle_main, _parser=p)
 
 
 # ------------------------------------------------------------- preprocess

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from .precision import seq_cumsum
+
 NEG_LARGE = -1e30  # stand-in for -inf that stays finite through arithmetic
 
 
@@ -81,7 +83,7 @@ def _row_update(prev_fwd: jnp.ndarray, shifted_z: jnp.ndarray,
     d = jnp.maximum(diag_score, skip_score)
 
     s = shifted_z - p.stay_pen
-    c = jnp.cumsum(s.at[:, 0].set(0.0), axis=1)
+    c = seq_cumsum(s.at[:, 0].set(0.0), axis=1)
     u = d - c
     u = u.at[:, 0].set(first_val)
     run = lax.cummax(u, axis=1)

@@ -13,6 +13,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .precision import seq_cumsum
+
 POS_LARGE = 1e30
 
 
@@ -95,7 +97,7 @@ def compute_base_means_batch(norm: jnp.ndarray, segs: jnp.ndarray,
     (monotone within the first ``n_segs+1`` entries); n_segs: (B,) number of
     valid segments.  Returns (B, E) means; invalid segments produce 0.
     """
-    cs = jnp.cumsum(norm, axis=1)
+    cs = seq_cumsum(norm, axis=1)
     cs = jnp.concatenate([jnp.zeros((norm.shape[0], 1), norm.dtype), cs],
                          axis=1)
     seg_sum = (jnp.take_along_axis(cs, segs[:, 1:], axis=1) -
@@ -114,8 +116,8 @@ def compute_base_mean_stds_batch(norm: jnp.ndarray, segs: jnp.ndarray,
     ``c_new_mean_stds``)."""
     B = norm.shape[0]
     z = jnp.zeros((B, 1), norm.dtype)
-    cs = jnp.concatenate([z, jnp.cumsum(norm, axis=1)], axis=1)
-    cs2 = jnp.concatenate([z, jnp.cumsum(norm * norm, axis=1)], axis=1)
+    cs = jnp.concatenate([z, seq_cumsum(norm, axis=1)], axis=1)
+    cs2 = jnp.concatenate([z, seq_cumsum(norm * norm, axis=1)], axis=1)
     lens = (segs[:, 1:] - segs[:, :-1]).astype(norm.dtype)
     safe_lens = jnp.where(lens > 0, lens, 1.0)
     seg_sum = (jnp.take_along_axis(cs, segs[:, 1:], axis=1) -

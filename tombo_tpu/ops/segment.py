@@ -13,6 +13,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .precision import seq_cumsum
+
 
 @functools.partial(jax.jit, static_argnames=("running_stat_width",))
 def cpt_scores_diff_batch(signal: jnp.ndarray, sig_lens: jnp.ndarray,
@@ -26,10 +28,13 @@ def cpt_scores_diff_batch(signal: jnp.ndarray, sig_lens: jnp.ndarray,
     w = running_stat_width
     B, S = signal.shape
     cs = jnp.concatenate(
-        [jnp.zeros((B, 1), signal.dtype), jnp.cumsum(signal, axis=1)], axis=1)
+        [jnp.zeros((B, 1), signal.dtype), seq_cumsum(signal, axis=1)],
+        axis=1)
     scores = jnp.abs(2.0 * cs[:, w:S - w + 1] - cs[:, :S - 2 * w + 1] -
                      cs[:, 2 * w:])
-    n_cands = sig_lens - 2 * w
+    # candidate boundaries run i = 0..len-2w inclusive (len-2w+1 of them),
+    # matching the host scorer (ops/ref_impl.py cpt_scores_diff)
+    n_cands = sig_lens - 2 * w + 1
     idx = jnp.arange(scores.shape[1])[None, :]
     return jnp.where(idx < n_cands[:, None], scores, -1.0)
 
@@ -42,10 +47,11 @@ def cpt_scores_t_test_batch(signal: jnp.ndarray, sig_lens: jnp.ndarray,
     w = running_stat_width
     B, S = signal.shape
     cs = jnp.concatenate(
-        [jnp.zeros((B, 1), signal.dtype), jnp.cumsum(signal, axis=1)], axis=1)
+        [jnp.zeros((B, 1), signal.dtype), seq_cumsum(signal, axis=1)],
+        axis=1)
     cs2 = jnp.concatenate(
         [jnp.zeros((B, 1), signal.dtype),
-         jnp.cumsum(signal * signal, axis=1)], axis=1)
+         seq_cumsum(signal * signal, axis=1)], axis=1)
     n_out = S - 2 * w
 
     def win(off):

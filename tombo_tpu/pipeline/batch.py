@@ -189,7 +189,7 @@ def _stage1_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
     norm = jnp.where(has_sv[:, None], norm_sv, norm)
     scores = seg.cpt_scores_diff_batch(norm, sig_lens, w)
     cpts, status = sel.greedy_cpts_device(
-        scores, sig_lens - 2 * w, num_cpts, min_base_obs, w, max_cpts)
+        scores, sig_lens - 2 * w + 1, num_cpts, min_base_obs, w, max_cpts)
     em = nrm.compute_base_means_batch(
         norm, cpts, num_cpts.astype(jnp.int32) - 1)
     return norm, em, cpts, status, shift, scale, lower, upper
@@ -269,8 +269,10 @@ def _stage_a_rna(raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower,
         n_means = jnp.maximum(k_sc - 1, 1)
         shift = nrm.masked_median(em_raw, n_means)
         scale = nrm.masked_mad(em_raw, shift, n_means)
-        lower = jnp.full_like(shift, -outlier_thresh)
-        upper = jnp.full_like(shift, outlier_thresh)
+        ot = (outlier_thresh if outlier_thresh is not None
+              else float(nrm.POS_LARGE))
+        lower = jnp.full_like(shift, -ot)
+        upper = jnp.full_like(shift, ot)
     else:
         _, shift, scale, lower, upper = nrm.normalize_median_batch(
             raw_f, sig_lens, None)
@@ -376,8 +378,9 @@ def _start_dp_with_score(em_rows, rm, rs, sp: dpo.StartDpParams,
     else:
         segs, top, final_score = dpo.start_band_dp(em_rows, rm, rs, sp)
     B = em_rows.shape[0]
+    from ..ops.precision import seq_cumsum
     cs = jnp.concatenate(
-        [jnp.zeros((B, 1), em_rows.dtype), jnp.cumsum(em_rows, axis=1)],
+        [jnp.zeros((B, 1), em_rows.dtype), seq_cumsum(em_rows, axis=1)],
         axis=1)
     s0 = segs[:, :-1]
     s1 = segs[:, 1:]
@@ -441,12 +444,20 @@ class BatchedResquiggler:
     def __init__(self, std_ref, rsqgl_params: ResquiggleParams,
                  seq_samp_type: SeqSampleType,
                  outlier_thresh: Optional[float] = config.OUTLIER_THRESH,
-                 dtype=jnp.float32, mesh=None):
+                 dtype=jnp.float32, mesh=None, const_scale=None,
+                 skip_seq_scaling: bool = False):
         self.std_ref = std_ref
         self.params = rsqgl_params
         self.seq_samp_type = seq_samp_type
         self.outlier_thresh = outlier_thresh
         self.dtype = dtype
+        # --fixed-scale / --fit-global-scale: one shared scale parameter,
+        # per-read median shift (reference: tombo/tombo_stats.py:505-509
+        # 'median_const_scale'); scale values are derived host-side and
+        # flow through the provided-scale-values stage-A path
+        self.const_scale = const_scale
+        # --skip-sequence-rescaling (reference: tombo/resquiggle.py:1177)
+        self.skip_seq_scaling = skip_seq_scaling
         self.save_params = rsqgl_params.replace(
             bandwidth=config.load_resquiggle_parameters(
                 seq_samp_type.name, use_save_bandwidth=True).bandwidth)
@@ -514,9 +525,16 @@ class BatchedResquiggler:
         ncpts_j = self._up(num_cpts, B_pad)
 
         # rescale iterations: every read carries scale values and its
-        # first-pass changepoints; selection is skipped entirely
-        if all(s.map_res.scale_values is not None and s.cpts is not None
-               for s in live):
+        # first-pass changepoints; selection is skipped entirely.  The
+        # greedy selection is invariant under the affine re-normalization
+        # only in exact arithmetic — per-sample rounding perturbs score
+        # ratios at the ulp level — so the float64 oracle-parity mode
+        # always re-selects, matching the single-read path op for op
+        # (tests/test_parity_exact.py); the f32 production lane keeps the
+        # shortcut under its documented co-optimal-tie policy.
+        if (self.dtype != jnp.float64 and
+                all(s.map_res.scale_values is not None and
+                    s.cpts is not None for s in live)):
             return self._segment_rescale(live, raw_j, lens_j, B, B_pad,
                                          max_cpts)
 
@@ -569,7 +587,8 @@ class BatchedResquiggler:
                 self._up(stall_e, B_pad),
                 self._up(rm_start.astype(self.dtype), B_pad),
                 self._up(rs_start.astype(self.dtype), B_pad),
-                float(self.outlier_thresh), w, p.min_obs_per_base,
+                (None if self.outlier_thresh is None
+                 else float(self.outlier_thresh)), w, p.min_obs_per_base,
                 max_cpts, sp, self._pallas_in_jit(), config.USE_RNA_EVENT_SCALE,
                 config.RNA_SCALE_NUM_EVENTS,
                 float(config.RNA_SCALE_MAX_FRAC_EVENTS))
@@ -641,7 +660,8 @@ class BatchedResquiggler:
                 ncpts_j,
                 self._up(rm_start.astype(self.dtype), B_pad),
                 self._up(rs_start.astype(self.dtype), B_pad),
-                float(self.outlier_thresh), w, p.min_obs_per_base,
+                (None if self.outlier_thresh is None
+                 else float(self.outlier_thresh)), w, p.min_obs_per_base,
                 max_cpts, sp, self._pallas_in_jit())
             (cpts_np, status, shift, scale, lower, upper, start_segs,
              start_score) = _fetch(
@@ -1199,7 +1219,7 @@ class BatchedResquiggler:
                     s.error = "Read start discovery failed"
             self._adaptive_batch(states, ctx)
             self._static_reads(states, ctx)
-        self._finalize(states)
+        self._finalize(states, skip_seq_scaling=self.skip_seq_scaling)
 
     def resquiggle_batches(self, batches, pipeline_depth: int = 2,
                            max_scaling_iters: int =
@@ -1229,6 +1249,15 @@ class BatchedResquiggler:
         states = []
         for idx, mr in enumerate(map_results):
             raw = np.asarray(mr.raw_signal, np.float64)
+            if self.const_scale is not None and mr.scale_values is None:
+                # fixed/global scale: per-read median shift, shared scale
+                # (reference: tombo/tombo_stats.py:505-509); values derive
+                # host-side and flow through the provided-scale stage-A path
+                _, sv = rsq.normalize_raw_signal(
+                    raw, norm_type="median_const_scale",
+                    outlier_thresh=self.outlier_thresh,
+                    const_scale=self.const_scale)
+                mr = mr.replace(scale_values=sv)
             num_mapped_bases = (len(mr.genome_seq) -
                                 self.std_ref.kmer_width + 1)
             st = _ReadState(idx=idx, map_res=mr, raw=raw, num_events=0)
@@ -1267,7 +1296,9 @@ class BatchedResquiggler:
         if retry:
             saver = BatchedResquiggler(
                 self.std_ref, self.save_params, self.seq_samp_type,
-                self.outlier_thresh, self.dtype, mesh=self.mesh)
+                self.outlier_thresh, self.dtype, mesh=self.mesh,
+                const_scale=self.const_scale,
+                skip_seq_scaling=self.skip_seq_scaling)
             retry_map = [s.map_res.replace(scale_values=None) for s in retry]
             retry_out = saver.resquiggle_batch(
                 retry_map, max_scaling_iters=max_scaling_iters)

@@ -57,6 +57,16 @@ class RunConfig:
     # only its hash shard of the FAST5 files (disjoint writeback + index
     # shards across hosts)
     dist: Optional[object] = None
+    # --fixed-scale / --fit-global-scale (reference:
+    # tombo/_option_parsers.py:457-464, tombo/tombo_stats.py:452-476)
+    const_scale: Optional[float] = None
+    fit_global_scale: bool = False
+    # --skip-sequence-rescaling (reference: tombo/_option_parsers.py:465)
+    skip_seq_rescaling: bool = False
+    # --failed-reads-filename / --num-most-common-errors (reference:
+    # tombo/_option_parsers.py:83-85,371-374)
+    failed_reads_fn: Optional[str] = None
+    num_most_common_errors: int = 0
 
 
 @dataclass
@@ -100,6 +110,30 @@ def _invalid_seq(seq: str) -> bool:
     return invalid_seq(seq)
 
 
+def estimate_global_scale(fast5_fns, num_reads=None) -> float:
+    """Median of per-read raw-signal MADs over a shuffled subset
+    (reference: tombo/tombo_stats.py:452-476 ``estimate_global_scale``)."""
+    import h5py
+    num_reads = num_reads or config.NUM_READS_FOR_SCALE
+    fns = list(fast5_fns)
+    np.random.shuffle(fns)
+    mads = []
+    for fn in fns:
+        try:
+            with h5py.File(fn, "r") as fp:
+                sig = f5io.get_raw_signal(fp)
+            shift = np.median(sig)
+            mads.append(np.median(np.abs(sig - shift)))
+        except (OSError, TomboTpuError):
+            continue
+        if len(mads) >= num_reads:
+            break
+    if not mads:
+        raise TomboTpuError(
+            "No reads available to estimate the global scale parameter")
+    return float(np.median(mads))
+
+
 def resquiggle_all_reads(
         fast5s_dir: str, aligner, std_ref: KmerModel,
         seq_samp_type: SeqSampleType, rsqgl_params,
@@ -119,11 +153,25 @@ def resquiggle_all_reads(
                    ReadsIndex([fast5s_dir],
                               corrected_group=rc.corrected_group,
                               for_writing=True))
+    failed_fp = (open(rc.failed_reads_fn, "w")
+                 if rc.failed_reads_fn else None)
+
+    def record_failure(fn, err):
+        summary.n_failed += 1
+        summary.failure_modes[err] += 1
+        if failed_fp is not None:
+            failed_fp.write("%s\t%s\n" % (err, fn))
+
     try:
         if resquiggler is None:
+            const_scale = rc.const_scale
+            if const_scale is None and rc.fit_global_scale:
+                const_scale = estimate_global_scale(
+                    f5io.iter_fast5_reads(fast5s_dir))
             resquiggler = BatchedResquiggler(
                 std_ref, rsqgl_params, seq_samp_type, rc.outlier_thresh,
-                mesh=rc.mesh)
+                mesh=rc.mesh, const_scale=const_scale,
+                skip_seq_scaling=rc.skip_seq_rescaling)
         if resquiggler.n_dev > 1:
             # batch_size is per device: feed n_dev-times-larger chunks so
             # every mesh shard stays full
@@ -199,8 +247,7 @@ def resquiggle_all_reads(
             for units in map_iter:
                 for fn, subgrp, mr, err in units:
                     if err is not None:
-                        summary.n_failed += 1
-                        summary.failure_modes[err] += 1
+                        record_failure(fn, err)
                         _write_status(fn, rc, subgrp, err)
                         continue
                     window.append((fn, mr))
@@ -225,10 +272,17 @@ def resquiggle_all_reads(
             chunk = chunks[chunk_i]
             if bar is not None:
                 bar.update(len(chunk))
+            if (rc.num_most_common_errors > 0 and bar is not None and
+                    summary.failure_modes):
+                # live most-common-failures display (reference:
+                # tombo/resquiggle.py:1707-1740)
+                top = summary.failure_modes.most_common(
+                    rc.num_most_common_errors)
+                bar.set_postfix_str("; ".join(
+                    "%d %.40s" % (c, m) for m, c in top), refresh=False)
             for (fn, mr), (res, err) in zip(chunk, results):
                 if err is not None:
-                    summary.n_failed += 1
-                    summary.failure_modes[err] += 1
+                    record_failure(fn, err)
                     _write_status(fn, rc, mr.align_info.subgroup, err)
                     continue
                 try:
@@ -237,8 +291,7 @@ def resquiggle_all_reads(
                             fn, rc.corrected_group, res, "median",
                             rc.compute_sd, rna=seq_samp_type.rev_sig)
                 except Exception as e:
-                    summary.n_failed += 1
-                    summary.failure_modes["FAST5 write error"] += 1
+                    record_failure(fn, "FAST5 write error")
                     continue
                 summary.n_success += 1
                 if reads_index is not None:
@@ -275,6 +328,8 @@ def resquiggle_all_reads(
         if reads_index is not None and not rc.dry_run:
             reads_index.write_index_file()
     finally:
+        if failed_fp is not None:
+            failed_fp.close()
         f5io.clear_locks(lock_fns)
 
     return summary, reads_index
