@@ -447,7 +447,152 @@ int raw_window_dp_one(const double* sig, const double* means,
 
 }  // namespace
 
+namespace {
+
+// numpy linspace(a, b, n).astype(int64): y[i] = trunc(a + step*i), final
+// element exactly b (same arithmetic as np.linspace -> astype, so the
+// pseudo starts match the python path bit for bit)
+void linspace_i64(double a, double b, int64_t n, int64_t* out) {
+  if (n == 1) {
+    out[0] = static_cast<int64_t>(a);
+    return;
+  }
+  const double step = (b - a) / static_cast<double>(n - 1);
+  for (int64_t i = 0; i < n - 1; ++i)
+    out[i] = static_cast<int64_t>(a + step * static_cast<double>(i));
+  out[n - 1] = static_cast<int64_t>(b);
+}
+
+// Full deletion fix for one read: window planning (merge / expand / trim),
+// raw-signal window DP, boundary scatter and validity checks (reference
+// behavior: tombo/resquiggle.py:402-540 resolve_skipped_bases_with_raw;
+// python halves: tombo_tpu/pipeline/resquiggle.py plan_del_fix_windows /
+// build_del_fix_inputs / apply_del_fix — kept bit-identical, verified by
+// the float64 exact-parity tests).  ``segs`` (seq_len+1, relative to
+// ``norm``) is updated in place.
+//
+// Status codes (mapped to reference error strings by the ctypes wrapper):
+//   0 ok (windows resolved, or no deletions)
+//   2 not enough raw signal around deletions
+//   3 too many potential genomic deletions
+//   4 raw-signal traceback failed
+//   5 zero-length events after fix
+//   6 segments start negative
+//   7 segments end past raw signal
+int del_fix_one(const double* norm, int64_t norm_len, const double* means,
+                const double* sds, int64_t seq_len, int64_t* segs,
+                int64_t raw_min_obs, int winsorize, double max_half_z,
+                int64_t del_fix_window, int64_t max_del_fix_window,
+                double extra_sig_factor, int64_t max_raw_cpts) {
+  std::vector<std::pair<int64_t, int64_t>> wins;
+  for (int64_t i = 0; i < seq_len; ++i) {
+    if (segs[i + 1] != segs[i]) continue;
+    if (!wins.empty() && i < wins.back().second + del_fix_window)
+      wins.back().second = i + del_fix_window + 1;
+    else
+      wins.emplace_back(i - del_fix_window, i + del_fix_window + 1);
+  }
+  if (wins.empty()) return 0;
+
+  auto merge_trim = [&](std::vector<std::pair<int64_t, int64_t>>& w) {
+    std::vector<std::pair<int64_t, int64_t>> m;
+    for (auto& p : w) {
+      if (!m.empty() && p.first < m.back().second)
+        m.back().second = p.second;
+      else
+        m.push_back(p);
+    }
+    if (m.front().first < 0) m.front().first = 0;
+    if (m.back().second > seq_len) m.back().second = seq_len;
+    w = std::move(m);
+  };
+  auto too_small = [&](int64_t s, int64_t e) {
+    const int64_t ne = e - s;
+    const int64_t sl = segs[e] - segs[s];
+    return static_cast<double>(sl) <=
+           static_cast<double>((ne + 1) * raw_min_obs) * extra_sig_factor;
+  };
+  merge_trim(wins);
+  bool expanded = false;
+  for (int64_t it = 0; it < max_del_fix_window - del_fix_window; ++it) {
+    expanded = false;
+    for (auto& p : wins) {
+      if (too_small(p.first, p.second)) {
+        expanded = true;
+        --p.first;
+        ++p.second;
+      }
+    }
+    if (!expanded) break;
+    merge_trim(wins);
+  }
+  if (expanded) {
+    for (auto& p : wins)
+      if (too_small(p.first, p.second)) return 2;
+  }
+  for (auto& p : wins)
+    if (max_raw_cpts >= 0 && p.second - p.first > max_raw_cpts) return 3;
+
+  thread_local std::vector<int64_t> ps;
+  thread_local std::vector<int64_t> wout;
+  for (auto& p : wins) {
+    const int64_t s = p.first, e = p.second;
+    const int64_t ne = e - s;
+    const int64_t ss = segs[s], se = segs[e];
+    if (static_cast<int64_t>(ps.size()) < ne + 1) ps.resize(ne + 1);
+    if (static_cast<int64_t>(wout.size()) < ne - 1) wout.resize(ne - 1);
+    linspace_i64(0.0, static_cast<double>(se - ss), ne + 1, ps.data());
+    if (raw_window_dp_one(norm + ss, means + s, sds + s, ps.data(), ne,
+                          raw_min_obs, winsorize, max_half_z, wout.data()))
+      return 4;
+    for (int64_t i = s + 1; i < e; ++i) segs[i] = wout[i - s - 1] + ss;
+  }
+  for (int64_t i = 0; i < seq_len; ++i)
+    if (segs[i + 1] - segs[i] < 1) return 5;
+  if (segs[0] < 0) return 6;
+  if (segs[seq_len] > norm_len) return 7;
+  return 0;
+}
+
+}  // namespace
+
 extern "C" {
+
+// Full deletion fix over a batch of reads, threaded across reads.
+// Concatenated layout: read r has normalized signal
+// norm[norm_off[r]:norm_off[r+1]], seq_len = lvl_off[r+1]-lvl_off[r]
+// expected levels at lvl_off[r], and seq_len+1 segment boundaries at
+// segs_off[r] (updated in place).  Per-read status as in del_fix_one.
+void del_fix_batch(const double* norm, const int64_t* norm_off,
+                   const double* means, const double* sds,
+                   const int64_t* lvl_off, int64_t* segs,
+                   const int64_t* segs_off, int64_t n_reads,
+                   int64_t raw_min_obs, int winsorize, double max_half_z,
+                   int64_t del_fix_window, int64_t max_del_fix_window,
+                   double extra_sig_factor, int64_t max_raw_cpts,
+                   int32_t* status, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, n_reads);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t r = next.fetch_add(1);
+      if (r >= n_reads) return;
+      const int64_t seq_len = lvl_off[r + 1] - lvl_off[r];
+      status[r] = static_cast<int32_t>(del_fix_one(
+          norm + norm_off[r], norm_off[r + 1] - norm_off[r],
+          means + lvl_off[r], sds + lvl_off[r], seq_len, segs + segs_off[r],
+          raw_min_obs, winsorize, max_half_z, del_fix_window,
+          max_del_fix_window, extra_sig_factor, max_raw_cpts));
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
 
 // Batched deletion-window DP, threaded across windows.
 //

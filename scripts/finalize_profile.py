@@ -14,7 +14,7 @@ from tombo_tpu.pipeline import batch as pb
 from tombo_tpu.pipeline import resquiggle as rsq
 from tombo_tpu.types import DpResults
 
-B = 64
+B = 256
 
 
 def main():

@@ -83,6 +83,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64]
+        lib.del_fix_batch.restype = None
+        lib.del_fix_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64]
         lib.resquiggle_read_baseline.restype = ctypes.c_int
         lib.resquiggle_read_baseline.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -288,6 +297,64 @@ def _np_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
         accepted.append(cand)
         blacklist[cand + 1:cand + 2 * min_base_obs + 1] = True
     return np.array(accepted, dtype=np.int64)
+
+
+# del_fix_batch status codes -> reference error strings
+# (tombo/resquiggle.py:402-540 resolve_skipped_bases_with_raw)
+DEL_FIX_ERRORS = {
+    2: "Not enough raw signal around potential genomic deletion(s)",
+    3: "Read contains too many potential genomic deletions",
+    4: "Raw-signal traceback failed to find boundary",
+    5: "New segments include zero length events",
+    6: "New segments start with negative index",
+    7: "New segments end past raw signal values",
+}
+
+
+def del_fix_batch(jobs, params, n_threads: int = 0):
+    """Full deletion fix (window planning + raw-signal DP + apply) for a
+    batch of reads in one threaded native call.
+
+    ``jobs`` is a list of (norm_signal f64[S], ref_means f64[L],
+    ref_sds f64[L], segs i64[L+1]) tuples; ``params`` a ResquiggleParams.
+    Returns (segs_list, status (R,) i32) with per-read status codes from
+    ``DEL_FIX_ERRORS`` (0 = ok), or None when the native library is
+    unavailable (callers fall back to the python path)."""
+    lib = get_lib()
+    if lib is None or not jobs:
+        return None
+    R = len(jobs)
+    norm_off = np.zeros(R + 1, np.int64)
+    lvl_off = np.zeros(R + 1, np.int64)
+    segs_off = np.zeros(R + 1, np.int64)
+    for r, (norm, means, sds, segs) in enumerate(jobs):
+        norm_off[r + 1] = norm_off[r] + norm.shape[0]
+        lvl_off[r + 1] = lvl_off[r] + means.shape[0]
+        segs_off[r + 1] = segs_off[r] + segs.shape[0]
+    norm_c = np.concatenate([np.ascontiguousarray(j[0], np.float64)
+                             for j in jobs])
+    means_c = np.concatenate([np.ascontiguousarray(j[1], np.float64)
+                              for j in jobs])
+    sds_c = np.concatenate([np.ascontiguousarray(j[2], np.float64)
+                            for j in jobs])
+    segs_c = np.concatenate([np.ascontiguousarray(j[3], np.int64)
+                             for j in jobs])
+    status = np.zeros(R, np.int32)
+    mhz = params.max_half_z_score
+    from ..config import (DEL_FIX_WINDOW, EXTRA_SIG_FACTOR,
+                          MAX_DEL_FIX_WINDOW, MAX_RAW_CPTS)
+    lib.del_fix_batch(
+        _as_c(norm_c, ctypes.c_double), _as_c(norm_off, ctypes.c_int64),
+        _as_c(means_c, ctypes.c_double), _as_c(sds_c, ctypes.c_double),
+        _as_c(lvl_off, ctypes.c_int64), _as_c(segs_c, ctypes.c_int64),
+        _as_c(segs_off, ctypes.c_int64), R,
+        params.raw_min_obs_per_base, 0 if mhz is None else 1,
+        0.0 if mhz is None else float(mhz), DEL_FIX_WINDOW,
+        MAX_DEL_FIX_WINDOW, EXTRA_SIG_FACTOR,
+        -1 if MAX_RAW_CPTS is None else MAX_RAW_CPTS,
+        _as_c(status, ctypes.c_int32), n_threads)
+    segs_list = [segs_c[segs_off[r]:segs_off[r + 1]] for r in range(R)]
+    return segs_list, status
 
 
 def raw_windows_dp_batch(windows, min_obs_per_base: int,

@@ -433,6 +433,41 @@ def _stage_a_dna(raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower,
             start_segs, start_score)
 
 
+_TS_BLOCK = 64
+
+
+@jax.jit
+def _theil_sen_jit(ev, mod, n_pts):
+    from ..ops import rescale
+    return rescale.theil_sen_device(ev, mod, n_pts)
+
+
+def _theil_sen_device_blocks(ev, mod, n_pts):
+    """Device Theil-Sen over fixed-size read blocks.
+
+    Blocks bound the (blk, N, N) pairwise-key buffer (~270 MB at blk=64,
+    N=1024) and keep one compiled shape; all blocks dispatch async first
+    so their transfers and selection rounds overlap."""
+    B, N = ev.shape
+    Bp = _round_up(B, _TS_BLOCK)
+    evp = np.zeros((Bp, N), np.float32)
+    modp = np.zeros((Bp, N), np.float32)
+    npts = np.zeros(Bp, np.int32)
+    evp[:B] = ev
+    modp[:B] = mod
+    npts[:B] = n_pts
+    handles = [
+        _theil_sen_jit(jnp.asarray(evp[b0:b0 + _TS_BLOCK]),
+                       jnp.asarray(modp[b0:b0 + _TS_BLOCK]),
+                       jnp.asarray(npts[b0:b0 + _TS_BLOCK]))
+        for b0 in range(0, Bp, _TS_BLOCK)]
+    slopes = np.concatenate([np.asarray(h[0], np.float64)
+                             for h in handles])[:B]
+    inters = np.concatenate([np.asarray(h[1], np.float64)
+                             for h in handles])[:B]
+    return slopes, inters
+
+
 class BatchedResquiggler:
     """Drive batches of mapped reads through the device kernels.
 
@@ -1044,13 +1079,14 @@ class BatchedResquiggler:
         across reads into one threaded native call rather than run
         per-read."""
         from ..types import DpResults
-        from ..native import raw_windows_dp_batch, theil_sen_batch
+        from ..native import DEL_FIX_ERRORS, del_fix_batch, theil_sen_batch
 
-        # pass A: deletion-fix planning.  The device finalize already
-        # flagged reads with zero-length segments (has_del); clean reads
-        # skip window planning entirely, and all windows of all flagged
-        # reads run in ONE threaded native DP call instead of one call
-        # per read.
+        # pass A: deletion fix.  The device finalize already flagged reads
+        # with zero-length segments (has_del); clean reads skip the fix
+        # entirely, and all flagged reads run through ONE threaded native
+        # call that does window planning + raw-signal DP + apply in C++
+        # (the per-read python plan/build/apply loop was ~1 ms/read of
+        # pure interpreter overhead on the host lane).
         pending = []
         del_jobs = []
         for s in states:
@@ -1076,45 +1112,38 @@ class BatchedResquiggler:
                 if s.has_del is False:
                     s._segs = dp_res.segs
                 else:
-                    windows = rsq.plan_del_fix_windows(dp_res, self.params)
-                    if not windows:
-                        s._segs = dp_res.segs.copy()
-                    else:
-                        s._segs = None
-                        del_jobs.append((s, windows))
+                    s._segs = None
+                    del_jobs.append(s)
                 pending.append(s)
             except TomboTpuError as e:
                 s.error = str(e)
 
-        # one native raw-DP call over every deletion window in the batch
         if del_jobs:
-            all_inputs = []
-            counts = []
-            for s, windows in del_jobs:
-                inp = rsq.build_del_fix_inputs(s._dp_res, s._norm_signal,
-                                               windows)
-                all_inputs.extend(inp)
-                counts.append(len(inp))
-            native_out = raw_windows_dp_batch(
-                all_inputs, self.params.raw_min_obs_per_base,
-                self.params.max_half_z_score)
-            off = 0
-            for (s, windows), cnt in zip(del_jobs, counts):
-                try:
-                    if native_out is None:
-                        out = rsq._del_fix_numpy(
-                            s._dp_res, s._norm_signal, windows, self.params)
+            native_out = del_fix_batch(
+                [(s._norm_signal, s._dp_res.ref_means, s._dp_res.ref_sds,
+                  s._dp_res.segs) for s in del_jobs], self.params)
+            if native_out is None:
+                for s in del_jobs:
+                    try:
+                        s._segs = rsq.resolve_skipped_bases_with_raw(
+                            s._dp_res, s._norm_signal, self.params)
+                    except TomboTpuError as e:
+                        s.error = str(e)
+            else:
+                for s, segs, st in zip(del_jobs, *native_out):
+                    if st == 0:
+                        s._segs = segs
                     else:
-                        out = (native_out[0][off:off + cnt],
-                               native_out[1][off:off + cnt])
-                    s._segs = rsq.apply_del_fix(
-                        s._dp_res, s._norm_signal, windows, *out)
-                except TomboTpuError as e:
-                    s.error = str(e)
-                off += cnt
+                        s.error = DEL_FIX_ERRORS.get(
+                            int(st), "deletion fix failed")
             pending = [s for s in pending if s.error is None]
 
-        # pass B: batched Theil-Sen rescale (native, threaded)
+        # pass B: batched Theil-Sen rescale.  On the f32 production lane
+        # the exact bitwise-selection fit runs on device (ops/rescale.py)
+        # — on a 4-core host the O(n^2/2) pair median is the single
+        # largest finalize cost (~1 ms/read); the f64 oracle-parity mode
+        # keeps the host native path (bitwise-identical to the single-read
+        # estimator).
         if pending and not skip_seq_scaling:
             max_n = config.MAX_POINTS_FOR_THEIL_SEN
             B = len(pending)
@@ -1132,7 +1161,16 @@ class BatchedResquiggler:
                 ev[i, :n] = r_ev
                 mod[i, :n] = r_mod
                 n_pts[i] = n
-            slopes, inters = theil_sen_batch(ev, mod, n_pts)
+            # measured on-chip: the ~300 ms device fit stalls the device
+            # lane (which pipelining keeps on the critical path) and loses
+            # to the 4-core threaded native fit (~250 ms, overlapped);
+            # TOMBO_TPU_DEV_TS=1 re-enables it for hosts with fewer cores
+            if (self.dtype != jnp.float64 and self.mesh is None and
+                    B >= 32 and
+                    os.environ.get("TOMBO_TPU_DEV_TS", "0") == "1"):
+                slopes, inters = _theil_sen_device_blocks(ev, mod, n_pts)
+            else:
+                slopes, inters = theil_sen_batch(ev, mod, n_pts)
             for s, slope, inter in zip(pending, slopes, inters):
                 if slope == 0:
                     s.error = ("Read failed sequence-based signal re-scaling "
@@ -1221,7 +1259,7 @@ class BatchedResquiggler:
             self._static_reads(states, ctx)
         self._finalize(states, skip_seq_scaling=self.skip_seq_scaling)
 
-    def resquiggle_batches(self, batches, pipeline_depth: int = 2,
+    def resquiggle_batches(self, batches, pipeline_depth: int = 3,
                            max_scaling_iters: int =
                            config.MAX_SCALING_ITERS):
         """Process an iterable of mapped-read batches through a

@@ -267,7 +267,7 @@ def resquiggle_all_reads(
                 pass
         for chunk_i, results in enumerate(
                 resquiggler.resquiggle_batches(
-                    iter_chunks(), pipeline_depth=2,
+                    iter_chunks(), pipeline_depth=3,
                     max_scaling_iters=rc.max_scaling_iters)):
             chunk = chunks[chunk_i]
             if bar is not None:
