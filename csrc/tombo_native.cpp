@@ -233,34 +233,142 @@ static double median_of(const double* v, size_t len,
   return hi;
 }
 
-static void theil_sen_one(const double* ev, const double* mod, int64_t n,
-                          double max_slope, double* out_slope,
-                          double* out_inter) {
-  const int64_t n_pairs = n * (n - 1) / 2;
-  // thread-local scratch reused across reads: a fresh multi-MB vector per
-  // read costs more in page faults than the median computation itself
-  thread_local std::vector<double> slopes;
-  if (static_cast<int64_t>(slopes.size()) < n_pairs)
-    slopes.resize(static_cast<size_t>(n_pairs));
-  double* sp = slopes.data();
-  size_t k = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const double evi = ev[i], modi = mod[i];
-    // branch-free inner loop vectorizes (the de == 0 case selects
-    // max_slope after the division, matching numpy's where() semantics)
-    for (int64_t j = i + 1; j < n; ++j) {
-      const double de = evi - ev[j];
-      const double s = (modi - mod[j]) / de;
-      sp[k++] = de == 0.0 ? max_slope : s;
+// f32 slope buffer: the 4 MB/read f64 pair buffer is memory-bound through
+// the selection passes; storing f32 halves the traffic and doubles SIMD
+// width.  Used by the float32 production lane only (slope error ~1e-7
+// relative, far inside its tie tolerance); the float64 oracle-parity mode
+// keeps the exact f64 path.  Same Floyd-Rivest bracket scheme as the f64
+// select_kth above.
+static float select_kth_f32(const float* v, size_t len, size_t k,
+                            std::vector<float>& scratch) {
+  if (len < 8192) {
+    scratch.assign(v, v + len);
+    std::nth_element(scratch.begin(), scratch.begin() + k, scratch.end());
+    return scratch[k];
+  }
+  constexpr size_t kSample = 4096;
+  thread_local std::vector<float> samp_v(kSample);
+  float* samp = samp_v.data();
+  const size_t stride = len / kSample;
+  for (size_t i = 0; i < kSample; ++i) samp[i] = v[i * stride];
+  const double q = static_cast<double>(k) / static_cast<double>(len);
+  const double se = 4.0 * std::sqrt(q * (1.0 - q) / kSample) + 2.0 / kSample;
+  auto samp_quant = [&](double qq) {
+    size_t j = static_cast<size_t>(qq * kSample);
+    if (j >= kSample) j = kSample - 1;
+    std::nth_element(samp, samp + j, samp + kSample);
+    return samp[j];
+  };
+  const float lo = samp_quant(q > se ? q - se : 0.0);
+  const float hi = samp_quant(q + se < 1.0 ? q + se : 1.0);
+  if (scratch.size() < len) scratch.resize(len);
+  float* mid = scratch.data();
+  size_t c_lo = 0, n_mid = 0, i0 = 0;
+#ifdef __AVX512F__
+  {
+    const __m512 vlo = _mm512_set1_ps(lo), vhi = _mm512_set1_ps(hi);
+    for (; i0 + 16 <= len; i0 += 16) {
+      const __m512 x = _mm512_loadu_ps(v + i0);
+      const __mmask16 mlt = _mm512_cmp_ps_mask(x, vlo, _CMP_LT_OQ);
+      const __mmask16 mbr = _mm512_cmp_ps_mask(x, vlo, _CMP_GE_OQ) &
+                            _mm512_cmp_ps_mask(x, vhi, _CMP_LE_OQ);
+      c_lo += static_cast<size_t>(__builtin_popcount(mlt));
+      _mm512_mask_compressstoreu_ps(mid + n_mid, mbr, x);
+      n_mid += static_cast<size_t>(__builtin_popcount(mbr));
     }
   }
-  thread_local std::vector<double> sel_scratch;
-  const double slope =
-      median_of(sp, static_cast<size_t>(n_pairs), sel_scratch);
+#endif
+  for (size_t i = i0; i < len; ++i) {
+    const float x = v[i];
+    c_lo += x < lo;
+    mid[n_mid] = x;
+    n_mid += (x >= lo) & (x <= hi);
+  }
+  if (k >= c_lo && k < c_lo + n_mid && n_mid <= len / 8) {
+    std::nth_element(mid, mid + (k - c_lo), mid + n_mid);
+    return mid[k - c_lo];
+  }
+  scratch.assign(v, v + len);
+  std::nth_element(scratch.begin(), scratch.begin() + k, scratch.end());
+  return scratch[k];
+}
+
+static double median_of_f32(const float* v, size_t len,
+                            std::vector<float>& scratch) {
+  const size_t m = len / 2;
+  const float hi = select_kth_f32(v, len, m, scratch);
+  if (len % 2 == 0) {
+    size_t c_strict = 0;
+    float max_less = -std::numeric_limits<float>::infinity();
+    for (size_t i = 0; i < len; ++i) {
+      const float x = v[i];
+      c_strict += x < hi;
+      if (x < hi && x > max_less) max_less = x;
+    }
+    const float lo_mid = c_strict <= m - 1 ? hi : max_less;
+    return (static_cast<double>(hi) + static_cast<double>(lo_mid)) / 2.0;
+  }
+  return hi;
+}
+
+static void theil_sen_one(const double* ev, const double* mod, int64_t n,
+                          double max_slope, double* out_slope,
+                          double* out_inter, int use_f32) {
+  const int64_t n_pairs = n * (n - 1) / 2;
+  double slope;
+  if (use_f32) {
+    thread_local std::vector<float> slopes32;
+    if (static_cast<int64_t>(slopes32.size()) < n_pairs)
+      slopes32.resize(static_cast<size_t>(n_pairs));
+    thread_local std::vector<float> evf, modf;
+    if (static_cast<int64_t>(evf.size()) < n) {
+      evf.resize(static_cast<size_t>(n));
+      modf.resize(static_cast<size_t>(n));
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      evf[static_cast<size_t>(i)] = static_cast<float>(ev[i]);
+      modf[static_cast<size_t>(i)] = static_cast<float>(mod[i]);
+    }
+    const float ms = static_cast<float>(max_slope);
+    float* sp = slopes32.data();
+    size_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const float evi = evf[static_cast<size_t>(i)];
+      const float modi = modf[static_cast<size_t>(i)];
+      for (int64_t j = i + 1; j < n; ++j) {
+        const float de = evi - evf[static_cast<size_t>(j)];
+        const float s = (modi - modf[static_cast<size_t>(j)]) / de;
+        sp[k++] = de == 0.0f ? ms : s;
+      }
+    }
+    thread_local std::vector<float> sel32;
+    slope = median_of_f32(sp, static_cast<size_t>(n_pairs), sel32);
+  } else {
+    // thread-local scratch reused across reads: a fresh multi-MB vector
+    // per read costs more in page faults than the median computation
+    thread_local std::vector<double> slopes;
+    if (static_cast<int64_t>(slopes.size()) < n_pairs)
+      slopes.resize(static_cast<size_t>(n_pairs));
+    double* sp = slopes.data();
+    size_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const double evi = ev[i], modi = mod[i];
+      // branch-free inner loop vectorizes (the de == 0 case selects
+      // max_slope after the division, matching numpy's where() semantics)
+      for (int64_t j = i + 1; j < n; ++j) {
+        const double de = evi - ev[j];
+        const double s = (modi - mod[j]) / de;
+        sp[k++] = de == 0.0 ? max_slope : s;
+      }
+    }
+    thread_local std::vector<double> sel_scratch_d;
+    slope = median_of(sp, static_cast<size_t>(n_pairs), sel_scratch_d);
+  }
   thread_local std::vector<double> inters;
   if (static_cast<int64_t>(inters.size()) < n)
     inters.resize(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) inters[i] = mod[i] - slope * ev[i];
+  thread_local std::vector<double> sel_scratch;
   *out_slope = slope;
   *out_inter = median_of(inters.data(), static_cast<size_t>(n),
                          sel_scratch);
@@ -286,7 +394,33 @@ void theil_sen_batch(const double* ev, const double* mod, int64_t batch,
       const int64_t b = next.fetch_add(1);
       if (b >= batch) return;
       theil_sen_one(ev + b * max_n, mod + b * max_n, n_points[b], max_slope,
-                    out_slopes + b, out_inters + b);
+                    out_slopes + b, out_inters + b, /*use_f32=*/0);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// f32-pair-buffer variant for the float32 production lane (see
+// theil_sen_one): ~2x less selection-pass memory traffic, identical
+// calling convention.
+void theil_sen_batch32(const double* ev, const double* mod, int64_t batch,
+                       int64_t max_n, const int64_t* n_points,
+                       double max_slope, double* out_slopes,
+                       double* out_inters, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, batch);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= batch) return;
+      theil_sen_one(ev + b * max_n, mod + b * max_n, n_points[b], max_slope,
+                    out_slopes + b, out_inters + b, /*use_f32=*/1);
     }
   };
   std::vector<std::thread> threads;

@@ -1170,7 +1170,8 @@ class BatchedResquiggler:
                     os.environ.get("TOMBO_TPU_DEV_TS", "0") == "1"):
                 slopes, inters = _theil_sen_device_blocks(ev, mod, n_pts)
             else:
-                slopes, inters = theil_sen_batch(ev, mod, n_pts)
+                slopes, inters = theil_sen_batch(
+                    ev, mod, n_pts, use_f32=self.dtype != jnp.float64)
             for s, slope, inter in zip(pending, slopes, inters):
                 if slope == 0:
                     s.error = ("Read failed sequence-based signal re-scaling "
