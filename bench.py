@@ -40,6 +40,7 @@ N_BATCHES = max(2, 16384 // BATCH_SIZE // 16)
 N_CPU_READS = 32         # single-core native-baseline sample
 
 MIXED = "--mixed" in sys.argv[1:]
+STATS = "--stats" in sys.argv[1:]
 # log-normal read lengths, median ~2.7 kb, clipped to [600, 30000] —
 # the realistic nanopore length mix (SURVEY §5.7; VERDICT round 1 weak #3)
 MIXED_MEDIAN_LOG = 7.9
@@ -72,6 +73,69 @@ def build_dataset(n_reads):
         mr = rsq.adjust_map_res(mr, sst, params)
         map_results.append(mr)
     return model, params, sst, map_results
+
+
+def bench_stats():
+    """Detection-path benchmark (``python bench.py --stats``): resquiggle a
+    synthetic dataset to FAST5s, then time ``test_significance`` (de_novo)
+    end-to-end and split region I/O (FAST5 Events loading) from per-site
+    compute.  The reference's stats path is claimed I/O-bound (SURVEY §3.2);
+    this measures it for THIS implementation (VERDICT round 1, item 8)."""
+    import tempfile
+
+    from tombo_tpu.io.index import ReadsIndex
+    from tombo_tpu.pipeline.runner import RunConfig, resquiggle_all_reads
+    from tombo_tpu.stats import detect as dt
+    from tombo_tpu.testing import make_synthetic_dataset
+
+    n_reads, read_len, ref_len = 400, 2000, 100000
+    with tempfile.TemporaryDirectory() as tmp:
+        fasta, _, fast5_dir = make_synthetic_dataset(
+            tmp, n_reads=n_reads, seed=7, read_len=read_len, ref_len=ref_len)
+        model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+        summary, _ = resquiggle_all_reads(
+            fast5_dir, ExactAligner(fasta), model,
+            SeqSampleType(config.DNA_SAMP_TYPE, False),
+            config.load_resquiggle_parameters(config.DNA_SAMP_TYPE),
+            RunConfig(overwrite=True, batch_size=128, num_io_threads=4))
+        assert summary.n_success >= n_reads * 0.9, summary.n_success
+        th = config.DE_NOVO_THRESH[config.DNA_SAMP_TYPE]
+        params = dt.TestParams(
+            stat_type="de_novo", single_read_thresh=th[1],
+            lower_thresh=th[0], region_size=config.DEFAULT_REGION_SIZE)
+        index = ReadsIndex([fast5_dir])
+
+        # I/O-only pass: load every region's levels (what detection reads)
+        regions = [
+            dt.RegionData(chrm, strand, start, start + params.region_size)
+            for chrm, strand, start in index.iter_cov_regs(
+                1, params.region_size)]
+        t0 = time.perf_counter()
+        n_lvl = 0
+        for reg in regions:
+            reg.add_reads(index)
+            n_lvl += sum(rl.means.shape[0]
+                         for rl in reg.load_levels(with_seq=True))
+        io_dt = time.perf_counter() - t0
+
+        best = np.inf
+        for _ in range(2):
+            stats_fn = os.path.join(tmp, "bench.tombo.stats")
+            if os.path.exists(stats_fn):
+                os.unlink(stats_fn)
+            t0 = time.perf_counter()
+            dt.test_significance(index, params, stats_fn, fasta=fasta,
+                                 std_ref=model, num_processes=4)
+            best = min(best, time.perf_counter() - t0)
+
+        n_sites = n_reads * read_len  # tested site-observations
+        print(json.dumps({
+            "metric": "detect_de_novo_site_obs_per_s_cpu",
+            "value": round(n_sites / best, 1),
+            "unit": "site-obs/s",
+            "wall_s": round(best, 3),
+            "io_frac": round(io_dt / best, 3),
+        }))
 
 
 def main():
@@ -141,4 +205,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if STATS:
+        bench_stats()
+    else:
+        main()

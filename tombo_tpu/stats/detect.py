@@ -601,14 +601,37 @@ def compute_reg_stats(reg_data: RegionData, params: TestParams,
     if sum(len(v) for v in reg_read_stats.values()) == 0:
         raise TomboTpuError("Reads contain no statistics in this region.")
 
+    # dense per-site accumulators replace the sort/split/per-site-list
+    # aggregation: numerically identical (cross-checked against
+    # collate_reg_stats by tests/test_distributed.py) and fully
+    # vectorized — the per-site python comprehensions dominated the
+    # detection profile (bench.py --stats)
+    span_lo, span_n = _accum_span(reg_data, params)
+    ctrl_cov_dense = None
+    if stat_type == SAMP_COMP_TXT and ctrl_cov is not None:
+        ctrl_cov_dense = np.zeros(span_n, np.int64)
+        for pos, c in ctrl_cov.items():
+            rel = pos - span_lo
+            if 0 <= rel < span_n:
+                ctrl_cov_dense[rel] = c
+
     out = []
     for name in stat_names:
         if not reg_read_stats[name]:
             continue
-        reg_stats, pr_payload = collate_reg_stats(
-            reg_read_stats[name], stat_locs[name], reg_ids[name],
-            emit_per_read or None, reg_data, params.single_read_thresh,
-            params.lower_thresh, stat_type, name, ctrl_cov)
+        cov, valid, above = site_accumulators(
+            reg_read_stats[name], stat_locs[name], span_lo, span_n,
+            params.single_read_thresh, params.lower_thresh, stat_type)
+        reg_stats = region_stats_from_accumulators(
+            reg_data, span_lo, cov, valid, above, ctrl_cov_dense, stat_type)
+        if reg_stats is None:
+            raise TomboTpuError("No valid positions in this region.")
+        pr_payload = None
+        if emit_per_read:
+            _, pr_payload = collate_reg_stats(
+                reg_read_stats[name], stat_locs[name], reg_ids[name],
+                True, reg_data, params.single_read_thresh,
+                params.lower_thresh, stat_type, name, ctrl_cov)
         out.append((name, reg_stats, pr_payload))
     return out
 

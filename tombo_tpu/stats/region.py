@@ -39,10 +39,15 @@ def load_read_levels(r_data: ReadData, with_seq: bool = False) -> ReadLevels:
         events = grp["Events"][:]
         means = events["norm_mean"]
         seq = (b"".join(events["base"]).decode() if with_seq else None)
-        try:
-            read_id = f5io.get_read_id(fp)
-        except TomboTpuError:
-            read_id = r_data.read_id or "unknown"
+        if r_data.read_id is not None:
+            # the index carries read ids; walking /Raw/Reads per read
+            # dominated the detection profile (bench.py --stats)
+            read_id = r_data.read_id
+        else:
+            try:
+                read_id = f5io.get_read_id(fp)
+            except TomboTpuError:
+                read_id = "unknown"
     return ReadLevels(r_data, means, seq, read_id)
 
 
