@@ -1,0 +1,200 @@
+"""Legacy event re-squiggle: external-aligner SAM input + pA normalization
+(reference: tombo/_event_resquiggle.py:567-761 SAM parsing,
+tombo/tombo_stats.py:528-541 pA/pA_raw scaling)."""
+import os
+
+import h5py
+import numpy as np
+
+from tombo_tpu import config
+from tombo_tpu.io.fast5 import read_corrected_events
+from tombo_tpu.io.model_io import KmerModel
+from tombo_tpu.pipeline.aligner import ExactAligner
+from tombo_tpu.pipeline.event_resquiggle import (
+    event_resquiggle_all_reads, event_resquiggle_read, parse_sam_file)
+from tombo_tpu.testing import (random_reference, simulate_read,
+                               write_basecaller_events,
+                               write_synthetic_fast5)
+
+
+def _build_reads(tmp_path, n_reads=5, seed=17, with_model=False):
+    rng = np.random.default_rng(seed)
+    fasta = random_reference(rng, 3000)
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    fast5_dir = str(tmp_path / "ev_fast5s")
+    os.makedirs(fast5_dir, exist_ok=True)
+    reads = []
+    for i in range(n_reads):
+        read = simulate_read(rng, fasta, model, read_len=300,
+                             read_id="evs_%03d" % i)
+        fn = os.path.join(fast5_dir, read.read_id + ".fast5")
+        write_synthetic_fast5(fn, read)
+        write_basecaller_events(fn, read, jitter=2, rng=rng,
+                                model=model if with_model else None)
+        reads.append(read)
+    return fasta, model, fast5_dir, reads
+
+
+def _write_sam(path, fasta, reads):
+    from tombo_tpu.seq import rev_comp
+    chrm = fasta.iter_chrms()[0]
+    with open(path, "w") as fp:
+        fp.write("@SQ\tSN:%s\tLN:%d\n" % (chrm, len(fasta.get_seq(chrm))))
+        for read in reads:
+            if read.strand == "+":
+                flag, seq = 0, read.seq
+            else:
+                flag, seq = 16, rev_comp(read.seq)
+            fp.write("\t".join([
+                read.read_id, str(flag), chrm, str(read.start + 1), "60",
+                "%dM" % len(read.seq), "*", "0", "0", seq,
+                "#" * len(seq)]) + "\n")
+
+
+def test_sam_parse_and_resquiggle(tmp_path):
+    """SAM-driven event re-squiggle (no in-process aligner) produces
+    exactly the results of the aligner path on the same reads."""
+    fasta, model, fast5_dir, reads = _build_reads(tmp_path)
+    sam_fn = str(tmp_path / "aln.sam")
+    _write_sam(sam_fn, fasta, reads)
+
+    alns = parse_sam_file(sam_fn, fasta)
+    assert set(alns) == {r.read_id for r in reads}
+    for read in reads:
+        av = alns[read.read_id].align_vals
+        # error-free reads: every column a match
+        assert all(rb == gb for rb, gb in av)
+        assert len(av) == len(read.seq)
+        assert alns[read.read_id].genome_loc.start == read.start
+        assert alns[read.read_id].genome_loc.strand == read.strand
+
+    n_ok, n_fail, fails = event_resquiggle_all_reads(
+        fast5_dir, None, corr_grp="RawGenomeCorrected_sam",
+        num_threads=2, sam_fn=sam_fn, fasta=fasta)
+    assert n_ok == len(reads), fails
+
+    n_ok2, _, fails2 = event_resquiggle_all_reads(
+        fast5_dir, ExactAligner(fasta), corr_grp="RawGenomeCorrected_aln",
+        num_threads=2)
+    assert n_ok2 == len(reads), fails2
+
+    for read in reads:
+        fn = os.path.join(fast5_dir, read.read_id + ".fast5")
+        ev_sam, rs_sam, ai_sam, _ = read_corrected_events(
+            fn, "RawGenomeCorrected_sam/%s" %
+            config.DEFAULT_BASECALL_SUBGROUP)
+        ev_aln, rs_aln, ai_aln, _ = read_corrected_events(
+            fn, "RawGenomeCorrected_aln/%s" %
+            config.DEFAULT_BASECALL_SUBGROUP)
+        assert rs_sam == rs_aln
+        assert np.array_equal(ev_sam["start"], ev_aln["start"])
+        assert np.array_equal(ev_sam["base"], ev_aln["base"])
+        assert np.array_equal(ev_sam["norm_mean"], ev_aln["norm_mean"])
+
+
+def test_sam_soft_clip(tmp_path):
+    """Soft-clipped SAM records clip the corresponding basecalls."""
+    fasta, model, fast5_dir, reads = _build_reads(tmp_path, n_reads=1,
+                                                  seed=23)
+    read = reads[0]
+    from tombo_tpu.seq import rev_comp
+    chrm = fasta.iter_chrms()[0]
+    n_clip = 20
+    if read.strand == "+":
+        flag, seq = 0, read.seq
+        pos = read.start + n_clip + 1
+        cigar = "%dS%dM" % (n_clip, len(read.seq) - n_clip)
+    else:
+        flag, seq = 16, rev_comp(read.seq)
+        pos = read.start + 1
+        # read-oriented start clip is the SAM-forward END for '-' reads
+        cigar = "%dM%dS" % (len(read.seq) - n_clip, n_clip)
+    sam_fn = str(tmp_path / "clip.sam")
+    with open(sam_fn, "w") as fp:
+        fp.write("\t".join([
+            read.read_id, str(flag), chrm, str(pos), "60", cigar,
+            "*", "0", "0", seq, "#" * len(seq)]) + "\n")
+    alns = parse_sam_file(sam_fn, fasta)
+    aln = alns[read.read_id]
+    assert aln.start_clip == n_clip and aln.end_clip == 0
+    assert len(aln.align_vals) == len(read.seq) - n_clip
+    assert all(rb == gb for rb, gb in aln.align_vals)
+
+    fn = os.path.join(fast5_dir, read.read_id + ".fast5")
+    _, rd = event_resquiggle_read(fn, None, alignment=aln,
+                                  corr_grp="RawGenomeCorrected_clip")
+    ev, _, ai, _ = read_corrected_events(
+        fn, "RawGenomeCorrected_clip/%s" % config.DEFAULT_BASECALL_SUBGROUP)
+    assert ev.shape[0] == len(read.seq) - n_clip
+    assert ai["clipped_bases_start"] == n_clip
+
+
+def test_event_resquiggle_cli_sam(tmp_path):
+    """CLI wiring: event_resquiggle --alignment-file runs without any
+    in-process aligner."""
+    from tombo_tpu.cli.main import main
+    fasta, model, fast5_dir, reads = _build_reads(tmp_path, seed=31)
+    fasta_fn = str(tmp_path / "ref.fasta")
+    fasta.write(fasta_fn)
+    sam_fn = str(tmp_path / "cli.sam")
+    _write_sam(sam_fn, fasta, reads)
+    assert main(["build_model", "event_resquiggle", fast5_dir, fasta_fn,
+                 "--alignment-file", sam_fn, "--overwrite",
+                 "--normalization-type", "pA_raw"]) == 0
+    ev, _, _, _ = read_corrected_events(
+        os.path.join(fast5_dir, reads[0].read_id + ".fast5"),
+        "%s/%s" % (config.DEFAULT_CORRECTED_GROUP,
+                   config.DEFAULT_BASECALL_SUBGROUP))
+    assert ev.shape[0] == len(reads[0].seq)
+
+
+def test_pa_normalization(tmp_path):
+    """pA_raw channel scaling and pA fitted normalization
+    (reference: tombo/tombo_stats.py:528-541)."""
+    fasta, model, fast5_dir, reads = _build_reads(tmp_path, n_reads=1,
+                                                  seed=29, with_model=True)
+    read = reads[0]
+    fn = os.path.join(fast5_dir, read.read_id + ".fast5")
+
+    event_resquiggle_read(fn, ExactAligner(fasta),
+                          corr_grp="RawGenomeCorrected_par",
+                          norm_type="pA_raw")
+    with h5py.File(fn, "r") as fp:
+        attrs = fp["/Analyses/RawGenomeCorrected_par/%s" %
+                   config.DEFAULT_BASECALL_SUBGROUP].attrs
+        # write_synthetic_fast5 channel: offset 0, range 1400, dig 8192
+        assert abs(attrs["shift"] - 0.0) < 1e-9
+        assert abs(attrs["scale"] - 8192.0 / 1400.0) < 1e-9
+        assert attrs["norm_type"] == "pA_raw"
+
+    # pA: method-of-moments k-mer fitted correction from a pore model
+    pm_fn = str(tmp_path / "pore_model.tsv")
+    with open(pm_fn, "w") as fp:
+        fp.write("kmer\tlevel_mean\tlevel_stdv\n")
+        for code in range(4 ** model.kmer_width):
+            kmer = ""
+            c = code
+            for _ in range(model.kmer_width):
+                kmer = "ACGT"[c % 4] + kmer
+                c //= 4
+            fp.write("%s\t%f\t%f\n" % (kmer, model.means[code],
+                                       model.sds[code]))
+    from tombo_tpu.pipeline.event_resquiggle import parse_pore_model_file
+    pm = parse_pore_model_file(pm_fn)
+    event_resquiggle_read(fn, ExactAligner(fasta),
+                          corr_grp="RawGenomeCorrected_pa",
+                          norm_type="pA", pore_model=pm)
+    with h5py.File(fn, "r") as fp:
+        grp = fp["/Analyses/RawGenomeCorrected_pa/%s" %
+                 config.DEFAULT_BASECALL_SUBGROUP]
+        assert grp.attrs["norm_type"] == "pA"
+        # the fitted correction moved shift/scale off the raw channel
+        # values (pA_raw: shift 0, scale 8192/1400)
+        assert abs(grp.attrs["shift"]) > 1.0
+        assert abs(grp.attrs["scale"] - 8192.0 / 1400.0) > 1.0
+        # and the normalized levels land in model space: the synthetic
+        # signal is level*60+450 DAC, so fitted norm_means track the
+        # model's level distribution
+        norm_means = grp["Events"]["norm_mean"]
+        assert abs(np.median(norm_means) -
+                   np.median(model.means)) < 0.5

@@ -737,12 +737,24 @@ def _add_build_model_parsers(subparsers):
     p.set_defaults(func=_est_motif_alt)
 
     def _event_rsq(args):
+        from ..io.fasta import Fasta
         from ..pipeline.event_resquiggle import event_resquiggle_all_reads
-        aligner = _open_genomic_aligner(args)
+        fasta = Fasta(args.reference)
+        if args.alignment_file is not None:
+            # external-aligner path (reference shells out graphmap/bwa/
+            # minimap2 and parses their SAM,
+            # tombo/_event_resquiggle.py:567-761; here the user runs the
+            # aligner and passes its SAM — no mappy required)
+            aligner = None
+        else:
+            aligner = _open_genomic_aligner(args)
         n_ok, n_fail, fails = event_resquiggle_all_reads(
             args.fast5_basedir, aligner, args.basecall_group,
             args.basecall_subgroups[0], args.corrected_group,
-            overwrite=args.overwrite, num_threads=args.processes)
+            overwrite=args.overwrite, num_threads=args.processes,
+            norm_type=args.normalization_type,
+            pore_model_fn=args.pore_model_filename,
+            sam_fn=args.alignment_file, fasta=fasta)
         if not args.quiet:
             print("Event re-squiggle complete: %d succeeded, %d failed"
                   % (n_ok, n_fail))
@@ -759,6 +771,19 @@ def _add_build_model_parsers(subparsers):
     p.add_argument("--allow-exact-aligner", action="store_true",
                    help="Permit the built-in exact aligner when mappy is "
                         "unavailable (synthetic/error-free reads only).")
+    p.add_argument("--alignment-file",
+                   help="SAM file from an external aligner (graphmap/"
+                        "bwa-mem/minimap2); replaces in-process mapping "
+                        "(reference: tombo/_event_resquiggle.py:567-761).")
+    p.add_argument("--normalization-type", default="median",
+                   choices=("median", "pA", "pA_raw", "none"),
+                   help='"none": raw DAC values; "pA_raw": pA via channel '
+                        'offset/range/digitisation; "pA": k-mer-model '
+                        "fitted pA correction (requires "
+                        "--pore-model-filename). Default: %(default)s")
+    p.add_argument("--pore-model-filename",
+                   help="TSV pore model (kmer, level_mean, level_stdv "
+                        "columns) for pA normalization.")
     _add_common(p)
     p.set_defaults(func=_event_rsq)
 

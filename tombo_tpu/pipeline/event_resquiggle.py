@@ -40,6 +40,152 @@ indelGroupStats = namedtuple("indelGroupStats",
 # mappy cigar op codes: 0=M, 1=I (read ins), 2=D (read del)
 _CIG_M, _CIG_I, _CIG_D = 0, 1, 2
 
+# SAM text cigar (reference: tombo/_event_resquiggle.py:68)
+CIGAR_PAT = re.compile(r"(\d+)([MIDNSHP=X])")
+SAM_FIELDS = ("qName", "flag", "rName", "pos", "mapq", "cigar", "rNext",
+              "pNext", "tLen", "seq", "qual")
+
+# parsed external alignment: (read_base, genome_base) '-'-gapped columns
+# in read orientation, the 0-based genome location, and basecall clips
+SamAlignment = namedtuple(
+    "SamAlignment", ("align_vals", "genome_loc", "start_clip", "end_clip"))
+
+
+def parse_sam_record(fields: dict, fasta) -> SamAlignment:
+    """One SAM record -> gapped alignment columns
+    (reference: tombo/_event_resquiggle.py:615-712 ``parse_sam_record``):
+    hard/soft clips are stripped into clip counts, leading/trailing
+    non-match ops are trimmed, and M/=/X, I/P, D/N ops emit
+    (read, genome) column pairs against the FASTA-fetched target."""
+    cigar = [(int(n), op) for n, op in CIGAR_PAT.findall(fields["cigar"])]
+    if not cigar:
+        raise TomboTpuError("Invalid cigar string produced.")
+    strand = "-" if int(fields["flag"]) & 0x10 else "+"
+    if strand == "-":
+        cigar = cigar[::-1]
+
+    q_seq = (fields["seq"] if strand == "+"
+             else rev_comp(fields["seq"]))
+    start_clip = end_clip = 0
+    if cigar[0][1] == "H":
+        start_clip += cigar[0][0]
+        cigar = cigar[1:]
+    if cigar[-1][1] == "H":
+        end_clip += cigar[-1][0]
+        cigar = cigar[:-1]
+    if cigar[0][1] == "S":
+        start_clip += cigar[0][0]
+        q_seq = q_seq[cigar[0][0]:]
+        cigar = cigar[1:]
+    if cigar[-1][1] == "S":
+        end_clip += cigar[-1][0]
+        q_seq = q_seq[:-cigar[-1][0]]
+        cigar = cigar[:-1]
+
+    t_len = sum(n for n, op in cigar if op in "MDN=X")
+    t_seq = fasta.get_seq(fields["rName"], int(fields["pos"]) - 1,
+                          int(fields["pos"]) + t_len - 1)
+    if strand == "-":
+        t_seq = rev_comp(t_seq)
+
+    # trim to matched-base bounds (reference: _event_resquiggle.py:664-680)
+    while cigar and cigar[0][1] not in "M=X":
+        if cigar[0][1] in "ND":
+            t_seq = t_seq[cigar[0][0]:]
+        else:
+            q_seq = q_seq[cigar[0][0]:]
+            start_clip += cigar[0][0]
+        cigar = cigar[1:]
+    while cigar and cigar[-1][1] not in "M=X":
+        if cigar[-1][1] in "ND":
+            t_seq = t_seq[:-cigar[-1][0]]
+        else:
+            q_seq = q_seq[:-cigar[-1][0]]
+            end_clip += cigar[-1][0]
+        cigar = cigar[:-1]
+    if not cigar:
+        raise TomboTpuError("Invalid cigar string produced.")
+    q_len = sum(n for n, op in cigar if op in "MI=X")
+    if len(q_seq) != q_len:
+        raise TomboTpuError("Read sequence from SAM and corresponding "
+                            "cigar string do not agree.")
+
+    align_vals = []
+    t_pos = q_pos = 0
+    for n, op in cigar:
+        if op in "M=X":
+            align_vals.extend(zip(q_seq[q_pos:q_pos + n],
+                                  t_seq[t_pos:t_pos + n]))
+            t_pos += n
+            q_pos += n
+        elif op in "IP":
+            align_vals.extend((qb, "-") for qb in q_seq[q_pos:q_pos + n])
+            q_pos += n
+        else:
+            align_vals.extend(("-", tb) for tb in t_seq[t_pos:t_pos + n])
+            t_pos += n
+    return SamAlignment(
+        align_vals,
+        GenomeLocation(int(fields["pos"]) - 1, strand, fields["rName"]),
+        start_clip, end_clip)
+
+
+def parse_sam_file(sam_fn: str, fasta) -> dict:
+    """Parse a SAM file from any external aligner into per-read
+    alignments, keeping the highest-mapq record per read name
+    (reference: tombo/_event_resquiggle.py:714-760 ``parse_sam_output``;
+    TPU-port note: the reference shells the aligner out itself — here the
+    user runs minimap2/bwa/graphmap and passes the SAM, removing the
+    mappy requirement from the legacy pipeline entirely)."""
+    best = {}
+    with open(sam_fn) as fp:
+        for line in fp:
+            if line.startswith("@"):
+                continue
+            fields = dict(zip(SAM_FIELDS, line.rstrip("\n").split("\t")))
+            if len(fields) < len(SAM_FIELDS):
+                continue
+            if fields["rName"] == "*":
+                continue
+            prev = best.get(fields["qName"])
+            if prev is None or int(prev["mapq"]) < int(fields["mapq"]):
+                best[fields["qName"]] = fields
+    out = {}
+    for qname, fields in best.items():
+        try:
+            out[qname] = parse_sam_record(fields, fasta)
+        except (TomboTpuError, KeyError, ValueError):
+            continue
+    return out
+
+
+def parse_pore_model_file(pore_model_fn: str):
+    """Load a tab-separated pore model (columns including ``kmer``,
+    ``level_mean``, ``level_stdv``) for pA fitted normalization
+    (reference: tombo/_event_resquiggle.py pore-model path /
+    tombo/_option_parsers.py:57-62).  Returns dict kmer -> (mean, sd)."""
+    model = {}
+    with open(pore_model_fn) as fp:
+        header = None
+        for line in fp:
+            if line.startswith("#"):
+                continue
+            parts = line.rstrip("\n").split("\t")
+            if header is None:
+                header = {name: i for i, name in enumerate(parts)}
+                for col in ("kmer", "level_mean", "level_stdv"):
+                    if col not in header:
+                        raise TomboTpuError(
+                            "Pore model file must contain kmer, level_mean "
+                            "and level_stdv columns")
+                continue
+            model[parts[header["kmer"]]] = (
+                float(parts[header["level_mean"]]),
+                float(parts[header["level_stdv"]]))
+    if not model:
+        raise TomboTpuError("Empty pore model file")
+    return model
+
 
 def get_read_event_starts(fast5_data: h5py.File, basecall_group: str,
                           basecall_subgroup: str):
@@ -257,15 +403,48 @@ def event_resquiggle_read(fast5_fn: str, aligner,
                           outlier_thresh: Optional[float] =
                           config.OUTLIER_THRESH,
                           seg_params=None, overwrite: bool = True,
-                          compute_sd: bool = False):
+                          compute_sd: bool = False,
+                          norm_type: str = "median", pore_model=None,
+                          alignment: Optional[SamAlignment] = None):
     """Re-squiggle one read from its basecaller Events table
-    (reference: tombo/_event_resquiggle.py:295-417)."""
+    (reference: tombo/_event_resquiggle.py:295-417).
+
+    ``alignment`` (a parsed external-aligner SAM record) replaces the
+    in-process aligner when given; ``norm_type`` supports
+    median/pA_raw/pA/none (pA needs ``pore_model``, the parsed
+    --pore-model-filename table)."""
     with h5py.File(fast5_fn, "r") as fast5_data:
         raw = f5io.get_raw_signal(fast5_data)
         rna = f5io.is_read_rna(fast5_data)
         read_id = f5io.get_read_id(fast5_data)
         seq, starts_rel_to_read, rsrtr = get_read_event_starts(
             fast5_data, basecall_group, basecall_subgroup)
+        channel_info = None
+        ev_means = model_means = model_inv_vars = None
+        if norm_type in ("pA", "pA_raw"):
+            channel_info = f5io.get_channel_info(fast5_data)
+        if norm_type == "pA":
+            if pore_model is None:
+                raise TomboTpuError(
+                    "pA normalization requires --pore-model-filename")
+            events = fast5_data["/Analyses/" + basecall_group + "/" +
+                                basecall_subgroup + "/Events"][:]
+            if "mean" not in events.dtype.names or \
+                    "model_state" not in events.dtype.names:
+                raise TomboTpuError(
+                    "Events table lacks mean/model_state columns required "
+                    "for pA normalization")
+            ev_means = events["mean"].astype(np.float64)
+            try:
+                mm_sd = [pore_model[
+                    (k.decode() if isinstance(k, bytes) else k)]
+                    for k in events["model_state"]]
+            except KeyError:
+                raise TomboTpuError(
+                    "Events table contains k-mers missing from the pore "
+                    "model")
+            model_means = np.array([m for m, _ in mm_sd])
+            model_inv_vars = np.array([1.0 / (sd * sd) for _, sd in mm_sd])
     if rna:
         raw = raw[::-1]
         seq = seq.replace("U", "T")
@@ -278,19 +457,27 @@ def event_resquiggle_read(fast5_fn: str, aligner,
     else:
         running_stat_width, min_obs_per_base = seg_params
 
-    aln = aligner.map(seq)
-    if aln is None:
-        raise TomboTpuError("Alignment not produced")
-    if aln.strand == 1:
-        genome_seq = aligner.seq(aln.ctg, aln.r_st, aln.r_en)
-        strand = "+"
+    if alignment is not None:
+        align_vals = alignment.align_vals
+        genome_loc = alignment.genome_loc
+        strand = genome_loc.strand
+        start_clip, end_clip = alignment.start_clip, alignment.end_clip
+        aln = None
     else:
-        genome_seq = rev_comp(aligner.seq(aln.ctg, aln.r_st, aln.r_en))
-        strand = "-"
+        aln = aligner.map(seq)
+        if aln is None:
+            raise TomboTpuError("Alignment not produced")
+        if aln.strand == 1:
+            genome_seq = aligner.seq(aln.ctg, aln.r_st, aln.r_en)
+            strand = "+"
+        else:
+            genome_seq = rev_comp(aligner.seq(aln.ctg, aln.r_st, aln.r_en))
+            strand = "-"
+        genome_loc = GenomeLocation(aln.r_st, strand, aln.ctg)
+        start_clip, end_clip = aln.q_st, len(seq) - aln.q_en
 
     # clip basecalls outside the alignment (reference:
     # tombo/_event_resquiggle.py:477-489)
-    start_clip, end_clip = aln.q_st, len(seq) - aln.q_en
     if start_clip > 0:
         clip_obs = int(starts_rel_to_read[start_clip])
         starts_rel_to_read = starts_rel_to_read[start_clip:] - clip_obs
@@ -298,12 +485,19 @@ def event_resquiggle_read(fast5_fn: str, aligner,
     if end_clip > 0:
         starts_rel_to_read = starts_rel_to_read[:-end_clip]
 
-    align_vals = align_vals_from_cigar(
-        seq[aln.q_st:aln.q_en], genome_seq, aln.cigar, 0)
+    if alignment is None:
+        align_vals = align_vals_from_cigar(
+            seq[aln.q_st:aln.q_en], genome_seq, aln.cigar, 0)
+    if len(align_vals) - sum(1 for rb, _ in align_vals if rb == "-") != \
+            starts_rel_to_read.shape[0] - 1:
+        raise TomboTpuError(
+            "Alignment and basecall lengths do not agree")
 
     norm_signal, scale_values = rsq.normalize_raw_signal(
-        raw, rsrtr, int(starts_rel_to_read[-1]),
-        outlier_thresh=outlier_thresh)
+        raw, rsrtr, int(starts_rel_to_read[-1]), norm_type=norm_type,
+        outlier_thresh=outlier_thresh, channel_info=channel_info,
+        event_means=ev_means, model_means=model_means,
+        model_inv_vars=model_inv_vars)
 
     indel_groups = get_indel_groups(
         align_vals, starts_rel_to_read, norm_signal, min_obs_per_base,
@@ -324,15 +518,16 @@ def event_resquiggle_read(fast5_fn: str, aligner,
         raise TomboTpuError(
             "Aligned sequence does not match number of segments produced.")
 
-    n_ins = sum(l for l, op in aln.cigar if op == _CIG_I)
-    n_del = sum(l for l, op in aln.cigar if op == _CIG_D)
-    n_match_cols = sum(l for l, op in aln.cigar if op == _CIG_M)
-    genome_loc = GenomeLocation(aln.r_st, strand, aln.ctg)
+    n_ins = sum(1 for _, gb in align_vals if gb == "-")
+    n_del = sum(1 for rb, _ in align_vals if rb == "-")
+    n_match = sum(1 for rb, gb in align_vals if rb == gb and rb != "-")
+    n_mismatch = sum(1 for rb, gb in align_vals
+                     if rb != gb and rb != "-" and gb != "-")
     align_info = AlignInfo(
         read_id=read_id, subgroup=basecall_subgroup,
         clip_start=start_clip, clip_end=end_clip,
-        insertions=n_ins, deletions=n_del, matches=aln.mlen,
-        mismatches=n_match_cols - aln.mlen)
+        insertions=n_ins, deletions=n_del, matches=n_match,
+        mismatches=n_mismatch)
     rsqgl_res = ResquiggleResults(
         align_info=align_info, genome_loc=genome_loc, genome_seq=align_seq,
         mean_q_score=None, raw_signal=norm_signal,
@@ -340,10 +535,10 @@ def event_resquiggle_read(fast5_fn: str, aligner,
         scale_values=scale_values)
     f5io.prep_fast5(fast5_fn, corr_grp, overwrite, basecall_group)
     f5io.write_new_fast5_group(
-        fast5_fn, corr_grp, rsqgl_res, "median", compute_sd, rna=rna)
-    return aln.ctg, ReadData(
-        aln.r_st, aln.r_st + len(align_seq), False, rsrtr, strand,
-        fast5_fn, corr_grp + "/" + basecall_subgroup, rna,
+        fast5_fn, corr_grp, rsqgl_res, norm_type, compute_sd, rna=rna)
+    return genome_loc.chrom, ReadData(
+        genome_loc.start, genome_loc.start + len(align_seq), False, rsrtr,
+        strand, fast5_fn, corr_grp + "/" + basecall_subgroup, rna,
         read_id=read_id)
 
 
@@ -355,21 +550,50 @@ def event_resquiggle_all_reads(fast5s_dir: str, aligner,
                                config.DEFAULT_CORRECTED_GROUP,
                                overwrite: bool = True,
                                num_threads: int = 4,
-                               skip_index: bool = False):
-    """Directory driver (reference: tombo/_event_resquiggle.py:1103-1218)."""
+                               skip_index: bool = False,
+                               norm_type: str = "median",
+                               pore_model_fn: Optional[str] = None,
+                               sam_fn: Optional[str] = None,
+                               fasta=None):
+    """Directory driver (reference: tombo/_event_resquiggle.py:1103-1218).
+
+    ``sam_fn`` + ``fasta`` run the external-aligner path: alignments come
+    from the SAM file (keyed by read id, falling back to the FAST5
+    basename) and no in-process aligner is needed."""
     from concurrent.futures import ThreadPoolExecutor
 
     reads_index = None if skip_index else ReadsIndex(
         [fast5s_dir], corrected_group=corr_grp, for_writing=True)
+
+    pore_model = (parse_pore_model_file(pore_model_fn)
+                  if pore_model_fn else None)
+    sam_alignments = None
+    if sam_fn is not None:
+        if fasta is None:
+            raise TomboTpuError(
+                "SAM-based event re-squiggle requires the reference FASTA")
+        sam_alignments = parse_sam_file(sam_fn, fasta)
 
     n_ok = n_fail = 0
     fails = {}
 
     def one(fn):
         try:
+            alignment = None
+            if sam_alignments is not None:
+                import os
+                with h5py.File(fn, "r") as fp:
+                    rid = f5io.get_read_id(fp)
+                alignment = sam_alignments.get(rid)
+                if alignment is None:
+                    base = os.path.splitext(os.path.basename(fn))[0]
+                    alignment = sam_alignments.get(base)
+                if alignment is None:
+                    raise TomboTpuError("Alignment not produced")
             return event_resquiggle_read(
                 fn, aligner, basecall_group, basecall_subgroup, corr_grp,
-                overwrite=overwrite)
+                overwrite=overwrite, norm_type=norm_type,
+                pore_model=pore_model, alignment=alignment)
         except TomboTpuError as e:
             return str(e)
 

@@ -39,9 +39,15 @@ def normalize_raw_signal(all_raw_signal, read_start_rel_to_raw=0,
                          read_obs_len=None, norm_type="median",
                          outlier_thresh=None, channel_info=None,
                          scale_values: Optional[ScaleValues] = None,
-                         const_scale=None):
+                         const_scale=None, event_means=None,
+                         model_means=None, model_inv_vars=None):
     """Normalize raw signal (reference: tombo/tombo_stats.py:482
-    ``normalize_raw_signal``).  Returns (norm_signal, ScaleValues)."""
+    ``normalize_raw_signal``).  Returns (norm_signal, ScaleValues).
+
+    ``pA_raw`` converts DAC values via channel offset/range/digitisation;
+    ``pA`` additionally fits a method-of-moments k-mer correction from
+    basecaller event means vs pore-model means (reference:
+    tombo/tombo_stats.py:528-541, nanopolish-style drift correction)."""
     if read_obs_len is None:
         read_obs_len = all_raw_signal.shape[0] - read_start_rel_to_raw
     raw_signal = np.asarray(
@@ -56,6 +62,14 @@ def normalize_raw_signal(all_raw_signal, read_start_rel_to_raw=0,
                 raise TomboTpuError("pA normalization requires channel info")
             shift = -1.0 * channel_info.offset
             scale = channel_info.digitisation / channel_info.range
+            if norm_type == "pA":
+                if event_means is None or model_means is None:
+                    raise TomboTpuError(
+                        "pA normalization requires basecaller event means "
+                        "and a pore model")
+                shift, scale, _, _ = calc_kmer_fitted_shift_scale(
+                    shift, scale, event_means, model_means, model_inv_vars,
+                    method="mom")
         elif norm_type == "median":
             shift = float(np.median(raw_signal))
             scale = float(np.median(np.abs(raw_signal - shift)))

@@ -145,10 +145,13 @@ def write_basecaller_events(path: str, read: SyntheticRead,
                             bc_subgrp: str =
                             config.DEFAULT_BASECALL_SUBGROUP,
                             jitter: int = 0,
-                            rng: Optional[np.random.Generator] = None):
+                            rng: Optional[np.random.Generator] = None,
+                            model: Optional[KmerModel] = None):
     """Add a legacy basecaller-style per-base Events table to a synthetic
     FAST5 (consumed by the event_resquiggle pipeline).  ``jitter`` shifts
-    boundaries by up to +-jitter samples to mimic basecaller noise."""
+    boundaries by up to +-jitter samples to mimic basecaller noise.
+    With ``model``, per-event raw means and ``model_state`` k-mers are
+    filled (required by pA fitted normalization)."""
     import h5py
     segs = read.true_segs.copy()      # absolute raw-signal positions
     if jitter and rng is not None:
@@ -161,12 +164,30 @@ def write_basecaller_events(path: str, read: SyntheticRead,
                 segs[i] = segs[i - 1] + 1
     starts = segs[:-1]
     lengths = np.diff(segs)
-    rec = np.array(
-        list(zip(starts, lengths,
-                 np.zeros(len(lengths)),
-                 [b.encode() for b in read.seq])),
-        dtype=[("start", "u8"), ("length", "u8"), ("mean", "f8"),
-               ("base", "S1")])
+    n = len(lengths)
+    if model is not None:
+        raw = read.raw_signal.astype(np.float64)
+        # basecaller event means are pA-scaled (offset 0, range 1400,
+        # digitisation 8192 as written by write_synthetic_fast5) — the
+        # pA fitted normalization composes its correction on that space
+        means = np.array([raw[s:e].mean()
+                          for s, e in zip(segs[:-1], segs[1:])]) * \
+            (1400.0 / 8192.0)
+        k, cp = model.kmer_width, model.central_pos
+        pad = "A" * cp + read.seq + "A" * (k - cp - 1)
+        states = [pad[i:i + k].encode() for i in range(n)]
+        rec = np.array(
+            list(zip(starts, lengths, means,
+                     [b.encode() for b in read.seq], states)),
+            dtype=[("start", "u8"), ("length", "u8"), ("mean", "f8"),
+                   ("base", "S1"), ("model_state", "S%d" % k)])
+    else:
+        rec = np.array(
+            list(zip(starts, lengths,
+                     np.zeros(n),
+                     [b.encode() for b in read.seq])),
+            dtype=[("start", "u8"), ("length", "u8"), ("mean", "f8"),
+                   ("base", "S1")])
     with h5py.File(path, "r+") as f:
         grp = f.require_group("Analyses/" + bc_grp + "/" + bc_subgrp)
         if "Events" in grp:
