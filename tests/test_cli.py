@@ -34,6 +34,26 @@ def test_cli_full_workflow(ds, capsys):
     assert os.path.exists(stats_bn + ".tombo.stats")
     assert os.path.exists(stats_bn + ".tombo.per_read_stats")
 
+    # output provenance: every artifact records the resolved parameter set
+    import glob
+    import json
+    import h5py
+    f5 = sorted(glob.glob(os.path.join(fast5_dir, "*.fast5")))[0]
+    with h5py.File(f5, "r") as fp:
+        rp = fp["Analyses/RawGenomeCorrected_000/BaseCalled_template"].attrs[
+            "resolved_params"]
+        rp = json.loads(rp if isinstance(rp, str) else rp.decode())
+        assert rp["resquiggle"]["bandwidth"] > 0
+        assert rp["seq_sample_type"] == "DNA"
+    with h5py.File(stats_bn + ".tombo.stats", "r") as fp:
+        rp = json.loads(fp.attrs["resolved_params"])
+        assert rp["test_params"]["stat_type"] == "de_novo"
+    with h5py.File(stats_bn + ".tombo.per_read_stats", "r") as fp:
+        rp = json.loads(fp.attrs["resolved_params"])
+        assert rp["test_params"]["region_size"] > 0
+    from tombo_tpu.stats.files import ModelStats
+    assert ModelStats(stats_bn + ".tombo.stats").resolved_params is not None
+
     # aggregate per-read stats
     agg_bn = os.path.join(tmp, "cli_agg")
     assert main(["detect_modifications", "aggregate_per_read_stats",

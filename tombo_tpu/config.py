@@ -304,3 +304,34 @@ def load_resquiggle_parameters(
         band_bound_thresh=ap.band_bound_thresh,
         start_bw=ap.start_bw, start_save_bw=ap.start_save_bw,
         start_n_bases=ap.start_n_bases)
+
+
+def resolved_params_json(rsqgl_params=None, **extra) -> str:
+    """Serialize the fully-resolved parameter set to JSON for output
+    provenance: stored in corrected FAST5 groups and stats files so every
+    artifact records the exact configuration that produced it (SURVEY
+    §5.6 TPU-equivalent of the reference's advanced-args reproducibility
+    gap)."""
+    import dataclasses
+    import json
+
+    import numpy as np
+
+    def to_plain(v):
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            return {k: to_plain(x)
+                    for k, x in dataclasses.asdict(v).items()}
+        if isinstance(v, (tuple, list)):
+            return [to_plain(x) for x in v]
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        return v
+
+    out = {}
+    if rsqgl_params is not None:
+        out["resquiggle"] = to_plain(rsqgl_params)
+    for k, v in extra.items():
+        out[k] = to_plain(v)
+    return json.dumps(out, sort_keys=True)

@@ -158,11 +158,17 @@ def write_error_status(fn: str, corr_grp: str, bc_subgrp: Optional[str],
 
 def write_new_fast5_group(fast5_fn_or_fp, corr_grp_slot: str,
                           rsqgl_res: ResquiggleResults, norm_type: str,
-                          compute_sd: bool, rna: bool = False):
+                          compute_sd: bool, rna: bool = False,
+                          resolved_params: str = None):
     """Write re-squiggle results into the FAST5 with the reference layout
     (reference: tombo/tombo_helper.py:2341-2460 ``write_new_fast5_group``):
     Events dataset (norm_mean/norm_stdev/start/length/base), Alignment
-    subgroup attrs, scaling attrs."""
+    subgroup attrs, scaling attrs.
+
+    ``resolved_params`` (a JSON string of the fully-resolved run
+    parameters) is stored as a ``resolved_params`` attr so every output
+    records the exact configuration that produced it (SURVEY §5.6
+    TPU-equivalent reproducibility note)."""
     if compute_sd:
         norm_means, norm_stds = ref_impl.new_mean_stds(
             rsqgl_res.raw_signal, rsqgl_res.segs)
@@ -188,6 +194,8 @@ def write_new_fast5_group(fast5_fn_or_fp, corr_grp_slot: str,
         corr_subgrp = corr_grp.create_group(rsqgl_res.align_info.subgroup)
         corr_subgrp.attrs["status"] = "success"
         corr_subgrp.attrs["rna"] = rna
+        if resolved_params is not None:
+            corr_subgrp.attrs["resolved_params"] = resolved_params
         if rsqgl_res.sig_match_score is not None:
             corr_subgrp.attrs["signal_match_score"] = \
                 rsqgl_res.sig_match_score

@@ -535,7 +535,11 @@ def event_resquiggle_read(fast5_fn: str, aligner,
         scale_values=scale_values)
     f5io.prep_fast5(fast5_fn, corr_grp, overwrite, basecall_group)
     f5io.write_new_fast5_group(
-        fast5_fn, corr_grp, rsqgl_res, norm_type, compute_sd, rna=rna)
+        fast5_fn, corr_grp, rsqgl_res, norm_type, compute_sd, rna=rna,
+        resolved_params=config.resolved_params_json(
+            norm_type=norm_type, outlier_thresh=outlier_thresh,
+            seg_params=seg_params, compute_sd=compute_sd,
+            pipeline="event_resquiggle"))
     return genome_loc.chrom, ReadData(
         genome_loc.start, genome_loc.start + len(align_seq), False, rsrtr,
         strand, fast5_fn, corr_grp + "/" + basecall_subgroup, rna,

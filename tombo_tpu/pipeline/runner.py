@@ -147,6 +147,18 @@ def resquiggle_all_reads(
     rc = rc or RunConfig()
     sig_match_thresh = (rc.sig_match_thresh if rc.sig_match_thresh is not None
                         else config.SIG_MATCH_THRESH[seq_samp_type.name])
+    # output provenance: record the fully-resolved parameter set in every
+    # corrected group (SURVEY §5.6 TPU-equivalent reproducibility note)
+    resolved_json = config.resolved_params_json(
+        rsqgl_params,
+        seq_sample_type=seq_samp_type.name,
+        sig_match_thresh=float(sig_match_thresh),
+        outlier_thresh=rc.outlier_thresh,
+        max_scaling_iters=rc.max_scaling_iters,
+        q_score_thresh=rc.q_score_thresh,
+        const_scale=rc.const_scale,
+        skip_seq_rescaling=rc.skip_seq_rescaling,
+        compute_sd=rc.compute_sd)
     lock_fns = f5io.lock_dirs([fast5s_dir], rc.ignore_read_locks)
     summary = RunSummary()
     reads_index = (None if rc.skip_index else
@@ -289,7 +301,8 @@ def resquiggle_all_reads(
                     if not rc.dry_run:
                         f5io.write_new_fast5_group(
                             fn, rc.corrected_group, res, "median",
-                            rc.compute_sd, rna=seq_samp_type.rev_sig)
+                            rc.compute_sd, rna=seq_samp_type.rev_sig,
+                            resolved_params=resolved_json)
                 except Exception as e:
                     record_failure(fn, "FAST5 write error")
                     continue

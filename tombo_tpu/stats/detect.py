@@ -766,6 +766,14 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
                 fn = "%s.host%d" % (fn, dist.host_id)
             pr_files[name] = PerReadStats(fn, stat_type, params.region_size)
 
+    # output provenance: record the fully-resolved test parameters in every
+    # stats artifact (SURVEY §5.6 TPU-equivalent reproducibility note)
+    resolved_json = config.resolved_params_json(test_params=params)
+    for sf in stats_files.values():
+        sf.set_resolved_params(resolved_json)
+    for pf in pr_files.values():
+        pf.set_resolved_params(resolved_json)
+
     def run_region_single(reg: RegionData):
         reg.add_reads(reads_index)
         ctrl_reg = None

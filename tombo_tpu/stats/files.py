@@ -48,8 +48,16 @@ _LEVEL_DTYPE = [("stat", "f8"), ("pos", "u4"), ("cov", "u4"),
 class _StatsFileBase:
     stat_slot: str
 
+    def set_resolved_params(self, resolved_json: str):
+        """Record the fully-resolved parameter set (a JSON string from
+        ``config.resolved_params_json``) in the stats file for output
+        provenance (SURVEY §5.6 TPU-equivalent reproducibility note)."""
+        if resolved_json is not None and self.open_for_writing:
+            self._fp.attrs["resolved_params"] = resolved_json
+
     def _parse(self):
         self._fp = h5py.File(self.stats_fn, "r")
+        self.resolved_params = _dec(self._fp.attrs.get("resolved_params"))
         self.stat_type = _dec(self._fp.attrs.get("stat_type"))
         self.region_size = int(self._fp.attrs.get("block_size"))
         self.stat_blocks = self._fp[STAT_BLOCKS_H5_NAME]
@@ -364,8 +372,15 @@ class PerReadStats:
             self.per_read_blocks = self._fp.create_group(STAT_BLOCKS_H5_NAME)
         self.are_pvals = self.stat_type != ALT_MODEL_TXT
 
+    def set_resolved_params(self, resolved_json: str):
+        """Record the fully-resolved parameter set for output provenance
+        (same contract as ``_StatsFileBase.set_resolved_params``)."""
+        if resolved_json is not None and self.open_for_writing:
+            self._fp.attrs["resolved_params"] = resolved_json
+
     def _parse(self):
         self._fp = h5py.File(self.per_read_stats_fn, "r")
+        self.resolved_params = _dec(self._fp.attrs.get("resolved_params"))
         self.stat_type = _dec(self._fp.attrs.get("stat_type"))
         self.region_size = int(self._fp.attrs.get("block_size"))
         self.per_read_blocks = self._fp[STAT_BLOCKS_H5_NAME]
