@@ -444,8 +444,21 @@ def _add_detect_parsers(subparsers):
             min_test_reads=args.minimum_test_reads,
             single_read_thresh=upper, lower_thresh=lower,
             region_size=args.multiprocess_region_size,
-            num_most_signif=args.num_most_significant_stored)
+            num_most_signif=args.num_most_significant_stored,
+            cov_damp_counts=tuple(getattr(
+                args, "coverage_dampen_counts", None) or
+                config.COV_DAMP_COUNTS))
         return std_ref, fasta, params
+
+    def add_cvgdmp(p):
+        # reference: tombo/_option_parsers.py:594-599 ``cvgdmp_opt``
+        p.add_argument(
+            "--coverage-dampen-counts", type=float, nargs=2,
+            metavar=("UNMOD", "MOD"), default=list(config.COV_DAMP_COUNTS),
+            help="Dampen fraction modified estimates for low coverage "
+                 "sites: unmodified and modified pseudo read counts (a "
+                 "beta prior on the fraction estimate). Set to \"0 0\" to "
+                 "disable. Default: %(default)s")
 
     def stats_fn_of(args):
         bn = args.statistics_file_basename
@@ -469,6 +482,7 @@ def _add_detect_parsers(subparsers):
         return 0
     p = sub.add_parser("de_novo", help="Test against a canonical model.")
     common_test_opts(p)
+    add_cvgdmp(p)
     p.set_defaults(func=_de_novo)
 
     def _alt(args):
@@ -493,17 +507,20 @@ def _add_detect_parsers(subparsers):
                        help="Test against known non-canonical base "
                             "models.")
     common_test_opts(p)
+    add_cvgdmp(p)
     p.add_argument("--alternate-bases", nargs="+", default=[])
     p.add_argument("--alternate-model-filenames", nargs="+")
     p.add_argument("--standard-log-likelihood-ratio", action="store_true")
+    p.add_argument("--print-available-models", action="store_true",
+                   help="Print available alternative models and exit "
+                        "(handled before argument validation).")
     p.set_defaults(func=_alt)
 
     def _samp_comp(args):
         std_ref, fasta, params = setup(args, SAMP_COMP_TXT,
                                        config.SAMP_COMP_THRESH)
         if not args.sample_only_estimates:
-            params.prior_weights = (config.MEAN_PRIOR_CONST,
-                                    config.SD_PRIOR_CONST)
+            params.prior_weights = tuple(args.model_prior_weights)
         idx = _reads_index(args.fast5_basedirs, args)
         ctrl = _reads_index(args.control_fast5_basedirs, args)
         dt.test_significance(
@@ -516,20 +533,37 @@ def _add_detect_parsers(subparsers):
                        help="Test against levels estimated from a "
                             "control sample.")
     common_test_opts(p)
+    add_cvgdmp(p)
     p.add_argument("--control-fast5-basedirs", nargs="+", required=True)
     p.add_argument("--sample-only-estimates", action="store_true")
+    p.add_argument(
+        "--model-prior-weights", type=float, nargs=2,
+        metavar=("MEAN", "SD"),
+        default=[config.MEAN_PRIOR_CONST, config.SD_PRIOR_CONST],
+        help="Prior weights (mean, spread) applied to the canonical model "
+             "when estimating posterior levels from the control sample "
+             "(reference: tombo/_option_parsers.py:600-604). "
+             "Default: %(default)s")
     p.set_defaults(func=_samp_comp)
 
     def _level_comp(args):
+        ctrl_dirs = (args.control_fast5_basedirs or
+                     args.alternate_fast5_basedirs)
+        if not ctrl_dirs:
+            raise TomboTpuError(
+                "level_sample_compare requires --alternate-fast5-basedirs "
+                "(or its alias --control-fast5-basedirs)")
+        # default stores the effect-size statistic; --store-p-value opts
+        # into p-values (reference: tombo/tombo_stats.py:4955-4959)
         params = dt.TestParams(
             stat_type=args.statistic_type +
-            ("_stat" if args.store_statistic else ""),
+            ("" if args.store_p_value else "_stat"),
             fm_offset=args.fishers_method_context,
             min_test_reads=args.minimum_test_reads,
             region_size=args.multiprocess_region_size,
             num_most_signif=args.num_most_significant_stored)
         idx = _reads_index(args.fast5_basedirs, args)
-        ctrl = _reads_index(args.control_fast5_basedirs, args)
+        ctrl = _reads_index(ctrl_dirs, args)
         dt.test_significance(
             idx, params, stats_fn_of(args), ctrl_reads_index=ctrl,
             num_processes=args.processes, dist=_dist_from_args(args))
@@ -537,11 +571,19 @@ def _add_detect_parsers(subparsers):
     p = sub.add_parser("level_sample_compare",
                        help="Group level tests against a control sample.")
     p.add_argument("fast5_basedirs", nargs="+")
-    p.add_argument("--control-fast5-basedirs", nargs="+", required=True)
+    p.add_argument("--alternate-fast5-basedirs", nargs="+",
+                   help="Directories containing FAST5s for the alternate "
+                        "(comparison) set of reads (reference: "
+                        "tombo/_option_parsers.py:95-98)")
+    p.add_argument("--control-fast5-basedirs", nargs="+",
+                   help="Alias for --alternate-fast5-basedirs")
     p.add_argument("--statistics-file-basename", required=True)
     p.add_argument("--statistic-type", default="ks",
                    choices=["ks", "u", "t"])
-    p.add_argument("--store-statistic", action="store_true")
+    p.add_argument("--store-p-value", action="store_true",
+                   help="Store p-value instead of the effect-size "
+                        "statistic (D-statistic for KS, common-language "
+                        "effect size deviation for U, Cohen's D for t).")
     p.add_argument("--fishers-method-context", type=int, default=1)
     p.add_argument("--minimum-test-reads", type=int, default=50)
     p.add_argument("--multiprocess-region-size", type=int,
@@ -560,11 +602,13 @@ def _add_detect_parsers(subparsers):
         agg.aggregate_per_read_stats(
             args.per_read_statistics_filename,
             args.statistics_file_basename + ".tombo.stats", upper, lower,
+            cov_damp_counts=tuple(args.coverage_dampen_counts),
             min_test_reads=args.minimum_test_reads,
             num_most_signif=args.num_most_significant_stored)
         return 0
     p = sub.add_parser("aggregate_per_read_stats",
                        help="Aggregate per-read statistics.")
+    add_cvgdmp(p)
     p.add_argument("--per-read-statistics-filename", required=True)
     p.add_argument("--statistics-file-basename", required=True)
     p.add_argument("--single-read-threshold", type=float, nargs="+",
@@ -708,11 +752,15 @@ def _add_build_model_parsers(subparsers):
         from ..io.fasta import Fasta
         from ..stats import estimate as est
         idx = _reads_index(args.fast5_basedirs, args)
+        valid_poss = None
+        if args.valid_locations_filename:
+            from ..plot.accuracy import parse_locs_file
+            valid_poss = parse_locs_file(args.valid_locations_filename)
         alt = est.estimate_motif_alt_model(
             idx, Fasta(args.reference), args.motif_description,
             args.upstream_bases, args.downstream_bases,
             args.minimum_kmer_observations, args.minimum_test_reads,
-            args.coverage_threshold,
+            args.coverage_threshold, valid_poss=valid_poss,
             region_size=args.multiprocess_region_size,
             num_processes=args.processes)
         alt.name = args.alternate_model_name
@@ -724,6 +772,10 @@ def _add_build_model_parsers(subparsers):
     p.add_argument("--reference", required=True)
     p.add_argument("--alternate-model-filename", required=True)
     p.add_argument("--alternate-model-name", required=True)
+    p.add_argument("--valid-locations-filename",
+                   help="6-field BED of single-base locations of valid "
+                        "(modified) sites; only motif sites listed here "
+                        "contribute to the alternate model.")
     p.add_argument("--motif-description", required=True,
                    help="motif:mod_pos (e.g. CCWGG:2)")
     p.add_argument("--upstream-bases", type=int, default=1)
@@ -740,21 +792,35 @@ def _add_build_model_parsers(subparsers):
         from ..io.fasta import Fasta
         from ..pipeline.event_resquiggle import event_resquiggle_all_reads
         fasta = Fasta(args.reference)
-        if args.alignment_file is not None:
+        mapper_exe = mapper_type = None
+        for exe, mtype in ((args.minimap2_executable, "minimap2"),
+                           (args.bwa_mem_executable, "bwa_mem"),
+                           (args.graphmap_executable, "graphmap")):
+            if exe is not None:
+                mapper_exe, mapper_type = exe, mtype
+                break
+        if args.alignment_file is not None or mapper_exe is not None:
             # external-aligner path (reference shells out graphmap/bwa/
             # minimap2 and parses their SAM,
-            # tombo/_event_resquiggle.py:567-761; here the user runs the
-            # aligner and passes its SAM — no mappy required)
+            # tombo/_event_resquiggle.py:567-761; the aligner either runs
+            # here as a subprocess or the user passes its SAM)
             aligner = None
         else:
             aligner = _open_genomic_aligner(args)
         n_ok, n_fail, fails = event_resquiggle_all_reads(
             args.fast5_basedir, aligner, args.basecall_group,
             args.basecall_subgroups[0], args.corrected_group,
-            overwrite=args.overwrite, num_threads=args.processes,
+            overwrite=args.overwrite,
+            num_threads=args.resquiggle_processes or args.processes,
             norm_type=args.normalization_type,
             pore_model_fn=args.pore_model_filename,
-            sam_fn=args.alignment_file, fasta=fasta)
+            sam_fn=args.alignment_file, fasta=fasta,
+            genome_fn=args.reference, mapper_exe=mapper_exe,
+            mapper_type=mapper_type, minimap2_index=args.minimap2_index,
+            alignment_batch_size=args.alignment_batch_size,
+            align_processes=args.align_processes,
+            align_threads_per_process=args.align_threads_per_process,
+            timeout=args.timeout, num_cpts_limit=args.cpts_limit)
         if not args.quiet:
             print("Event re-squiggle complete: %d succeeded, %d failed"
                   % (n_ok, n_fail))
@@ -784,6 +850,35 @@ def _add_build_model_parsers(subparsers):
     p.add_argument("--pore-model-filename",
                    help="TSV pore model (kmer, level_mean, level_stdv "
                         "columns) for pA normalization.")
+    # external aligner executables (reference:
+    # tombo/_option_parsers.py:268-301; exactly one may be given)
+    p.add_argument("--minimap2-executable",
+                   help="Path to minimap2 executable; reads are mapped by "
+                        "batched subprocess calls.")
+    p.add_argument("--minimap2-index",
+                   help="Pre-built minimap2 genome index (.mmi).")
+    p.add_argument("--bwa-mem-executable",
+                   help="Path to bwa-mem executable.")
+    p.add_argument("--graphmap-executable",
+                   help="Path to graphmap executable.")
+    p.add_argument("--alignment-batch-size", type=int, default=1000,
+                   help="Reads per aligner invocation. Default: "
+                        "%(default)s")
+    p.add_argument("--align-processes", type=int, default=1,
+                   help="Concurrent aligner invocations. Default: "
+                        "%(default)s")
+    p.add_argument("--align-threads-per-process", type=int, default=1,
+                   help="Threads per aligner invocation (-t). Default: "
+                        "%(default)s")
+    p.add_argument("--resquiggle-processes", type=int,
+                   help="Worker threads for the re-segmentation stage "
+                        "(defaults to --processes).")
+    p.add_argument("--timeout", type=int,
+                   help="Timeout in seconds for re-segmenting a single "
+                        "read. Default: no timeout.")
+    p.add_argument("--cpts-limit", type=int,
+                   help="Maximum changepoints within a single indel "
+                        "group. Default: no limit.")
     _add_common(p)
     p.set_defaults(func=_event_rsq)
 
@@ -836,6 +931,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("-v", "--version", action="version",
                         version="tombo-tpu " + TOMBO_TPU_VERSION)
     subparsers = parser.add_subparsers(dest="command", required=True)
+    if argv is None:
+        argv = sys.argv[1:]
+    if "--print-available-models" in argv:
+        # short-circuit required args, matching the reference's early exit
+        # (reference: tombo/tombo_stats.py:4985-4987)
+        for key, fn in sorted(config.ALTERNATE_MODELS.items()):
+            samp, alt = key.split("_", 1)
+            print("%s (%s): %s" % (alt, samp, fn))
+        return 0
     _add_resquiggle_parser(subparsers)
     _add_preprocess_parsers(subparsers)
     _add_filter_parsers(subparsers)
