@@ -148,6 +148,46 @@ def test_event_resquiggle_cli_sam(tmp_path):
     assert ev.shape[0] == len(reads[0].seq)
 
 
+def test_external_aligner_subprocess(tmp_path):
+    """--minimap2-executable path: reads are exported to FASTA batches,
+    the aligner runs as a subprocess per batch, and the merged SAM feeds
+    the re-squiggle (reference: tombo/_event_resquiggle.py:750-812)."""
+    import stat
+    import sys
+
+    fasta, model, fast5_dir, reads = _build_reads(tmp_path, seed=41)
+    fasta_fn = str(tmp_path / "ref.fasta")
+    fasta.write(fasta_fn)
+    full_sam = str(tmp_path / "full.sam")
+    _write_sam(full_sam, fasta, reads)
+
+    # fake minimap2: emits the pre-computed SAM records for exactly the
+    # read ids present in the input FASTA batch
+    exe = str(tmp_path / "fake_minimap2")
+    with open(exe, "w") as fp:
+        fp.write("""#!%s
+import sys
+reads_fn = sys.argv[-1]
+ids = set(l[1:].strip() for l in open(reads_fn) if l.startswith('>'))
+for line in open(%r):
+    if line.startswith('@') or line.split('\\t', 1)[0] in ids:
+        sys.stdout.write(line)
+""" % (sys.executable, full_sam))
+    os.chmod(exe, os.stat(exe).st_mode | stat.S_IXUSR)
+
+    from tombo_tpu.cli.main import main
+    assert main(["build_model", "event_resquiggle", fast5_dir, fasta_fn,
+                 "--minimap2-executable", exe,
+                 "--alignment-batch-size", "2", "--align-processes", "2",
+                 "--corrected-group", "RawGenomeCorrected_ext",
+                 "--overwrite", "--timeout", "600"]) == 0
+    for read in reads:
+        ev, _, _, _ = read_corrected_events(
+            os.path.join(fast5_dir, read.read_id + ".fast5"),
+            "RawGenomeCorrected_ext/%s" % config.DEFAULT_BASECALL_SUBGROUP)
+        assert ev.shape[0] == len(read.seq)
+
+
 def test_pa_normalization(tmp_path):
     """pA_raw channel scaling and pA fitted normalization
     (reference: tombo/tombo_stats.py:528-541)."""

@@ -16,6 +16,7 @@ the main pipeline.
 from __future__ import annotations
 
 import re
+import time as _time
 from collections import namedtuple
 from typing import List, Optional, Tuple
 
@@ -369,8 +370,14 @@ def get_indel_groups(align_vals, align_segs, norm_signal,
     all_indels = get_all_indels()
     if not all_indels:
         return []
+    start_clock = _time.time() if timeout is not None else None
     curr_group = [all_indels[0]]
     for indel in all_indels[1:]:
+        if (start_clock is not None and
+                _time.time() - start_clock > timeout):
+            # reference enforces a per-read processing timeout
+            # (tombo/_option_parsers.py:302-304 ``timeout_opt``)
+            raise TomboTpuError("Read took too long to re-segment.")
         if max(g.end for g in curr_group) >= indel.start:
             curr_group.append(indel)
         else:
@@ -405,7 +412,9 @@ def event_resquiggle_read(fast5_fn: str, aligner,
                           seg_params=None, overwrite: bool = True,
                           compute_sd: bool = False,
                           norm_type: str = "median", pore_model=None,
-                          alignment: Optional[SamAlignment] = None):
+                          alignment: Optional[SamAlignment] = None,
+                          timeout: Optional[float] = None,
+                          num_cpts_limit: Optional[int] = None):
     """Re-squiggle one read from its basecaller Events table
     (reference: tombo/_event_resquiggle.py:295-417).
 
@@ -501,7 +510,7 @@ def event_resquiggle_read(fast5_fn: str, aligner,
 
     indel_groups = get_indel_groups(
         align_vals, starts_rel_to_read, norm_signal, min_obs_per_base,
-        running_stat_width)
+        running_stat_width, timeout=timeout, num_cpts_limit=num_cpts_limit)
 
     new_segs = []
     prev_stop = 0
@@ -546,6 +555,115 @@ def event_resquiggle_read(fast5_fn: str, aligner,
         read_id=read_id)
 
 
+def run_external_aligner(fast5_fns, genome_fn: str, mapper_exe: str,
+                         mapper_type: str,
+                         basecall_group: str = "Basecall_1D_000",
+                         basecall_subgroup: str =
+                         config.DEFAULT_BASECALL_SUBGROUP,
+                         index_fn: Optional[str] = None,
+                         batch_size: int = 1000,
+                         align_threads: int = 1,
+                         num_align_processes: int = 1,
+                         out_sam_fn: Optional[str] = None) -> str:
+    """Map basecalled reads with an external aligner executable and return
+    the path of the combined SAM file.
+
+    The TPU-native analog of the reference's per-batch subprocess mapping
+    (reference: tombo/_event_resquiggle.py:750-812 ``align_to_genome`` /
+    ``prep_*_options``): reads are exported in FASTA batches named by read
+    id, each batch is one aligner invocation, and batches map concurrently
+    on a thread pool (subprocesses release the GIL) instead of the
+    reference's fork-per-batch queue.  ``mapper_type`` is one of
+    ``graphmap``/``bwa_mem``/``minimap2``.
+    """
+    import os
+    import subprocess
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    fast5_fns = list(fast5_fns)
+    batches = [fast5_fns[i:i + batch_size]
+               for i in range(0, len(fast5_fns), batch_size)]
+
+    def map_batch(batch):
+        reads_fp = tempfile.NamedTemporaryFile(
+            mode="w", suffix=".fasta", delete=False)
+        n_reads = 0
+        try:
+            for fn in batch:
+                try:
+                    with h5py.File(fn, "r") as fp:
+                        sd = f5io.get_read_seq(
+                            fp, basecall_group, basecall_subgroup,
+                            q_score_thresh=None)
+                    reads_fp.write(">%s\n%s\n" % (sd.id, sd.seq))
+                    n_reads += 1
+                except (TomboTpuError, OSError, KeyError):
+                    continue
+            reads_fp.close()
+            if n_reads == 0:
+                return []
+            out_fp = tempfile.NamedTemporaryFile(
+                mode="w+", suffix=".sam", delete=False)
+            # command lines mirror the reference's prep_*_options
+            # (tombo/_event_resquiggle.py:750-762)
+            if mapper_type == "graphmap":
+                cmd = [mapper_exe, "align", "-r", genome_fn,
+                       "-d", reads_fp.name, "-o", out_fp.name,
+                       "-L", "sam", "-t", str(align_threads)]
+                sink = subprocess.DEVNULL
+            elif mapper_type == "bwa_mem":
+                cmd = [mapper_exe, "mem", "-x", "ont2d", "-v", "1",
+                       "-t", str(align_threads), genome_fn, reads_fp.name]
+                sink = out_fp
+            elif mapper_type == "minimap2":
+                cmd = [mapper_exe, "-ax", "map-ont",
+                       "-t", str(align_threads),
+                       index_fn or genome_fn, reads_fp.name]
+                sink = out_fp
+            else:
+                raise TomboTpuError(
+                    "Mapper not supported: " + mapper_type)
+            try:
+                rc = subprocess.call(cmd, stdout=sink,
+                                     stderr=subprocess.DEVNULL)
+            except OSError as e:
+                raise TomboTpuError(
+                    "Problem running genome mapper %r: %s"
+                    % (mapper_exe, e))
+            if rc != 0:
+                raise TomboTpuError(
+                    "Genome mapper exited with status %d" % rc)
+            out_fp.seek(0)
+            lines = out_fp.read().splitlines(True)
+            out_fp.close()
+            os.unlink(out_fp.name)
+            return lines
+        finally:
+            try:
+                os.unlink(reads_fp.name)
+            except OSError:
+                pass
+
+    with ThreadPoolExecutor(max(1, num_align_processes)) as pool:
+        all_lines = list(pool.map(map_batch, batches))
+
+    if out_sam_fn is None:
+        out_sam_fn = tempfile.NamedTemporaryFile(
+            suffix=".sam", delete=False).name
+    with open(out_sam_fn, "w") as out:
+        wrote_header = False
+        for lines in all_lines:
+            for line in lines:
+                if line.startswith("@"):
+                    if not wrote_header:
+                        out.write(line)
+                    continue
+                out.write(line)
+            wrote_header = True
+    return out_sam_fn
+
+
 def event_resquiggle_all_reads(fast5s_dir: str, aligner,
                                basecall_group: str = "Basecall_1D_000",
                                basecall_subgroup: str =
@@ -558,12 +676,24 @@ def event_resquiggle_all_reads(fast5s_dir: str, aligner,
                                norm_type: str = "median",
                                pore_model_fn: Optional[str] = None,
                                sam_fn: Optional[str] = None,
-                               fasta=None):
+                               fasta=None,
+                               genome_fn: Optional[str] = None,
+                               mapper_exe: Optional[str] = None,
+                               mapper_type: Optional[str] = None,
+                               minimap2_index: Optional[str] = None,
+                               alignment_batch_size: int = 1000,
+                               align_processes: int = 1,
+                               align_threads_per_process: int = 1,
+                               timeout: Optional[float] = None,
+                               num_cpts_limit: Optional[int] = None):
     """Directory driver (reference: tombo/_event_resquiggle.py:1103-1218).
 
     ``sam_fn`` + ``fasta`` run the external-aligner path: alignments come
     from the SAM file (keyed by read id, falling back to the FAST5
-    basename) and no in-process aligner is needed."""
+    basename) and no in-process aligner is needed.  ``mapper_exe`` +
+    ``mapper_type`` (graphmap/bwa_mem/minimap2) instead shell out to the
+    external aligner here, batch-mapping all reads up front
+    (reference: tombo/_event_resquiggle.py:750-812)."""
     from concurrent.futures import ThreadPoolExecutor
 
     reads_index = None if skip_index else ReadsIndex(
@@ -571,6 +701,17 @@ def event_resquiggle_all_reads(fast5s_dir: str, aligner,
 
     pore_model = (parse_pore_model_file(pore_model_fn)
                   if pore_model_fn else None)
+    if mapper_exe is not None and sam_fn is None:
+        if genome_fn is None:
+            raise TomboTpuError(
+                "External-aligner event re-squiggle requires the genome "
+                "FASTA path")
+        sam_fn = run_external_aligner(
+            f5io.iter_fast5_reads(fast5s_dir), genome_fn, mapper_exe,
+            mapper_type, basecall_group, basecall_subgroup,
+            index_fn=minimap2_index, batch_size=alignment_batch_size,
+            align_threads=align_threads_per_process,
+            num_align_processes=align_processes)
     sam_alignments = None
     if sam_fn is not None:
         if fasta is None:
@@ -597,7 +738,8 @@ def event_resquiggle_all_reads(fast5s_dir: str, aligner,
             return event_resquiggle_read(
                 fn, aligner, basecall_group, basecall_subgroup, corr_grp,
                 overwrite=overwrite, norm_type=norm_type,
-                pore_model=pore_model, alignment=alignment)
+                pore_model=pore_model, alignment=alignment,
+                timeout=timeout, num_cpts_limit=num_cpts_limit)
         except TomboTpuError as e:
             return str(e)
 
