@@ -116,6 +116,57 @@ def compute_motif_stats(stats, motif_descs, fasta, stats_per_block=None,
     return all_motif_stats
 
 
+def compute_ctrl_motif_stats(stats, ctrl_stats, motif_descs, fasta,
+                             stats_per_block=None, total_stats_limit=None):
+    """(stat, is-native) pairs at motif sites: native-sample statistics
+    labeled True against control-sample statistics at the same motif
+    positions labeled False
+    (reference: tombo/tombo_stats.py:2485-2533
+    ``_compute_ctrl_motif_stats``)."""
+    all_motif_stats = {mod_name: [] for _, mod_name in motif_descs}
+    before_bases = max(m.mod_pos for m, _ in motif_descs) - 1
+    after_bases = max(m.motif_len - m.mod_pos for m, _ in motif_descs)
+    total = 0
+    for chrm, strand, start, end, block_stats in stats:
+        if strand == "+":
+            seq_start = max(start - before_bases, 0)
+            seq_end = end + after_bases
+        else:
+            seq_start = max(start - after_bases, 0)
+            seq_end = end + before_bases
+        reg_seq = fasta.get_seq(chrm, seq_start, seq_end, error_end=False)
+        ctrl_block_stats = ctrl_stats.get_reg_stats(chrm, strand, start,
+                                                    end)
+        slot = stats.stat_slot if hasattr(stats, "stat_slot") else "stat"
+        ctrl_slot = (ctrl_stats.stat_slot
+                     if hasattr(ctrl_stats, "stat_slot") else slot)
+        for motif, mod_name in motif_descs:
+            if strand == "+":
+                mod_poss = np.array(
+                    [m.start() + motif.mod_pos - 1
+                     for m in motif.motif_pat.finditer(reg_seq)],
+                    dtype=np.int64) + seq_start
+            else:
+                mod_poss = np.array(
+                    [m.start() + motif.motif_len - motif.mod_pos
+                     for m in motif.rev_comp_pat.finditer(reg_seq)],
+                    dtype=np.int64) + seq_start
+            for r_pos_stat in block_stats[
+                    np.isin(block_stats["pos"], mod_poss)]:
+                all_motif_stats[mod_name].append(
+                    (r_pos_stat[slot], True))
+                total += 1
+            if ctrl_block_stats is not None:
+                for r_pos_stat in ctrl_block_stats[
+                        np.isin(ctrl_block_stats["pos"], mod_poss)]:
+                    all_motif_stats[mod_name].append(
+                        (r_pos_stat[ctrl_slot], False))
+                    total += 1
+        if total_stats_limit is not None and total >= total_stats_limit:
+            break
+    return all_motif_stats
+
+
 def compute_ground_truth_stats(stats, ground_truth_locs):
     """(reference: tombo/tombo_stats.py:2458-2483)."""
     mod_locs, unmod_locs, mod_name = ground_truth_locs
@@ -156,6 +207,18 @@ class _PerReadStatsIterAdapter:
                 with np.errstate(divide="ignore"):
                     bs["stat"] = -np.log10(np.maximum(bs["stat"], 1e-50))
             yield (chrm, strand, start, start + self.pr.region_size, bs)
+
+    def get_reg_stats(self, chrm, strand, start, end):
+        """Interval records with the same (pos, stat) fields as a stats
+        block, so the control-ROC machinery works per-read too."""
+        bs = self.pr.get_region_per_read_stats(chrm, strand, start, end)
+        if bs is None or not self.transform:
+            return bs
+        bs = bs.copy()
+        with np.errstate(divide="ignore"):
+            bs["stat"] = -np.log10(np.maximum(
+                bs["stat"].astype(np.float64), 1e-50))
+        return bs
 
 
 def prep_accuracy_rates(all_motif_stats, verbose=True):
