@@ -35,7 +35,7 @@ from tombo_tpu.testing import random_reference, simulate_read
 from tombo_tpu.types import SeqSampleType, SequenceData
 
 READ_LEN = 1000          # bases per read (uniform config)
-BATCH_SIZE = int(os.environ.get("TOMBO_TPU_BENCH_BATCH", "256"))
+BATCH_SIZE = int(os.environ.get("TOMBO_TPU_BENCH_BATCH", "512"))
 N_BATCHES = max(2, 16384 // BATCH_SIZE // 16)
 N_CPU_READS = 32         # single-core native-baseline sample
 

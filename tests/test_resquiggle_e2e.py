@@ -100,3 +100,34 @@ def test_rna_read(setup):
     assert res.segs.shape[0] == len(res.genome_seq) + 1
     assert res.sig_match_score < config.SIG_MATCH_THRESH[
         config.RNA_SAMP_TYPE], res.sig_match_score
+
+
+def test_dp_debug_dump(setup, tmp_path, monkeypatch):
+    """TOMBO_TPU_DEBUG_DP dumps the DP internals per read and the plot
+    script renders them (reference: tombo/resquiggle.py:83-307 _DEBUG_*)."""
+    import glob
+    import subprocess
+    import sys
+
+    rng, model, fasta, aligner = setup
+    dump_dir = str(tmp_path / "dp_dumps")
+    monkeypatch.setenv("TOMBO_TPU_DEBUG_DP", dump_dir)
+    read = simulate_read(rng, fasta, model, read_len=1500, strand="+",
+                         read_id="dbg_read")
+    _run_read(read, model, aligner)
+    fns = glob.glob(dump_dir + "/dp_debug.*.npz")
+    assert len(fns) == 1
+    d = np.load(fns[0])
+    # traced path is inside the band everywhere and margins agree
+    assert int(d["bandwidth"]) > 0
+    margins = np.minimum(d["lower_margin"], d["upper_margin"])
+    assert margins.min() >= 0
+    assert d["fwd_pass"].shape[1] == int(d["bandwidth"])
+
+    out_pdf = str(tmp_path / "dp.pdf")
+    subprocess.run(
+        [sys.executable, "scripts/debug_dp_plot.py", dump_dir, out_pdf],
+        check=True, cwd="/root/repo",
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    with open(out_pdf, "rb") as fp:
+        assert fp.read(5) == b"%PDF-"

@@ -523,11 +523,48 @@ def get_rel_raw_coords(valid_cpts, seq_events):
     return seq_segs - read_start_rel_to_raw, read_start_rel_to_raw
 
 
+def _debug_dp_dir():
+    """Directory for per-read DP dumps, from ``TOMBO_TPU_DEBUG_DP``.
+
+    The TPU build's analog of the reference's compiled-in ``_DEBUG_DP_*``
+    flags (reference: tombo/resquiggle.py:83-307): instead of editing
+    module constants and re-running, set ``TOMBO_TPU_DEBUG_DP=<dir>`` and
+    the single-read path writes one ``.npz`` per read with the forward
+    pass, traceback codes, band positions, traced path and band-edge
+    margins; render with ``scripts/debug_dp_plot.py``."""
+    import os
+    return os.environ.get("TOMBO_TPU_DEBUG_DP")
+
+
+def _dump_dp_debug(read_id, fwd_pass, fwd_pass_tb, band_event_starts,
+                   read_tb, event_means, r_ref_means, r_ref_sds,
+                   events_start_clip, rsqgl_params):
+    import os
+    out_dir = _debug_dp_dir()
+    os.makedirs(out_dir, exist_ok=True)
+    # distance of the optimal path from each band edge per base — the
+    # data behind the reference's _DEBUG_BANDWIDTH tuning output
+    path_pos = read_tb[1:] - band_event_starts[:read_tb.shape[0] - 1]
+    lower_margin = path_pos
+    upper_margin = rsqgl_params.bandwidth - 1 - path_pos
+    fn = os.path.join(
+        out_dir, "dp_debug.%s.npz" % (read_id or "read"))
+    np.savez_compressed(
+        fn, fwd_pass=fwd_pass.astype(np.float32),
+        fwd_pass_tb=fwd_pass_tb, band_event_starts=band_event_starts,
+        read_tb=read_tb, event_means=event_means.astype(np.float32),
+        ref_means=r_ref_means.astype(np.float32),
+        ref_sds=r_ref_sds.astype(np.float32),
+        events_start_clip=np.int64(events_start_clip),
+        lower_margin=lower_margin, upper_margin=upper_margin,
+        bandwidth=np.int64(rsqgl_params.bandwidth))
+
+
 def find_adaptive_base_assignment(
         valid_cpts, event_means, rsqgl_params: ResquiggleParams, std_ref,
         genome_seq, start_clip_bases=None,
-        seq_samp_type=SeqSampleType(config.DNA_SAMP_TYPE, False)
-        ) -> DpResults:
+        seq_samp_type=SeqSampleType(config.DNA_SAMP_TYPE, False),
+        read_id=None) -> DpResults:
     """Adaptive-banded signal-to-sequence assignment
     (reference: tombo/resquiggle.py:866-1050)."""
 
@@ -610,6 +647,11 @@ def find_adaptive_base_assignment(
         read_tb, events_len=event_means.shape[0] - events_start_clip)
     seq_segs, rsrtr = get_rel_raw_coords(
         valid_cpts[events_start_clip:], read_tb)
+
+    if _debug_dp_dir():
+        _dump_dp_debug(read_id, fwd_pass, fwd_pass_tb, band_event_starts,
+                       read_tb, clipped_event_means, r_ref_means,
+                       r_ref_sds, events_start_clip, rsqgl_params)
 
     return DpResults(rsrtr, seq_segs, r_ref_means, r_ref_sds, genome_seq)
 
@@ -805,7 +847,9 @@ def resquiggle_read(
     dp_res = find_adaptive_base_assignment(
         valid_cpts, event_means, rsqgl_params, std_ref, map_res.genome_seq,
         start_clip_bases=map_res.start_clip_bases,
-        seq_samp_type=seq_samp_type)
+        seq_samp_type=seq_samp_type,
+        read_id=(map_res.align_info.read_id
+                 if map_res.align_info is not None else None))
     norm_signal = norm_signal[
         dp_res.read_start_rel_to_raw:
         dp_res.read_start_rel_to_raw + dp_res.segs[-1]]
