@@ -146,6 +146,10 @@ class _ReadState:
     raw: np.ndarray
     num_events: int
     error: Optional[str] = None
+    # int16 view of integral DAC raw signal (None when non-integral);
+    # computed once per batch so every segment pass uploads half-width
+    # without re-scanning the padded matrix
+    raw_i16: Optional[np.ndarray] = None
     # stage products
     scale_values: Optional[ScaleValues] = None
     norm: Optional[np.ndarray] = None
@@ -538,20 +542,24 @@ class BatchedResquiggler:
         S_max = _pow2_bucket(max(s.raw.shape[0] for s in live), 1024)
         B = len(live)
         B_pad = self._b_pad(B)
-        raw_pad = np.zeros((B, S_max), np.float64)
         sig_lens = np.array([s.raw.shape[0] for s in live], np.int64)
-        for i, s in enumerate(live):
-            raw_pad[i, :s.raw.shape[0]] = s.raw
-            s.dev_row = i
         # raw FAST5 signal is int16 DAC values; uploading them as int16
         # halves the dominant host->device transfer (values convert to the
-        # compute dtype on device, exactly for |x| < 2^15)
-        if (np.abs(raw_pad).max(initial=0) < 2 ** 15 and
-                np.all(raw_pad == np.trunc(raw_pad))):
-            raw_up = raw_pad.astype(np.int16)
+        # compute dtype on device, exactly for |x| < 2^15).  The per-read
+        # integrality check is cached in raw_i16 at state creation, so
+        # this fills the half-width buffer directly with no full-matrix
+        # scan or float64 staging pass.
+        if all(s.raw_i16 is not None for s in live):
+            raw_pad = np.zeros((B, S_max), np.int16)
+            for i, s in enumerate(live):
+                raw_pad[i, :s.raw_i16.shape[0]] = s.raw_i16
+                s.dev_row = i
         else:
-            raw_up = raw_pad.astype(self.dtype)
-        raw_j = self._up(raw_up, B_pad)
+            raw_pad = np.zeros((B, S_max), self.dtype)
+            for i, s in enumerate(live):
+                raw_pad[i, :s.raw.shape[0]] = s.raw
+                s.dev_row = i
+        raw_j = self._up(raw_pad, B_pad)
         lens_j = self._up(sig_lens, B_pad)
 
         w = p.running_stat_width
@@ -1096,17 +1104,23 @@ class BatchedResquiggler:
                 s.error = s.error or "DP did not produce a path"
                 continue
             try:
-                if s.norm is None:
-                    # the normalized signal never left the device; rebuild
-                    # it host-side in float64 from the raw signal + scale
-                    # values (identical formula to the device stage)
-                    s.norm = self._host_norm(s)
                 dp_res = DpResults(
                     s.dp_rsrtr, s.dp_segs, s.ref_means, s.ref_sds,
                     s.genome_seq_trim)
-                norm_signal = s.norm[
-                    dp_res.read_start_rel_to_raw:
-                    dp_res.read_start_rel_to_raw + dp_res.segs[-1]]
+                if s.norm is None:
+                    # the normalized signal never left the device; rebuild
+                    # it host-side in float64 from the raw signal + scale
+                    # values (identical formula to the device stage).
+                    # Only the mapped slice is ever used downstream, and
+                    # normalization is elementwise, so normalize just that
+                    # slice (bitwise identical to slicing afterwards).
+                    norm_signal = self._host_norm(
+                        s, dp_res.read_start_rel_to_raw,
+                        dp_res.read_start_rel_to_raw + int(dp_res.segs[-1]))
+                else:
+                    norm_signal = s.norm[
+                        dp_res.read_start_rel_to_raw:
+                        dp_res.read_start_rel_to_raw + dp_res.segs[-1]]
                 s._dp_res = dp_res
                 s._norm_signal = norm_signal
                 if s.has_del is False:
@@ -1152,6 +1166,12 @@ class BatchedResquiggler:
             n_pts = np.zeros(B, np.int64)
             for i, s in enumerate(pending):
                 r_ev = ref_impl.new_means(s._norm_signal, s._segs)
+                if self.dtype != jnp.float64:
+                    # the rescale is affine, so the pass-C score means are
+                    # derivable from these pre-rescale means without a
+                    # second O(signal) sweep (f32 lane only: mean-of-
+                    # transformed vs transformed-mean differ at ulp level)
+                    s._ev_means_pre = r_ev
                 r_mod = s._dp_res.ref_means
                 n = r_mod.shape[0]
                 if n > max_n:
@@ -1185,6 +1205,7 @@ class BatchedResquiggler:
                     scale=sv.scale * scale_corr,
                     outlier_thresh=self.outlier_thresh)
                 s._norm_signal = (s._norm_signal - shift_corr) / scale_corr
+                s._score_corr = (shift_corr, scale_corr)
                 s._norm_params_changed = (
                     abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
                     abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
@@ -1199,9 +1220,16 @@ class BatchedResquiggler:
             try:
                 dp_res, segs = s._dp_res, s._segs
                 norm_signal = s._norm_signal
+                ev_pre = getattr(s, "_ev_means_pre", None)
+                if (ev_pre is not None and
+                        ev_pre.shape[0] == segs.shape[0] - 1):
+                    corr = getattr(s, "_score_corr", None)
+                    score_means = ((ev_pre - corr[0]) / corr[1]
+                                   if corr is not None else ev_pre)
+                else:
+                    score_means = ref_impl.new_means(norm_signal, segs)
                 sig_match_score = rsq.get_read_seg_score(
-                    ref_impl.new_means(norm_signal, segs), dp_res.ref_means,
-                    dp_res.ref_sds)
+                    score_means, dp_res.ref_means, dp_res.ref_sds)
                 if segs.shape[0] != len(dp_res.genome_seq) + 1:
                     raise TomboTpuError(
                         "Aligned sequence does not match number of segments "
@@ -1215,12 +1243,15 @@ class BatchedResquiggler:
             except TomboTpuError as e:
                 s.error = str(e)
 
-    def _host_norm(self, s: _ReadState) -> np.ndarray:
+    def _host_norm(self, s: _ReadState, start: int = 0,
+                   end: Optional[int] = None) -> np.ndarray:
         """Recompute the normalized signal in float64 from raw + scale
         values (the device keeps its own copy; shipping (B, S) floats over
-        the host link costs far more than recomputing them)."""
+        the host link costs far more than recomputing them).  ``start``/
+        ``end`` normalize only that raw slice."""
         sv = s.scale_values
-        norm = (s.raw - sv.shift) / sv.scale
+        raw = s.raw if end is None else s.raw[start:end]
+        norm = (raw - sv.shift) / sv.scale
         if (sv.lower_lim is not None and sv.upper_lim is not None and
                 np.isfinite(sv.lower_lim) and np.isfinite(sv.upper_lim)):
             norm = np.clip(norm, sv.lower_lim, sv.upper_lim)
@@ -1299,7 +1330,16 @@ class BatchedResquiggler:
                 mr = mr.replace(scale_values=sv)
             num_mapped_bases = (len(mr.genome_seq) -
                                 self.std_ref.kmer_width + 1)
-            st = _ReadState(idx=idx, map_res=mr, raw=raw, num_events=0)
+            orig = np.asarray(mr.raw_signal)
+            if orig.dtype == np.int16:
+                raw_i16 = orig
+            elif (raw.size and np.abs(raw).max() < 2 ** 15 and
+                    np.all(raw == np.trunc(raw))):
+                raw_i16 = raw.astype(np.int16)
+            else:
+                raw_i16 = None
+            st = _ReadState(idx=idx, map_res=mr, raw=raw, num_events=0,
+                            raw_i16=raw_i16)
             num_events = rsq.compute_num_events(
                 raw.shape[0], num_mapped_bases,
                 self.params.mean_obs_per_event)
