@@ -35,7 +35,11 @@ from tombo_tpu.testing import random_reference, simulate_read
 from tombo_tpu.types import SeqSampleType, SequenceData
 
 READ_LEN = 1000          # bases per read (uniform config)
-BATCH_SIZE = int(os.environ.get("TOMBO_TPU_BENCH_BATCH", "512"))
+RNA = "--rna" in sys.argv[1:]
+# RNA dwells ~4x DNA (same bases -> 4x the raw samples); halve the default
+# batch so the host->device transfer per batch stays bounded
+BATCH_SIZE = int(os.environ.get("TOMBO_TPU_BENCH_BATCH",
+                                "256" if RNA else "512"))
 N_BATCHES = max(2, 16384 // BATCH_SIZE // 16)
 N_CPU_READS = 32         # single-core native-baseline sample
 
@@ -57,16 +61,18 @@ def sample_read_lens(rng, n_reads):
 
 def build_dataset(n_reads):
     rng = np.random.default_rng(1234)
-    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    samp = config.RNA_SAMP_TYPE if RNA else config.DNA_SAMP_TYPE
+    model = KmerModel.load_default(samp)
     ref_len = 120000 if MIXED else 60000
     fasta = random_reference(np.random.default_rng(5), ref_len)
     aligner = ExactAligner(fasta)
-    sst = SeqSampleType(config.DNA_SAMP_TYPE, False)
-    params = config.load_resquiggle_parameters(config.DNA_SAMP_TYPE)
+    sst = SeqSampleType(samp, RNA)
+    params = config.load_resquiggle_parameters(samp)
     map_results = []
     for i, read_len in enumerate(sample_read_lens(rng, n_reads)):
         read = simulate_read(rng, fasta, model, read_len=read_len,
-                             read_id="bench_%05d" % i)
+                             read_id="bench_%05d" % i, rev_sig=RNA,
+                             mean_dwell=(30.0 if RNA else 7.0))
         seq_data = SequenceData(read.seq, read.read_id, 12.0)
         mr = rsq.map_read(seq_data, aligner, model, sst)
         mr = mr.replace(raw_signal=read.raw_signal.astype(np.float64))
@@ -172,7 +178,17 @@ def main():
             break
 
     # single-core native C++ end-to-end baseline (same algorithm, compiled;
-    # the honest denominator — csrc/resquiggle_baseline.cpp)
+    # the honest denominator — csrc/resquiggle_baseline.cpp).  The baseline
+    # implements the DNA lane (window-difference segmentation); the RNA
+    # bench reports throughput only.
+    if RNA:
+        print(json.dumps({
+            "metric": "resquiggle_reads_per_s_per_chip_%s_rna" % backend,
+            "value": round(tpu_rate, 3),
+            "unit": "reads/s",
+            "vs_baseline": None,
+        }))
+        return
     smt = config.SIG_MATCH_THRESH[config.DNA_SAMP_TYPE]
     save_params = config.load_resquiggle_parameters(
         config.DNA_SAMP_TYPE, use_save_bandwidth=True)
