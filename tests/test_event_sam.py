@@ -188,6 +188,55 @@ for line in open(%r):
         assert ev.shape[0] == len(read.seq)
 
 
+def test_external_aligner_command_shapes(tmp_path):
+    """bwa-mem and graphmap invocations mirror the reference's option
+    prep (tombo/_event_resquiggle.py:750-762): bwa writes SAM to stdout,
+    graphmap to -o <file>."""
+    import json
+    import stat
+    import sys
+
+    from tombo_tpu.pipeline.event_resquiggle import run_external_aligner
+
+    fasta, model, fast5_dir, reads = _build_reads(tmp_path, n_reads=2,
+                                                  seed=53)
+    argv_log = str(tmp_path / "argv.jsonl")
+    exe = str(tmp_path / "fake_aligner")
+    with open(exe, "w") as fp:
+        fp.write("""#!%s
+import json, sys
+with open(%r, "a") as log:
+    log.write(json.dumps(sys.argv[1:]) + "\\n")
+args = sys.argv[1:]
+if "-o" in args:  # graphmap style: write empty SAM to -o target
+    open(args[args.index("-o") + 1], "w").write("")
+""" % (sys.executable, argv_log))
+    os.chmod(exe, os.stat(exe).st_mode | stat.S_IXUSR)
+
+    fns = [os.path.join(fast5_dir, r.read_id + ".fast5") for r in reads]
+    run_external_aligner(fns, "ref.fa", exe, "bwa_mem",
+                         align_threads=3, batch_size=10)
+    run_external_aligner(fns, "ref.fa", exe, "graphmap",
+                         align_threads=2, batch_size=10)
+    run_external_aligner(fns, "ref.fa", exe, "minimap2",
+                         index_fn="genome.mmi", batch_size=10)
+    with open(argv_log) as fp:
+        calls = [json.loads(line) for line in fp]
+    bwa, gm, mm2 = calls
+    assert bwa[:6] == ["mem", "-x", "ont2d", "-v", "1", "-t"]
+    assert bwa[6] == "3" and bwa[7] == "ref.fa"
+    assert gm[0] == "align" and gm[1:3] == ["-r", "ref.fa"]
+    assert "-L" in gm and gm[gm.index("-L") + 1] == "sam"
+    assert gm[gm.index("-t") + 1] == "2"
+    assert mm2[:2] == ["-ax", "map-ont"] and "genome.mmi" in mm2
+
+    import pytest as _pytest
+    from tombo_tpu.errors import TomboTpuError
+    with _pytest.raises(TomboTpuError):
+        run_external_aligner(fns, "ref.fa", "/nonexistent/aligner",
+                             "minimap2", batch_size=10)
+
+
 def test_pa_normalization(tmp_path):
     """pA_raw channel scaling and pA fitted normalization
     (reference: tombo/tombo_stats.py:528-541)."""

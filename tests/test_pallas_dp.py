@@ -101,7 +101,9 @@ def test_plan_dp_layout_never_over_budget():
             layout = pdp.plan_dp_layout(8, L, E, bw, budget)
             if layout[0] == "fused":
                 r = layout[1]
-                assert r * L * bwp * 4 <= budget, (bw, L, layout)
+                # move codes are 2-bit packed (16 rows per int32 word)
+                assert r * ((L + 15) // 16) * bwp * 4 <= budget, (
+                    bw, L, layout)
             else:
                 _, R, Lc = layout
                 assert L % Lc == 0 and Lc >= 128, (bw, L, layout)

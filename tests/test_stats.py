@@ -188,3 +188,34 @@ def test_level_kernels_match_scipy():
         mu = sn * cn / 2
         z = (u - mu) / np.sqrt(sn * cn * (sn * cn + 1) / 12)
         assert abs(u_p[i] - sps.norm.cdf(z) * 2.0) < 1e-12
+
+
+def test_cov_damp_counts_cli_flag(resquiggled, tmp_path):
+    """--coverage-dampen-counts 0 0 disables the beta-prior damping:
+    stored damp_frac equals the raw fraction (reference:
+    tombo/tombo_stats.py:2537-2552)."""
+    import os
+
+    from tombo_tpu.cli.main import main
+    from tombo_tpu.stats.files import ModelStats
+
+    tmp, fasta, model, index = resquiggled
+    fast5_dir = os.path.join(tmp, "fast5s")
+    ref_fn = os.path.join(tmp, "reference.fasta")
+    bn = str(tmp_path / "damp0")
+    assert main(["detect_modifications", "de_novo", fast5_dir,
+                 "--statistics-file-basename", bn,
+                 "--reference", ref_fn,
+                 "--coverage-dampen-counts", "0", "0", "-q"]) == 0
+    stats = ModelStats(bn + ".tombo.stats")
+    assert stats.cov_damp_counts == {"unmod": 0.0, "mod": 0.0}
+    found = False
+    for (chrm, strand), starts in stats.blocks_index.items():
+        blk = stats.get_reg_stats(chrm, strand, 0, 10 ** 9)
+        if blk is None:
+            continue
+        found = True
+        import numpy as _np
+        assert _np.allclose(blk["damp_frac"], blk["frac"])
+    assert found
+    stats.close()
