@@ -37,7 +37,12 @@ def _add_common(p):
                    help="FAST5 subgroups with basecalls. Default: "
                         "%(default)s")
     p.add_argument("--processes", type=int, default=4,
-                   help="Worker threads. Default: %(default)d")
+                   help="Host worker threads (reference semantics: CPU "
+                        "worker processes; here the DP runs batched on "
+                        "the accelerator and --processes x "
+                        "--threads-per-process sizes the host I/O + "
+                        "mapping thread pool feeding it). Default: "
+                        "%(default)d")
     p.add_argument("--quiet", "-q", action="store_true")
 
 

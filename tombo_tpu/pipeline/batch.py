@@ -76,6 +76,19 @@ def _timed_stage(name):
     return deco
 
 
+def jax_trace_ctx():
+    """``TOMBO_TPU_JAX_PROFILE=<dir>`` wraps the batch pipeline in a
+    ``jax.profiler.trace`` capture (view with TensorBoard / xprof); the
+    device-level companion to the TOMBO_TPU_PROFILE wall-clock stages
+    (SURVEY §5.1)."""
+    import contextlib
+    trace_dir = os.environ.get("TOMBO_TPU_JAX_PROFILE")
+    if not trace_dir:
+        return contextlib.nullcontext()
+    import jax
+    return jax.profiler.trace(trace_dir)
+
+
 def print_stage_timings(out=None):
     import sys
     out = out or sys.stderr
@@ -1307,8 +1320,9 @@ class BatchedResquiggler:
         from concurrent.futures import ThreadPoolExecutor
         run = functools.partial(self.resquiggle_batch,
                                 max_scaling_iters=max_scaling_iters)
-        with ThreadPoolExecutor(max_workers=pipeline_depth) as pool:
-            yield from pool.map(run, batches)
+        with jax_trace_ctx():
+            with ThreadPoolExecutor(max_workers=pipeline_depth) as pool:
+                yield from pool.map(run, batches)
 
     def resquiggle_batch(self, map_results: Sequence[ResquiggleResults],
                          max_scaling_iters: int = config.MAX_SCALING_ITERS
