@@ -178,20 +178,12 @@ def main():
             break
 
     # single-core native C++ end-to-end baseline (same algorithm, compiled;
-    # the honest denominator — csrc/resquiggle_baseline.cpp).  The baseline
-    # implements the DNA lane (window-difference segmentation); the RNA
-    # bench reports throughput only.
-    if RNA:
-        print(json.dumps({
-            "metric": "resquiggle_reads_per_s_per_chip_%s_rna" % backend,
-            "value": round(tpu_rate, 3),
-            "unit": "reads/s",
-            "vs_baseline": None,
-        }))
-        return
-    smt = config.SIG_MATCH_THRESH[config.DNA_SAMP_TYPE]
+    # the honest denominator — csrc/resquiggle_baseline.cpp; the RNA lane
+    # runs t-test segmentation + stall removal + event scaling)
+    samp = config.RNA_SAMP_TYPE if RNA else config.DNA_SAMP_TYPE
+    smt = config.SIG_MATCH_THRESH[samp]
     save_params = config.load_resquiggle_parameters(
-        config.DNA_SAMP_TYPE, use_save_bandwidth=True)
+        samp, use_save_bandwidth=True)
     levels = [model.get_exp_levels_from_seq(mr.genome_seq)
               for mr in map_results[:N_CPU_READS]]
     t0 = time.perf_counter()
@@ -200,7 +192,7 @@ def main():
         try:
             out = native.resquiggle_read_baseline_with_retries(
                 mr.raw_signal, rm, rs, params, save_params,
-                config.OUTLIER_THRESH, smt)
+                config.OUTLIER_THRESH, smt, stall_ints=mr.stall_ints)
             n_base_ok += out is not None
         except Exception:  # noqa: BLE001 — failed reads still count as work
             pass
@@ -211,8 +203,9 @@ def main():
             n_base_ok, N_CPU_READS)
 
     print(json.dumps({
-        "metric": "resquiggle_reads_per_s_per_chip_%s%s" % (
-            backend, "_mixedlen" if MIXED else ""),
+        "metric": "resquiggle_reads_per_s_per_chip_%s%s%s" % (
+            backend, "_mixedlen" if MIXED else "",
+            "_rna" if RNA else ""),
         "value": round(tpu_rate, 3),
         "unit": "reads/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 3),

@@ -201,6 +201,14 @@ int resquiggle_read_baseline_dbg(
     double* scale_out, double* score_out, int64_t* dbg_i, double* dbg_epb,
     int64_t* dbg_tb);
 
+int resquiggle_read_baseline_impl(
+    const double* raw, int64_t sig_len, const double* ref_means,
+    const double* ref_sds, int64_t seq_len, const int64_t* iparams,
+    const double* dparams, int rna, const int64_t* stall_s,
+    const int64_t* stall_e, int64_t n_stalls, int64_t* segs_out,
+    int64_t* rsrtr_out, double* scale_out, double* score_out,
+    int64_t* dbg_i, double* dbg_epb, int64_t* dbg_tb);
+
 // Error codes (python wrapper maps to messages)
 //   0 ok, 1 too much signal, 2 too few changepoints, 3 read too short for
 //   start discovery, 4 poor start matching, 5 open pore (events_per_base 0),
@@ -227,14 +235,44 @@ int resquiggle_read_baseline(
       rsrtr_out, scale_out, score_out, nullptr, nullptr, nullptr);
 }
 
-// Debug variant: when non-null, dbg_i receives [num_events, mapped_start,
-// events_start_clip, mapped_start_offset, mask_seq_len, n_ev_c] and
-// dbg_epb the events-per-base estimate; dbg_tb the pre-trim traceback
-// (seq_len + 1 entries).  All from the FIRST scaling iteration.
+// RNA lane (reference: tombo/resquiggle.py:1057-1120 RNA branches of
+// segment_signal): t-test changepoint scores on the RAW signal, stall
+// changepoints removed, event-based MAD scaling with absolute winsorize
+// limits; the DP/traceback/fix/rescale machinery is shared with DNA.
+int resquiggle_read_baseline_rna(
+    const double* raw, int64_t sig_len, const double* ref_means,
+    const double* ref_sds, int64_t seq_len, const int64_t* stall_s,
+    const int64_t* stall_e, int64_t n_stalls, const int64_t* iparams,
+    const double* dparams, int64_t* segs_out, int64_t* rsrtr_out,
+    double* scale_out, double* score_out) {
+  return resquiggle_read_baseline_impl(
+      raw, sig_len, ref_means, ref_sds, seq_len, iparams, dparams, 1,
+      stall_s, stall_e, n_stalls, segs_out, rsrtr_out, scale_out, score_out,
+      nullptr, nullptr, nullptr);
+}
+
 int resquiggle_read_baseline_dbg(
     const double* raw, int64_t sig_len, const double* ref_means,
     const double* ref_sds, int64_t seq_len, const int64_t* iparams,
-    const double* dparams, int64_t* segs_out /* seq_len + 1 */,
+    const double* dparams, int64_t* segs_out, int64_t* rsrtr_out,
+    double* scale_out, double* score_out, int64_t* dbg_i, double* dbg_epb,
+    int64_t* dbg_tb) {
+  return resquiggle_read_baseline_impl(
+      raw, sig_len, ref_means, ref_sds, seq_len, iparams, dparams, 0,
+      nullptr, nullptr, 0, segs_out, rsrtr_out, scale_out, score_out,
+      dbg_i, dbg_epb, dbg_tb);
+}
+
+// Full implementation.  When non-null, dbg_i receives [num_events,
+// mapped_start, events_start_clip, mapped_start_offset, mask_seq_len,
+// n_ev_c] and dbg_epb the events-per-base estimate; dbg_tb the pre-trim
+// traceback (seq_len + 1 entries).  All from the FIRST scaling iteration.
+int resquiggle_read_baseline_impl(
+    const double* raw, int64_t sig_len, const double* ref_means,
+    const double* ref_sds, int64_t seq_len, const int64_t* iparams,
+    const double* dparams, int rna, const int64_t* stall_s,
+    const int64_t* stall_e, int64_t n_stalls,
+    int64_t* segs_out /* seq_len + 1 */,
     int64_t* rsrtr_out, double* scale_out /* shift scale lower upper */,
     double* score_out, int64_t* dbg_i, double* dbg_epb, int64_t* dbg_tb) {
   const int64_t bandwidth = iparams[0], start_bw = iparams[1],
@@ -273,47 +311,127 @@ int resquiggle_read_baseline_dbg(
   double final_score = 0.0;
 
   for (int64_t iter = 0; iter < max_scaling_iters; ++iter) {
-    // --- normalize (reference: tombo/tombo_stats.py:482-573)
-    if (!have_sv) {
-      scratch.assign(raw, raw + sig_len);
-      sv_shift = median_inplace(scratch);
+    int64_t n_cpts = num_events;
+    if (rna) {
+      // --- RNA: t-test changepoint scores on the RAW signal
+      // (reference: tombo/_c_helper.pyx:144-179), then stall-interval
+      // removal and event-based MAD scaling
+      // (tombo/resquiggle.py:1057-1090, tombo/tombo_stats.py:217-233)
+      const int64_t n_cands = sig_len - 2 * rsw;
+      if (n_cands < num_events) return 2;
+      std::vector<double> cs(static_cast<size_t>(sig_len) + 1, 0.0);
+      std::vector<double> cs2(static_cast<size_t>(sig_len) + 1, 0.0);
+      for (int64_t i = 0; i < sig_len; ++i) {
+        cs[i + 1] = cs[i] + raw[i];
+        cs2[i + 1] = cs2[i] + raw[i] * raw[i];
+      }
+      std::vector<double> scores(static_cast<size_t>(n_cands));
+      const double w = static_cast<double>(rsw);
+      for (int64_t i = 0; i < n_cands; ++i) {
+        const double s1 = cs[i + rsw] - cs[i];
+        const double q1 = cs2[i + rsw] - cs2[i];
+        const double s2 = cs[i + 2 * rsw] - cs[i + rsw];
+        const double q2 = cs2[i + 2 * rsw] - cs2[i + rsw];
+        const double ss1 = q1 - (s1 * s1) / w;
+        const double ss2 = q2 - (s2 * s2) / w;
+        const double denom = ss1 + ss2;
+        scores[i] = denom > 0.0
+                        ? std::fabs(s1 / w - s2 / w) / std::sqrt(denom)
+                        : 0.0;
+      }
+      if (greedy_cpts(scores.data(), n_cands, min_obs, num_events,
+                      cpts.data()) != 0)
+        return 2;
+      std::sort(cpts.begin(), cpts.begin() + num_events);
+      for (int64_t i = 0; i < num_events; ++i) cpts[i] += rsw;
+      // drop changepoints strictly inside stall intervals
+      // (reference: tombo/tombo_stats.py:1576-1597)
+      if (n_stalls > 0) {
+        int64_t out = 0;
+        for (int64_t i = 0; i < num_events; ++i) {
+          bool keep = true;
+          for (int64_t k = 0; k < n_stalls; ++k) {
+            if (cpts[i] > stall_s[k] && cpts[i] < stall_e[k]) {
+              keep = false;
+              break;
+            }
+          }
+          if (keep) cpts[out++] = cpts[i];
+        }
+        n_cpts = out;
+      }
+      if (n_cpts < 2) return 2;
+      if (!have_sv) {
+        // event-based scale: median/MAD of raw event means over the
+        // first min(10000, 0.75*n) events (RNA_SCALE_* constants)
+        int64_t n_scale = n_cpts;
+        const double frac = 0.75 * static_cast<double>(n_cpts);
+        n_scale = (frac < 10000.0) ? static_cast<int64_t>(frac) : 10000;
+        if (n_scale < 2) n_scale = std::min<int64_t>(2, n_cpts);
+        std::vector<double> ev_means(static_cast<size_t>(n_scale) - 1);
+        for (int64_t i = 0; i + 1 < n_scale; ++i)
+          ev_means[i] = (cs[cpts[i + 1]] - cs[cpts[i]]) /
+                        static_cast<double>(cpts[i + 1] - cpts[i]);
+        scratch.assign(ev_means.begin(), ev_means.end());
+        sv_shift = median_inplace(scratch);
+        scratch.assign(ev_means.begin(), ev_means.end());
+        for (auto& v : scratch) v = std::fabs(v - sv_shift);
+        sv_scale = median_inplace(scratch);
+        sv_lower = -outlier_thresh;
+        sv_upper = outlier_thresh;
+      }
       for (int64_t i = 0; i < sig_len; ++i)
-        scratch[i] = std::fabs(raw[i] - sv_shift);
-      sv_scale = median_inplace(scratch);
-    }
-    for (int64_t i = 0; i < sig_len; ++i)
-      norm[i] = (raw[i] - sv_shift) / sv_scale;
-    if (!have_sv) {
-      scratch.assign(norm.begin(), norm.end());
-      const double med = median_inplace(scratch);
+        norm[i] = std::min(
+            std::max((raw[i] - sv_shift) / sv_scale, sv_lower), sv_upper);
+      scratch.resize(static_cast<size_t>(sig_len) + 1);
+      scratch[0] = 0.0;
       for (int64_t i = 0; i < sig_len; ++i)
-        scratch[i] = std::fabs(norm[i] - med);
-      const double mad = median_inplace(scratch);
-      sv_lower = med - mad * outlier_thresh;
-      sv_upper = med + mad * outlier_thresh;
-    }
-    for (int64_t i = 0; i < sig_len; ++i)
-      norm[i] = std::min(std::max(norm[i], sv_lower), sv_upper);
+        scratch[i + 1] = scratch[i] + norm[i];
+    } else {
+      // --- normalize (reference: tombo/tombo_stats.py:482-573)
+      if (!have_sv) {
+        scratch.assign(raw, raw + sig_len);
+        sv_shift = median_inplace(scratch);
+        for (int64_t i = 0; i < sig_len; ++i)
+          scratch[i] = std::fabs(raw[i] - sv_shift);
+        sv_scale = median_inplace(scratch);
+      }
+      for (int64_t i = 0; i < sig_len; ++i)
+        norm[i] = (raw[i] - sv_shift) / sv_scale;
+      if (!have_sv) {
+        scratch.assign(norm.begin(), norm.end());
+        const double med = median_inplace(scratch);
+        for (int64_t i = 0; i < sig_len; ++i)
+          scratch[i] = std::fabs(norm[i] - med);
+        const double mad = median_inplace(scratch);
+        sv_lower = med - mad * outlier_thresh;
+        sv_upper = med + mad * outlier_thresh;
+      }
+      for (int64_t i = 0; i < sig_len; ++i)
+        norm[i] = std::min(std::max(norm[i], sv_lower), sv_upper);
 
-    // --- changepoint scores + greedy selection (reference:
-    // tombo/_c_helper.pyx:89-120 via the running-diff score)
-    const int64_t n_cands = sig_len - 2 * rsw + 1;
-    if (n_cands < num_events) return 2;
-    scratch.resize(static_cast<size_t>(sig_len) + 1);
-    scratch[0] = 0.0;
-    for (int64_t i = 0; i < sig_len; ++i) scratch[i + 1] = scratch[i] + norm[i];
-    std::vector<double> scores(static_cast<size_t>(n_cands));
-    for (int64_t i = 0; i < n_cands; ++i)
-      scores[i] = std::fabs(2.0 * scratch[rsw + i] - scratch[i] -
-                            scratch[2 * rsw + i]);
-    if (greedy_cpts(scores.data(), n_cands, min_obs, num_events,
-                    cpts.data()) != 0)
-      return 2;
-    std::sort(cpts.begin(), cpts.end());
-    for (auto& c : cpts) c += rsw;
+      // --- changepoint scores + greedy selection (reference:
+      // tombo/_c_helper.pyx:89-120 via the running-diff score)
+      const int64_t n_cands = sig_len - 2 * rsw + 1;
+      if (n_cands < num_events) return 2;
+      scratch.resize(static_cast<size_t>(sig_len) + 1);
+      scratch[0] = 0.0;
+      for (int64_t i = 0; i < sig_len; ++i)
+        scratch[i + 1] = scratch[i] + norm[i];
+      std::vector<double> scores(static_cast<size_t>(n_cands));
+      for (int64_t i = 0; i < n_cands; ++i)
+        scores[i] = std::fabs(2.0 * scratch[rsw + i] - scratch[i] -
+                              scratch[2 * rsw + i]);
+      if (greedy_cpts(scores.data(), n_cands, min_obs, num_events,
+                      cpts.data()) != 0)
+        return 2;
+      std::sort(cpts.begin(), cpts.end());
+      for (auto& c : cpts) c += rsw;
+    }
 
     // --- event means (cumsum of the normalized signal is in scratch)
-    const int64_t n_ev = num_events - 1;
+    const int64_t n_ev = n_cpts - 1;
+    em.resize(static_cast<size_t>(n_ev));
     for (int64_t i = 0; i < n_ev; ++i)
       em[i] = (scratch[cpts[i + 1]] - scratch[cpts[i]]) /
               static_cast<double>(cpts[i + 1] - cpts[i]);

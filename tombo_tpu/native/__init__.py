@@ -102,6 +102,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double)]
+        lib.resquiggle_read_baseline_rna.restype = ctypes.c_int
+        lib.resquiggle_read_baseline_rna.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
         _lib = lib
         return _lib
 
@@ -220,7 +230,8 @@ def resquiggle_read_baseline(raw_signal: np.ndarray, ref_means: np.ndarray,
                              ref_sds: np.ndarray, params,
                              outlier_thresh: float,
                              sig_match_thresh: float,
-                             max_scaling_iters: int = 3):
+                             max_scaling_iters: int = 3,
+                             stall_ints=None):
     """Single-core end-to-end DNA re-squiggle in native C++
     (csrc/resquiggle_baseline.cpp): the honest CPU-baseline denominator for
     bench.py, mirroring the reference's compiled hot path
@@ -261,13 +272,31 @@ def resquiggle_read_baseline(raw_signal: np.ndarray, ref_means: np.ndarray,
     rsrtr = np.zeros(1, dtype=np.int64)
     scale = np.zeros(4, dtype=np.float64)
     score = np.zeros(1, dtype=np.float64)
-    code = lib.resquiggle_read_baseline(
-        _as_c(raw_signal, ctypes.c_double), raw_signal.shape[0],
-        _as_c(ref_means, ctypes.c_double), _as_c(ref_sds, ctypes.c_double),
-        seq_len, _as_c(iparams, ctypes.c_int64),
-        _as_c(dparams, ctypes.c_double), _as_c(segs, ctypes.c_int64),
-        _as_c(rsrtr, ctypes.c_int64), _as_c(scale, ctypes.c_double),
-        _as_c(score, ctypes.c_double))
+    if params.use_t_test_seg:
+        # RNA lane: t-test segmentation + stall removal + event scaling
+        ints = stall_ints or []
+        stall_s = np.ascontiguousarray(
+            [s for s, _ in ints], np.int64)
+        stall_e = np.ascontiguousarray(
+            [e for _, e in ints], np.int64)
+        code = lib.resquiggle_read_baseline_rna(
+            _as_c(raw_signal, ctypes.c_double), raw_signal.shape[0],
+            _as_c(ref_means, ctypes.c_double),
+            _as_c(ref_sds, ctypes.c_double), seq_len,
+            _as_c(stall_s, ctypes.c_int64), _as_c(stall_e, ctypes.c_int64),
+            len(ints), _as_c(iparams, ctypes.c_int64),
+            _as_c(dparams, ctypes.c_double), _as_c(segs, ctypes.c_int64),
+            _as_c(rsrtr, ctypes.c_int64), _as_c(scale, ctypes.c_double),
+            _as_c(score, ctypes.c_double))
+    else:
+        code = lib.resquiggle_read_baseline(
+            _as_c(raw_signal, ctypes.c_double), raw_signal.shape[0],
+            _as_c(ref_means, ctypes.c_double),
+            _as_c(ref_sds, ctypes.c_double),
+            seq_len, _as_c(iparams, ctypes.c_int64),
+            _as_c(dparams, ctypes.c_double), _as_c(segs, ctypes.c_int64),
+            _as_c(rsrtr, ctypes.c_int64), _as_c(scale, ctypes.c_double),
+            _as_c(score, ctypes.c_double))
     if code != 0:
         raise TomboTpuError(
             _BASELINE_ERRORS.get(code, "baseline failure %d" % code))
@@ -278,7 +307,8 @@ def resquiggle_read_baseline(raw_signal: np.ndarray, ref_means: np.ndarray,
 
 def resquiggle_read_baseline_with_retries(
         raw_signal, ref_means, ref_sds, params, save_params,
-        outlier_thresh, sig_match_thresh, max_scaling_iters: int = 3):
+        outlier_thresh, sig_match_thresh, max_scaling_iters: int = 3,
+        stall_ints=None):
     """Baseline with the reference's save-bandwidth retry lane
     (reference: tombo/resquiggle.py:1586-1588): a failed read is attempted
     once more with the larger save bandwidth."""
@@ -286,11 +316,11 @@ def resquiggle_read_baseline_with_retries(
     try:
         return resquiggle_read_baseline(
             raw_signal, ref_means, ref_sds, params, outlier_thresh,
-            sig_match_thresh, max_scaling_iters)
+            sig_match_thresh, max_scaling_iters, stall_ints=stall_ints)
     except TomboTpuError:
         return resquiggle_read_baseline(
             raw_signal, ref_means, ref_sds, save_params, outlier_thresh,
-            sig_match_thresh, max_scaling_iters)
+            sig_match_thresh, max_scaling_iters, stall_ints=stall_ints)
 
 
 def _np_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
