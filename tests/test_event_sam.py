@@ -141,11 +141,20 @@ def test_event_resquiggle_cli_sam(tmp_path):
     assert main(["build_model", "event_resquiggle", fast5_dir, fasta_fn,
                  "--alignment-file", sam_fn, "--overwrite",
                  "--normalization-type", "pA_raw"]) == 0
+    fn0 = os.path.join(fast5_dir, reads[0].read_id + ".fast5")
     ev, _, _, _ = read_corrected_events(
-        os.path.join(fast5_dir, reads[0].read_id + ".fast5"),
-        "%s/%s" % (config.DEFAULT_CORRECTED_GROUP,
-                   config.DEFAULT_BASECALL_SUBGROUP))
+        fn0, "%s/%s" % (config.DEFAULT_CORRECTED_GROUP,
+                        config.DEFAULT_BASECALL_SUBGROUP))
     assert ev.shape[0] == len(reads[0].seq)
+    # output provenance: the corrected group records the resolved params
+    import json
+    with h5py.File(fn0, "r") as fp:
+        rp = fp["Analyses/%s/%s" % (
+            config.DEFAULT_CORRECTED_GROUP,
+            config.DEFAULT_BASECALL_SUBGROUP)].attrs["resolved_params"]
+        rp = json.loads(rp if isinstance(rp, str) else rp.decode())
+        assert rp["norm_type"] == "pA_raw"
+        assert rp["pipeline"] == "event_resquiggle"
 
 
 def test_external_aligner_subprocess(tmp_path):
