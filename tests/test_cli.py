@@ -103,6 +103,25 @@ def test_cli_full_workflow(ds, capsys):
     assert "Global scaling estimate" in capsys.readouterr().out
 
 
+def test_reference_style_fast5_basedirs_option(ds, tmp_path):
+    """The reference passes FAST5 dirs as a --fast5-basedirs OPTION on
+    detect/filter/plot commands (reference README examples); both forms
+    must work."""
+    tmp, ref_fn, fast5_dir = ds
+    bn = str(tmp_path / "optform")
+    assert main(["detect_modifications", "de_novo",
+                 "--fast5-basedirs", fast5_dir,
+                 "--statistics-file-basename", bn,
+                 "--reference", ref_fn, "-q"]) == 0
+    assert os.path.exists(bn + ".tombo.stats")
+    assert main(["filter", "clear_filters",
+                 "--fast5-basedirs", fast5_dir, "-q"]) == 0
+    pdf = str(tmp_path / "optform.pdf")
+    assert main(["plot", "max_coverage", "--fast5-basedirs", fast5_dir,
+                 "--pdf-filename", pdf, "--num-regions", "1", "-q"]) == 0
+    assert os.path.exists(pdf)
+
+
 def test_cli_version_and_help():
     with pytest.raises(SystemExit) as e:
         main(["--version"])

@@ -27,6 +27,19 @@ def _add_fast5_opts(p, required=True):
                    help="Directory containing raw FAST5 files.")
 
 
+def _add_fast5_dirs_arg(p):
+    """FAST5 input dirs accepted BOTH as the reference's required
+    ``--fast5-basedirs`` option (reference:
+    tombo/_option_parsers.py:88-93) and positionally (tombo-tpu alias);
+    merged and validated centrally in ``main``."""
+    p.add_argument("fast5_basedirs", nargs="*", default=[],
+                   help="Directories containing FAST5 files (positional "
+                        "alias of --fast5-basedirs).")
+    p.add_argument("--fast5-basedirs", dest="fast5_basedirs_opt",
+                   nargs="+",
+                   help="Directories containing FAST5 files.")
+
+
 def _add_common(p):
     p.add_argument("--corrected-group",
                    default=config.DEFAULT_CORRECTED_GROUP,
@@ -323,7 +336,7 @@ def _add_filter_parsers(subparsers):
 
     def add(name, help_text, fn, extra=None):
         p = sub.add_parser(name, help=help_text)
-        p.add_argument("fast5_basedirs", nargs="+")
+        _add_fast5_dirs_arg(p)
         _add_common(p)
         if extra:
             extra(p)
@@ -406,7 +419,7 @@ def _add_detect_parsers(subparsers):
     sub = grp.add_subparsers(dest="subcommand", required=True)
 
     def common_test_opts(p, need_ref=True):
-        p.add_argument("fast5_basedirs", nargs="+")
+        _add_fast5_dirs_arg(p)
         p.add_argument("--statistics-file-basename", required=True)
         p.add_argument("--per-read-statistics-basename")
         if need_ref:
@@ -575,7 +588,7 @@ def _add_detect_parsers(subparsers):
         return 0
     p = sub.add_parser("level_sample_compare",
                        help="Group level tests against a control sample.")
-    p.add_argument("fast5_basedirs", nargs="+")
+    _add_fast5_dirs_arg(p)
     p.add_argument("--alternate-fast5-basedirs", nargs="+",
                    help="Directories containing FAST5s for the alternate "
                         "(comparison) set of reads (reference: "
@@ -697,7 +710,7 @@ def _add_build_model_parsers(subparsers):
         return 0
     p = sub.add_parser("estimate_reference",
                        help="Estimate canonical k-mer model.")
-    p.add_argument("fast5_basedirs", nargs="+")
+    _add_fast5_dirs_arg(p)
     p.add_argument("--reference", required=True)
     p.add_argument("--tombo-model-filename", required=True)
     p.add_argument("--estimate-mean", action="store_true")
@@ -773,7 +786,7 @@ def _add_build_model_parsers(subparsers):
         return 0
     p = sub.add_parser("estimate_motif_alt_reference",
                        help="Estimate motif-centered alternative model.")
-    p.add_argument("fast5_basedirs", nargs="+")
+    _add_fast5_dirs_arg(p)
     p.add_argument("--reference", required=True)
     p.add_argument("--alternate-model-filename", required=True)
     p.add_argument("--alternate-model-name", required=True)
@@ -954,6 +967,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_plot_parsers(subparsers)
 
     args = parser.parse_args(argv)
+    if hasattr(args, "fast5_basedirs_opt"):
+        args.fast5_basedirs = (list(args.fast5_basedirs) +
+                               list(args.fast5_basedirs_opt or []))
+        if not args.fast5_basedirs:
+            parser.error(
+                "Must provide FAST5 base directories (--fast5-basedirs)")
     try:
         return args.func(args)
     except TomboTpuError as e:

@@ -14,7 +14,13 @@ def _reads_index(dirs, args):
 
 def _common(p, with_dirs=True):
     if with_dirs:
-        p.add_argument("fast5_basedirs", nargs="+")
+        # accepted both ways: the reference's --fast5-basedirs option
+        # (tombo/_option_parsers.py:88-93) and positionally; merged and
+        # validated centrally in cli.main
+        p.add_argument("fast5_basedirs", nargs="*", default=[])
+        p.add_argument("--fast5-basedirs", dest="fast5_basedirs_opt",
+                       nargs="+",
+                       help="Directories containing FAST5 files.")
     p.add_argument("--corrected-group",
                    default=config.DEFAULT_CORRECTED_GROUP)
     p.add_argument("--pdf-filename", default="tombo_results.plot.pdf")
