@@ -100,10 +100,34 @@ class _StatsFileBase:
         self.is_empty = True
 
     def _update_most_signif(self):
-        tmp = np.concatenate([self.running_most_signif_sites] +
-                             self.queued_stat_batches)
-        tmp.sort(kind="mergesort", order=self.stat_slot)
-        self.running_most_signif_sites = tmp[:self.num_most_signif]
+        # ``sort(order=stat_slot)`` on a structured array compares the
+        # stat first and the REMAINING FIELDS in dtype order on ties,
+        # through slow per-record void comparisons (~35% of detection
+        # compute, bench --stats).  Reproduce the exact ordering with a
+        # column-wise lexsort, and drop the all-identical NaN padding
+        # rows before sorting (re-appended by the [:N] cut).
+        running = self.running_most_signif_sites
+        slot = running[self.stat_slot]
+        n_filled = int(np.searchsorted(slot, np.inf))  # NaNs sort last
+        if n_filled < running.shape[0] and np.isnan(slot[n_filled:]).all():
+            pad = running[n_filled:]
+            running = running[:n_filled]
+        else:
+            pad = running[:0]
+        tmp = np.concatenate([running] + self.queued_stat_batches)
+        names = [self.stat_slot] + [
+            n for n in tmp.dtype.names if n != self.stat_slot]
+        keys = []
+        for n in reversed(names):  # lexsort: last key is primary
+            col = tmp[n]
+            keys.append(col.view(np.uint8) if col.dtype.kind == "S"
+                        else col)
+        order = np.lexsort(keys)
+        tmp = tmp[order[:self.num_most_signif]]
+        if tmp.shape[0] < self.num_most_signif:
+            tmp = np.concatenate(
+                [tmp, pad[:self.num_most_signif - tmp.shape[0]]])
+        self.running_most_signif_sites = tmp
         self.queued_stat_batches = []
 
     def _add_to_most_signif(self, reg_stats_arr, chrm, strand):
