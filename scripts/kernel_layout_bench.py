@@ -1,0 +1,71 @@
+"""Time the fused Pallas DP at several read-block sizes (R sweep).
+
+Usage: python scripts/kernel_layout_bench.py [R ...]   (default 8 16 32)
+Builds one bench-shaped batch (B=512, L=1024, bw=300) and times
+adaptive_banded_dp_tb at each block_reads, plus the chunked variant.
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+import bench
+from tombo_tpu import config
+from tombo_tpu.ops import dp as dpo
+from tombo_tpu.ops import pallas_dp as pdp
+from tombo_tpu.pipeline import batch as pb
+from tombo_tpu.pipeline import resquiggle as rsq
+
+
+def main():
+    rs_list = [int(x) for x in sys.argv[1:]] or [8, 16, 32]
+    B = 512
+    model, params, sst, mrs = bench.build_dataset(B)
+    br = pb.BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                               dtype=jnp.float32)
+    # drive one real batch to capture the dp_args the adaptive stage sees
+    captured = {}
+    orig = pdp.adaptive_banded_dp_tb
+
+    def capture(*args, **kw):
+        captured["args"] = args
+        captured["kw"] = dict(kw)
+        return orig(*args, **kw)
+
+    pdp.adaptive_banded_dp_tb = capture
+    try:
+        br.resquiggle_batch(mrs)
+    finally:
+        pdp.adaptive_banded_dp_tb = orig
+    if "args" not in captured:
+        sys.exit("adaptive stage never hit the fused kernel "
+                 "(layout routed elsewhere)")
+    args = captured["args"]
+    kw = captured["kw"]
+    print("captured dp_args: em %s, L=%d, P=%d" % (
+        args[0].shape, kw.get("n_rows"), kw.get("prefix_rows")))
+
+    for R in rs_list:
+        kw2 = dict(kw)
+        kw2["block_reads"] = R
+        try:
+            out = orig(*args, **kw2)
+            jax.block_until_ready(out)
+            best = np.inf
+            for _ in range(4):
+                t0 = time.perf_counter()
+                out = orig(*args, **kw2)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            print("fused R=%-3d %.3fs  (%.0f reads/s DP-only)"
+                  % (R, best, args[0].shape[0] / best))
+        except Exception as e:  # noqa: BLE001 — report per-R lowering errors
+            print("fused R=%-3d FAILED: %s" % (R, str(e)[:200]))
+
+
+if __name__ == "__main__":
+    main()

@@ -114,10 +114,20 @@ def _col_i(arr: jnp.ndarray, lanes: jnp.ndarray, r) -> jnp.ndarray:
                    keepdims=True)
 
 
+def _use_vector_gather() -> bool:
+    """TOMBO_TPU_DP_GATHER=1 swaps the per-read aligned-slice+roll window
+    gathers for lane-wise ``take_along_axis`` (Mosaic dynamic-gather) —
+    one vector op per row instead of R sequential slices.  Off by default
+    until measured on the target TPU generation."""
+    import os
+    return os.environ.get("TOMBO_TPU_DP_GATHER", "0") == "1"
+
+
 def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
                  bwp: int, band_bound_thresh: int):
     bw = p.bandwidth
     half_bw = bw // 2
+    vector_gather = _use_vector_gather()
     neg = float(NEG_LARGE)
     mask_fill = float(p.mask_fill_z_score)
     z_shift = float(p.z_shift)
@@ -157,6 +167,10 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
 
         init_fwd = jnp.where(lane_lt_bw, 0.0, neg)
         fwdpad_ref[:, :] = jnp.full((R, W_f), neg, jnp.float32)
+        # move codes pack 2-bit, 16 rows per int32 word (values {0,1,2});
+        # 16x less VMEM than one int32 per row, which is what lets the
+        # read-block R ride the grid path at production bandwidths
+        moves_ref[:, :, :] = jnp.zeros(moves_ref.shape, jnp.int32)
 
         def fwd_body(r, carry):
             fwd, prev_start, band_err, final_fwd = carry
@@ -183,11 +197,18 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             hi = jnp.where(is_prefix,
                            jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
                            nev)
-            # per-read window gathers (band starts are unaligned)
-            for i in range(R):
-                w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
-                win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
-            win = win_ref[:, :]
+            if vector_gather:
+                # lane-wise dynamic gather: win[i, q] = em[i, bs_i + q]
+                win = jnp.take_along_axis(
+                    em_ref[:, :],
+                    jnp.clip(band_start + bwp + lanes, 0, E_tot - 1),
+                    axis=1)
+            else:
+                # per-read window gathers (band starts are unaligned)
+                for i in range(R):
+                    w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
+                    win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
+                win = win_ref[:, :]
             mu = _col_f(rm, lanes_L, r)
             sd = _col_f(rs, lanes_L, r)
             z = jnp.abs((win - mu) / sd)
@@ -203,14 +224,23 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             same = diff == 0
             fwdpad_ref[:, pl.ds(128, bwp)] = fwd
             # diag[p] = fwd[p + diff - 1], skip[p] = fwd[p + diff]
-            for i in range(R):
-                d_i = diff[i, 0]
-                row = gather_row(fwdpad_ref, i, 127 + d_i)
-                dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
-                sw_ref[pl.ds(i, 1), :] = pltpu.roll(
-                    row, W_seg - 1, 1)[:, :bwp]
-            diag_w = dw_ref[:, :]
-            skip_w = sw_ref[:, :]
+            if vector_gather:
+                base_idx = 128 + diff + lanes
+                diag_w = jnp.take_along_axis(
+                    fwdpad_ref[:, :], jnp.clip(base_idx - 1, 0, W_f - 1),
+                    axis=1)
+                skip_w = jnp.take_along_axis(
+                    fwdpad_ref[:, :], jnp.clip(base_idx, 0, W_f - 1),
+                    axis=1)
+            else:
+                for i in range(R):
+                    d_i = diff[i, 0]
+                    row = gather_row(fwdpad_ref, i, 127 + d_i)
+                    dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
+                    sw_ref[pl.ds(i, 1), :] = pltpu.roll(
+                        row, W_seg - 1, 1)[:, :bwp]
+                diag_w = dw_ref[:, :]
+                skip_w = sw_ref[:, :]
             diag_score = diag_w + shifted
             skip_score = skip_w - skip_pen
 
@@ -243,10 +273,14 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             moves = jnp.where(active, moves, 0)
             final_fwd = jnp.where(r == sl - 1, new_fwd, final_fwd)
 
-            # --- store raw move codes; the traceback resolves the
-            # "last non-stay position <= p" query with a masked reduce
-            # (cheaper than maintaining a cummax per forward row)
-            moves_ref[:, pl.ds(r, 1), :] = moves.reshape(R, 1, bwp)
+            # --- store raw move codes (2-bit packed); the traceback
+            # resolves the "last non-stay position <= p" query with a
+            # masked reduce (cheaper than a cummax per forward row)
+            word = r // 16
+            sh = 2 * (r % 16)
+            prev_w = moves_ref[:, pl.ds(word, 1), :].reshape(R, bwp)
+            moves_ref[:, pl.ds(word, 1), :] = (
+                prev_w | (moves << sh)).reshape(R, 1, bwp)
             bs_ref[:, :] = jnp.where(lanes_L == r, band_start, bs_ref[:, :])
 
             return new_fwd, band_start, band_err, final_fwd
@@ -268,7 +302,8 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             active = r < sl
             bs_row = _col_i(bs_ref[:, :], lanes_L, r)
             bp = jnp.clip(event_pos - bs_row, 0, bw - 1)
-            mv_row = moves_ref[:, pl.ds(r, 1), :].reshape(R, bwp)
+            mv_row = (moves_ref[:, pl.ds(r // 16, 1), :].reshape(R, bwp)
+                      >> (2 * (r % 16))) & 3
             # last non-stay position <= bp (lane 0 is always non-stay on
             # active rows, so the max is well-defined)
             cand = jnp.where((lanes <= bp) & (mv_row != 0), lanes, -1)
@@ -315,7 +350,7 @@ def _pallas_dp_block(ins, kernel, R: int, L: int, bwp: int,
             jax.ShapeDtypeStruct((R, bwp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, L, bwp), jnp.int32),      # move codes
+            pltpu.VMEM((R, (L + 15) // 16, bwp), jnp.int32),  # 2-bit moves
             pltpu.VMEM((R, L), jnp.int32),           # band starts
             pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
             pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row
@@ -659,10 +694,13 @@ def plan_dp_layout(B: int, L: int, E: int, bandwidth: int,
     E_tot = _round_up(E + 2 * bwp + 384, 128)
 
     def fused_vmem(r):
-        return r * (L * bwp * 4 + E_tot * 4 + (L + 1) * 8 + L * 4 +
-                    bwp * 4 * 5 + 2 * bwp * 4 + 1024)
+        # move codes are 2-bit packed: ceil(L/16) int32 words per lane
+        return r * (((L + 15) // 16) * bwp * 4 + E_tot * 4 + (L + 1) * 8 +
+                    L * 4 + bwp * 4 * 5 + 2 * bwp * 4 + 1024)
 
-    r_blk = 8
+    # larger read blocks amortize the sequential per-row latency across
+    # more lanes; 32 measured best on v5e (64 regresses via VMEM pressure)
+    r_blk = 32
     while r_blk > 1 and fused_vmem(r_blk) > vmem_budget:
         r_blk //= 2
     if fused_vmem(r_blk) <= vmem_budget:
@@ -853,7 +891,7 @@ def adaptive_banded_dp_tb(
             jax.ShapeDtypeStruct((B, bwp), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((R, L, bwp), jnp.int32),      # move codes
+            pltpu.VMEM((R, (L + 15) // 16, bwp), jnp.int32),  # 2-bit moves
             pltpu.VMEM((R, L), jnp.int32),           # band starts
             pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
             pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row
