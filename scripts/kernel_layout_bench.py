@@ -1,8 +1,10 @@
-"""Time the fused Pallas DP at several read-block sizes (R sweep).
+"""Time the fused Pallas DP at several read-block sizes (R sweep) and
+across the three window-gather variants (loop / gather / shift).
 
 Usage: python scripts/kernel_layout_bench.py [R ...]   (default 8 16 32)
 Builds one bench-shaped batch (B=512, L=1024, bw=300) and times
-adaptive_banded_dp_tb at each block_reads, plus the chunked variant.
+adaptive_banded_dp_tb at each (block_reads, variant); a variant whose
+lowering Mosaic rejects prints FAILED and is skipped.
 """
 import sys
 import time
@@ -49,22 +51,30 @@ def main():
     print("captured dp_args: em %s, L=%d, P=%d" % (
         args[0].shape, kw.get("n_rows"), kw.get("prefix_rows")))
 
+    ref_segs = None
     for R in rs_list:
-        kw2 = dict(kw)
-        kw2["block_reads"] = R
-        try:
-            out = orig(*args, **kw2)
-            jax.block_until_ready(out)
-            best = np.inf
-            for _ in range(4):
-                t0 = time.perf_counter()
+        for variant in ("loop", "gather", "shift"):
+            kw2 = dict(kw)
+            kw2["block_reads"] = R
+            kw2["variant"] = variant
+            try:
                 out = orig(*args, **kw2)
                 jax.block_until_ready(out)
-                best = min(best, time.perf_counter() - t0)
-            print("fused R=%-3d %.3fs  (%.0f reads/s DP-only)"
-                  % (R, best, args[0].shape[0] / best))
-        except Exception as e:  # noqa: BLE001 — report per-R lowering errors
-            print("fused R=%-3d FAILED: %s" % (R, str(e)[:200]))
+                best = np.inf
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    out = orig(*args, **kw2)
+                    jax.block_until_ready(out)
+                    best = min(best, time.perf_counter() - t0)
+                segs = np.asarray(out[0])
+                if ref_segs is None:
+                    ref_segs = segs
+                ok = "" if np.array_equal(segs, ref_segs) else "  MISMATCH"
+                print("fused R=%-3d %-6s %.3fs  (%.0f reads/s DP-only)%s"
+                      % (R, variant, best, args[0].shape[0] / best, ok))
+            except Exception as e:  # noqa: BLE001 — report lowering errors
+                print("fused R=%-3d %-6s FAILED: %s"
+                      % (R, variant, str(e)[:200]))
 
 
 if __name__ == "__main__":

@@ -32,7 +32,14 @@ def _mk_case(seed, B=8, L_max=128, P_max=64, bw=32, E_max=512):
     return p, args, seq_lens
 
 
-def test_pallas_matches_scan_engine():
+import pytest
+
+
+@pytest.mark.parametrize("variant", ["loop", "gather", "shift"])
+def test_pallas_matches_scan_engine(variant):
+    """All three window-gather variants (sequential per-read slices,
+    lane-wise dynamic gather, vectorized barrel shifter) are bit-identical
+    to the scan engine — they differ only in how data moves."""
     p, args, seq_lens = _mk_case(3)
     B, L_max, P_max, bw = 8, 128, 64, 32
 
@@ -43,7 +50,8 @@ def test_pallas_matches_scan_engine():
         tb, band_starts, args[4], top, 10, bw, L_max)
 
     segs_p, band_err_p, bound_err_p, ffwd = pdp.adaptive_banded_dp_tb(
-        *args, p, L_max, P_max, 10, block_reads=4, interpret=True)
+        *args, p, L_max, P_max, 10, block_reads=4, interpret=True,
+        variant=variant)
 
     np.testing.assert_array_equal(np.asarray(band_err),
                                   np.asarray(band_err_p))
@@ -69,11 +77,12 @@ def test_pallas_chunked_matches_scan_engine():
     segs_s, bound_err_s = dpo.banded_traceback(
         tb, band_starts, args[4], top, 10, bw, L_max)
 
-    for R, Lc in ((4, 32), (8, 64)):
+    for (R, Lc), variant in (((4, 32), "loop"), ((8, 64), "loop"),
+                             ((8, 64), "gather"), ((8, 64), "shift")):
         segs_p, band_err_p, bound_err_p, ffwd = \
             pdp.adaptive_banded_dp_tb_chunked(
                 *args, p, L_max, P_max, 10, block_reads=R, chunk_rows=Lc,
-                interpret=True)
+                interpret=True, variant=variant)
         np.testing.assert_array_equal(np.asarray(band_err),
                                       np.asarray(band_err_p))
         np.testing.assert_array_equal(np.asarray(bound_err_s),
@@ -86,6 +95,39 @@ def test_pallas_chunked_matches_scan_engine():
         np.testing.assert_allclose(np.asarray(final_fwd),
                                    np.asarray(ffwd)[:, :bw],
                                    rtol=1e-5, atol=1e-3)
+
+
+def test_shift_rows_random_offsets():
+    """The two-level barrel shifter extracts exact per-row windows for
+    random offsets at production widths (bwp=512-lane windows from a
+    2048-lane array), including offsets crossing 128-lane boundaries."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from tombo_tpu.ops.pallas_dp import _shift_rows
+
+    R, W, out_w = 8, 2048, 512
+    rng = np.random.default_rng(11)
+    full = rng.normal(0, 1, (R, W)).astype(np.float32)
+    # includes 0, sub-128, exact multiples of 128, and the max legal shift
+    shifts = np.array([0, 1, 127, 128, 129, 777, 1000,
+                       W - out_w - 128], np.int32).reshape(R, 1)
+
+    def kernel(full_ref, shift_ref, out_ref):
+        out_ref[:, :] = _shift_rows(full_ref[:, :], shift_ref[:, :],
+                                    out_w)[:, :out_w]
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, out_w), jnp.float32),
+        interpret=True,
+    )(jnp.asarray(full), jnp.asarray(shifts))
+    out = np.asarray(out)
+    for i in range(R):
+        np.testing.assert_array_equal(
+            out[i], full[i, shifts[i, 0]:shifts[i, 0] + out_w], str(i))
 
 
 def test_plan_dp_layout_never_over_budget():

@@ -114,20 +114,72 @@ def _col_i(arr: jnp.ndarray, lanes: jnp.ndarray, r) -> jnp.ndarray:
                    keepdims=True)
 
 
-def _use_vector_gather() -> bool:
-    """TOMBO_TPU_DP_GATHER=1 swaps the per-read aligned-slice+roll window
-    gathers for lane-wise ``take_along_axis`` (Mosaic dynamic-gather) —
-    one vector op per row instead of R sequential slices.  Off by default
-    until measured on the target TPU generation."""
+def _dp_variant() -> str:
+    """How per-read unaligned window gathers are expressed in the kernel.
+
+    ``TOMBO_TPU_DP_VARIANT`` selects:
+
+    * ``"loop"`` (default) — R sequential aligned-slice + sub-128-roll
+      gathers per DP row (one per read; Mosaic-safe everywhere);
+    * ``"gather"`` — lane-wise ``take_along_axis`` (Mosaic dynamic
+      gather): one vector op per row;
+    * ``"shift"`` — two-level barrel shifter: log2(W/128) coarse
+      128-lane ``pltpu.roll``s selected per-row + 7 fine rolls, fully
+      vectorized across reads (op count independent of R).
+
+    ``TOMBO_TPU_DP_GATHER=1`` is the back-compat spelling of "gather".
+    All three are bit-identical (pure data movement); the fastest one on
+    the target TPU generation should be picked by measurement
+    (scripts/kernel_layout_bench.py)."""
     import os
-    return os.environ.get("TOMBO_TPU_DP_GATHER", "0") == "1"
+    v = os.environ.get("TOMBO_TPU_DP_VARIANT")
+    if v:
+        return v
+    if os.environ.get("TOMBO_TPU_DP_GATHER", "0") == "1":
+        return "gather"
+    return "loop"
+
+
+def _shift_rows(full: jnp.ndarray, shift: jnp.ndarray,
+                out_w: int) -> jnp.ndarray:
+    """Vectorized per-row window extraction: ``out[i, q] = full[i,
+    shift[i] + q]`` valid for ``q <= out_w`` (returns (R, out_w + 128)).
+
+    Two-level barrel shifter over uniform rotations: rotate-left by
+    128 * 2^b for each set bit b of ``shift // 128`` (selected per row
+    with ``jnp.where``), statically narrow to ``out_w + 128`` lanes,
+    then rotate-left by 2^b for each set bit of ``shift % 128``.  Every
+    primitive is a static-amount ``pltpu.roll`` + per-row select, so it
+    vectorizes across the read dimension — unlike the R sequential
+    dynamic slices of the "loop" variant.
+
+    Requires ``shift >= 0`` and ``shift + out_w + 128 <= full.shape[1]``
+    (so rotation wrap-around never contaminates the window).
+    """
+    R, W = full.shape
+    coarse = shift // 128
+    fine = shift - coarse * 128
+    x = full
+    b = 0
+    while (128 << b) < W:
+        amt = 128 << b
+        rolled = pltpu.roll(x, W - amt, 1)
+        x = jnp.where((coarse >> b) & 1 == 1, rolled, x)
+        b += 1
+    Wn = out_w + 128
+    xn = x[:, :Wn]
+    for b in range(7):
+        amt = 1 << b
+        rolled = pltpu.roll(xn, Wn - amt, 1)
+        xn = jnp.where((fine >> b) & 1 == 1, rolled, xn)
+    return xn
 
 
 def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
-                 bwp: int, band_bound_thresh: int):
+                 bwp: int, band_bound_thresh: int, variant: str = None):
     bw = p.bandwidth
     half_bw = bw // 2
-    vector_gather = _use_vector_gather()
+    variant = variant or _dp_variant()
     neg = float(NEG_LARGE)
     mask_fill = float(p.mask_fill_z_score)
     z_shift = float(p.z_shift)
@@ -197,12 +249,17 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             hi = jnp.where(is_prefix,
                            jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
                            nev)
-            if vector_gather:
+            if variant == "gather":
                 # lane-wise dynamic gather: win[i, q] = em[i, bs_i + q]
                 win = jnp.take_along_axis(
                     em_ref[:, :],
                     jnp.clip(band_start + bwp + lanes, 0, E_tot - 1),
                     axis=1)
+            elif variant == "shift":
+                # vectorized barrel shift (em left-padded by bwp, right
+                # padding sized so shift + bwp + 128 <= E_tot)
+                win = _shift_rows(em_ref[:, :], band_start + bwp,
+                                  bwp)[:, :bwp]
             else:
                 # per-read window gathers (band starts are unaligned)
                 for i in range(R):
@@ -224,7 +281,7 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             same = diff == 0
             fwdpad_ref[:, pl.ds(128, bwp)] = fwd
             # diag[p] = fwd[p + diff - 1], skip[p] = fwd[p + diff]
-            if vector_gather:
+            if variant == "gather":
                 base_idx = 128 + diff + lanes
                 diag_w = jnp.take_along_axis(
                     fwdpad_ref[:, :], jnp.clip(base_idx - 1, 0, W_f - 1),
@@ -232,6 +289,12 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
                 skip_w = jnp.take_along_axis(
                     fwdpad_ref[:, :], jnp.clip(base_idx, 0, W_f - 1),
                     axis=1)
+            elif variant == "shift":
+                # one barrel-shifted window covers both: lane q holds
+                # fwdpad[127 + diff + q] = fwd[q + diff - 1]
+                row = _shift_rows(fwdpad_ref[:, :], 127 + diff, bwp)
+                diag_w = row[:, :bwp]
+                skip_w = pltpu.roll(row, row.shape[1] - 1, 1)[:, :bwp]
             else:
                 for i in range(R):
                     d_i = diff[i, 0]
@@ -388,9 +451,10 @@ def _pallas_dp_block(ins, kernel, R: int, L: int, bwp: int,
 
 
 def _make_fwd_chunk_kernel(p: DpParams, R: int, Lc: int, L: int, P: int,
-                           bwp: int):
+                           bwp: int, E_tot: int, variant: str = None):
     bw = p.bandwidth
     half_bw = bw // 2
+    variant = variant or _dp_variant()
     neg = float(NEG_LARGE)
     mask_fill = float(p.mask_fill_z_score)
     z_shift = float(p.z_shift)
@@ -461,10 +525,19 @@ def _make_fwd_chunk_kernel(p: DpParams, R: int, Lc: int, L: int, P: int,
             hi = jnp.where(is_prefix,
                            jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
                            nev)
-            for i in range(R):
-                w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
-                win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
-            win = win_ref[:, :]
+            if variant == "gather":
+                win = jnp.take_along_axis(
+                    em_ref[:, :],
+                    jnp.clip(band_start + bwp + lanes, 0, E_tot - 1),
+                    axis=1)
+            elif variant == "shift":
+                win = _shift_rows(em_ref[:, :], band_start + bwp,
+                                  bwp)[:, :bwp]
+            else:
+                for i in range(R):
+                    w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
+                    win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
+                win = win_ref[:, :]
             mu = _col_f(rm, lanes_Lc, r_local)
             sd = _col_f(rs, lanes_Lc, r_local)
             z = jnp.abs((win - mu) / sd)
@@ -478,14 +551,27 @@ def _make_fwd_chunk_kernel(p: DpParams, R: int, Lc: int, L: int, P: int,
             diff = jnp.clip(band_start - prev_start, 0, bwp)
             same = diff == 0
             fwdpad_ref[:, pl.ds(128, bwp)] = fwd
-            for i in range(R):
-                d_i = diff[i, 0]
-                row = gather_row(fwdpad_ref, i, 127 + d_i)
-                dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
-                sw_ref[pl.ds(i, 1), :] = pltpu.roll(
-                    row, W_seg - 1, 1)[:, :bwp]
-            diag_w = dw_ref[:, :]
-            skip_w = sw_ref[:, :]
+            if variant == "gather":
+                base_idx = 128 + diff + lanes
+                diag_w = jnp.take_along_axis(
+                    fwdpad_ref[:, :], jnp.clip(base_idx - 1, 0, W_f - 1),
+                    axis=1)
+                skip_w = jnp.take_along_axis(
+                    fwdpad_ref[:, :], jnp.clip(base_idx, 0, W_f - 1),
+                    axis=1)
+            elif variant == "shift":
+                row = _shift_rows(fwdpad_ref[:, :], 127 + diff, bwp)
+                diag_w = row[:, :bwp]
+                skip_w = pltpu.roll(row, row.shape[1] - 1, 1)[:, :bwp]
+            else:
+                for i in range(R):
+                    d_i = diff[i, 0]
+                    row = gather_row(fwdpad_ref, i, 127 + d_i)
+                    dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
+                    sw_ref[pl.ds(i, 1), :] = pltpu.roll(
+                        row, W_seg - 1, 1)[:, :bwp]
+                diag_w = dw_ref[:, :]
+                skip_w = sw_ref[:, :]
             diag_score = diag_w + shifted
             skip_score = skip_w - skip_pen
 
@@ -604,12 +690,13 @@ def _make_tb_chunk_kernel(R: int, Lc: int, L: int, bw: int, bwp: int,
 
 def _chunked_dp_block(ins, p: DpParams, R: int, L: int, Lc: int, P: int,
                       bwp: int, band_bound_thresh: int,
-                      interpret: bool = False):
+                      interpret: bool = False, variant: str = None):
     """Forward + traceback over one R-read slice, chunked along the
     sequence axis (grid = L/Lc sequential steps per kernel)."""
     n_chunks = L // Lc
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    fwd_kernel = _make_fwd_chunk_kernel(p, R, Lc, L, P, bwp)
+    fwd_kernel = _make_fwd_chunk_kernel(p, R, Lc, L, P, bwp,
+                                        ins[0].shape[1], variant)
     chunk3 = pl.BlockSpec((R, Lc, bwp), lambda l: (0, l, 0),
                           memory_space=pltpu.VMEM)
     chunk2 = pl.BlockSpec((R, Lc), lambda l: (0, l),
@@ -724,7 +811,7 @@ def plan_dp_layout(B: int, L: int, E: int, bandwidth: int,
 @functools.partial(
     jax.jit,
     static_argnames=("params", "n_rows", "prefix_rows", "band_bound_thresh",
-                     "block_reads", "chunk_rows", "interpret"))
+                     "block_reads", "chunk_rows", "interpret", "variant"))
 def adaptive_banded_dp_tb_chunked(
         event_means: jnp.ndarray, n_events: jnp.ndarray,
         ref_means: jnp.ndarray, ref_sds: jnp.ndarray,
@@ -733,7 +820,7 @@ def adaptive_banded_dp_tb_chunked(
         start_rows: jnp.ndarray, params: DpParams,
         n_rows: int, prefix_rows: int, band_bound_thresh: int,
         block_reads: int = 8, chunk_rows: int = 512,
-        interpret: bool = False,
+        interpret: bool = False, variant: str = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sequence-axis-chunked forward + traceback for long reads.
 
@@ -762,7 +849,7 @@ def adaptive_banded_dp_tb_chunked(
     for b0 in range(0, B, R):
         outs.append(_chunked_dp_block(
             tuple(a[b0:b0 + R] for a in ins), params, R, L, Lc, P, bwp,
-            band_bound_thresh, interpret))
+            band_bound_thresh, interpret, variant))
     segs_lo, band_err, bound_err, ffwd, init_pos = (
         jnp.concatenate([o[i] for o in outs]) for i in range(5))
 
@@ -812,7 +899,7 @@ def adaptive_banded_dp_tb_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=("params", "n_rows", "prefix_rows", "band_bound_thresh",
-                     "block_reads", "interpret"))
+                     "block_reads", "interpret", "variant"))
 def adaptive_banded_dp_tb(
         event_means: jnp.ndarray,       # (B, E) padded, pre-clipped, f32
         n_events: jnp.ndarray,          # (B,)
@@ -825,7 +912,7 @@ def adaptive_banded_dp_tb(
         start_rows: jnp.ndarray,        # (B,)
         params: DpParams,
         n_rows: int, prefix_rows: int, band_bound_thresh: int,
-        block_reads: int = 8, interpret: bool = False,
+        block_reads: int = 8, interpret: bool = False, variant: str = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fused forward + traceback.  Returns (segs (B, L+1) int32,
     band_error (B,) bool, bound_error (B,) bool, final_fwd (B, bwp) f32).
@@ -849,7 +936,8 @@ def adaptive_banded_dp_tb(
     i32 = lambda x: jnp.asarray(x, jnp.int32)
     col = lambda x: i32(x).reshape(B, 1)
 
-    kernel = _make_kernel(params, R, L, P, E_tot, bwp, band_bound_thresh)
+    kernel = _make_kernel(params, R, L, P, E_tot, bwp, band_bound_thresh,
+                          variant)
     if R < 8 and R != B:
         # Mosaic requires the sublane block dim to be a multiple of 8 or
         # equal to the array dim; for small blocks (long reads with a
