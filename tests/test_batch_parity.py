@@ -107,3 +107,32 @@ def test_batch_rna():
             outlier_thresh=config.OUTLIER_THRESH, seq_samp_type=sst)
         assert np.mean(res.segs == single.segs) > 0.99
         assert abs(res.sig_match_score - single.sig_match_score) < 1e-2
+
+
+def test_finalize_delta_wire_format():
+    """The device finalize's int16-delta wire format reconstructs the
+    segment table exactly via host cumsum; a read with a >32767-sample
+    segment (multi-second stall) raises the per-read overflow flag so the
+    production path refetches its full int32 row instead."""
+    import jax.numpy as jnp
+    from tombo_tpu.pipeline import batch as pb
+
+    B, L, C = 2, 8, 16
+    cpts = np.cumsum(np.full((B, C), 10, np.int64), axis=1)
+    cpts[1, 8:] += 40000          # one segment of 40010 raw samples
+    rows = np.arange(B, dtype=np.int64)
+    clips = np.zeros(B, np.int64)
+    segs_dp = np.tile(np.arange(L + 1, dtype=np.int64), (B, 1))
+    seq_lens = np.full(B, L, np.int64)
+    ev_lens = np.full(B, C - 1, np.int64)
+    seq_segs, d16, over, rsrtr, has_del = pb._stage_finalize(
+        jnp.asarray(cpts), jnp.asarray(rows), jnp.asarray(clips),
+        jnp.asarray(segs_dp), jnp.asarray(seq_lens), jnp.asarray(ev_lens),
+        n_rows=L)
+    full = np.asarray(seq_segs, np.int64)
+    rec = np.zeros((B, L + 1), np.int64)
+    np.cumsum(np.asarray(d16).astype(np.int64), axis=1, out=rec[:, 1:])
+    over = np.asarray(over)
+    assert not over[0] and over[1]
+    np.testing.assert_array_equal(rec[0], full[0])
+    assert not np.array_equal(rec[1], full[1])   # wrapped -> refetch path

@@ -214,6 +214,21 @@ class KmerModel:
                 "Invalid sequence encountered from genome sequence.")
         return self.means[codes], self.sds[codes]
 
+    def get_kmer_codes(self, seq: str, rev_strand: bool = False
+                       ) -> np.ndarray:
+        """Validated k-mer codes for a sequence: level i is
+        ``means[codes[i]]``.  Device stages ship these (L,) int16 codes
+        and gather the expected levels from an on-chip copy of the model
+        table, instead of uploading two (L,) float rows per read (same
+        validation as :meth:`get_exp_levels_from_seq`)."""
+        codes = seq_to_kmer_codes(encode_seq(seq), self.kmer_width)
+        if rev_strand:
+            codes = codes[::-1]
+        if np.any(codes < 0):
+            raise TomboTpuError(
+                "Invalid sequence encountered from genome sequence.")
+        return codes
+
     def get_exp_levels_from_seq(self, seq: str, rev_strand: bool = False
                                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Expected levels for a sequence (reference:

@@ -56,6 +56,12 @@ from collections import defaultdict as _dd
 # reference: tombo/resquiggle.py:72-73, tombo/tombo_stats.py:68-74)
 STAGE_TIMINGS = _dd(float)
 
+# host<->device transfer byte accumulators (same TOMBO_TPU_PROFILE=1
+# toggle).  On link-constrained attachments the wire time, not device
+# FLOPs, bounds batch latency, so the profile reports what actually
+# crossed the link per direction.
+TRANSFER_BYTES = _dd(int)
+
 
 def _profiling() -> bool:
     return os.environ.get("TOMBO_TPU_PROFILE", "") == "1"
@@ -96,6 +102,8 @@ def print_stage_timings(out=None):
     for name, t in sorted(STAGE_TIMINGS.items(), key=lambda kv: -kv[1]):
         out.write("  %-18s %8.3f s (%4.1f%%)\n" % (
             name, t, 100 * t / total if total else 0))
+    for name, b in sorted(TRANSFER_BYTES.items()):
+        out.write("  %-18s %8.2f MB\n" % (name, b / 2 ** 20))
 
 
 def _use_pallas() -> bool:
@@ -125,6 +133,21 @@ def _pow2_bucket(x: int, lo: int) -> int:
     return b
 
 
+def _sig_bucket(x: int, lo: int = 1024) -> int:
+    """Signal-axis bucket: half-octave steps (pow2 and 1.5x pow2).
+
+    The padded raw matrix dominates host->device wire bytes, so cutting
+    the mean padding waste from ~33% to ~17% on this one axis is worth
+    doubling its compile-cache entries (other axes stay power-of-two)."""
+    b = lo
+    while True:
+        if x <= b:
+            return b
+        if x <= b + b // 2:
+            return b + b // 2
+        b *= 2
+
+
 def _fetch(*arrs):
     """Device->host fetch with overlapped round trips.
 
@@ -136,7 +159,10 @@ def _fetch(*arrs):
             a.copy_to_host_async()
         except AttributeError:
             pass
-    return [np.asarray(a) for a in arrs]
+    out = [np.asarray(a) for a in arrs]
+    if _profiling():
+        TRANSFER_BYTES["fetch"] += sum(a.nbytes for a in out)
+    return out
 
 
 def _pad_rows(arr: np.ndarray, b_pad: int) -> np.ndarray:
@@ -167,9 +193,24 @@ class _ReadState:
     scale_values: Optional[ScaleValues] = None
     norm: Optional[np.ndarray] = None
     cpts: Optional[np.ndarray] = None
+    # lazily-fetched device residency of the changepoints: (device (B, C)
+    # matrix, row, count).  The (B, max_cpts) matrix is ~4 MB per batch;
+    # with the fused device finalize on, no host consumer needs it, so it
+    # stays on-chip and rescale passes row-gather it in place instead of
+    # fetch + re-upload.  Host materialization (_cpts_of) happens only on
+    # the rare static-fallback / debug paths.
+    cpts_dev: Optional[tuple] = None
+    # device residency of the padded raw-signal matrix from the first
+    # segmentation pass: (device (B, S) matrix, row).  Rescale passes
+    # row-gather it in place instead of re-uploading raw signal.
+    raw_dev: Optional[tuple] = None
     event_means: Optional[np.ndarray] = None
     ref_means: Optional[np.ndarray] = None
     ref_sds: Optional[np.ndarray] = None
+    # validated k-mer codes of the mapped sequence; device stages upload
+    # these (L,) int16 rows and gather expected levels from the on-chip
+    # model table (4x less wire than two float level rows per read)
+    ref_codes: Optional[np.ndarray] = None
     genome_seq_trim: Optional[str] = None
     use_static: bool = False
     n_ev: int = 0
@@ -341,7 +382,14 @@ def _stage_finalize(cpts, rows, clips, segs_dp, seq_lens, ev_lens,
     d = jnp.diff(seq_segs, axis=1)                        # (B, L)
     base_valid = iot_L1[:, :L] < seq_lens[:, None]
     has_del = jnp.any((d == 0) & base_valid, axis=1)
-    return seq_segs, rsrtr, has_del
+    # wire format: seq_segs[0] is always 0 (rsrtr subtracted) and rows
+    # are non-decreasing, so per-base int16 deltas reconstruct the table
+    # exactly; rows with any segment > 32767 samples (multi-second
+    # stalls) raise seg_over and are refetched in full from seq_segs,
+    # which stays device-resident
+    seg_over = jnp.any(d > 32767, axis=1)
+    seg_d16 = d.astype(jnp.int16)
+    return seq_segs, seg_d16, seg_over, rsrtr, has_del
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -355,6 +403,36 @@ def _gather_clip_rows(em, rows, clips, out_width: int):
         return lax.dynamic_slice(row, (c,), (out_width,))
 
     return jax.vmap(one)(em_pad, clips.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _gather_rows_pad(src, rows, width: int):
+    """Row-gather a device matrix into a new row order, padding/cropping
+    the lane axis to ``width``.  Used to re-batch device-resident
+    changepoints for rescale passes without a fetch + re-upload round
+    trip over the host link."""
+    out = jnp.take(src, rows.astype(jnp.int32), axis=0)
+    if out.shape[1] >= width:
+        return out[:, :width]
+    return jnp.pad(out, ((0, 0), (0, width - out.shape[1])))
+
+
+def _lazy_cpts() -> bool:
+    """Changepoints stay device-resident when the fused device finalize
+    is on (its ctx["cpts"] input is the only hot consumer); the host copy
+    is materialized per read on demand (static fallback, debug)."""
+    return os.environ.get("TOMBO_TPU_DEV_FINALIZE", "1") == "1"
+
+
+@jax.jit
+def _levels_from_codes(mt, st, codes):
+    """Gather per-base expected (mean, sd) rows from the on-chip k-mer
+    model table.  ``codes`` is (B, L) int; the sentinel index (table
+    length - 1) maps padding positions to (1.0, 1.0), matching the
+    host-built padded level matrices bit for bit (gather commutes with
+    the float cast)."""
+    c = codes.astype(jnp.int32)
+    return jnp.take(mt, c, axis=0), jnp.take(st, c, axis=0)
 
 
 def _start_dp_pallas(em_rows, rm, rs, sp: dpo.StartDpParams):
@@ -522,6 +600,36 @@ class BatchedResquiggler:
         if mesh is not None:
             from ..parallel.mesh import batch_sharding
             self._bsh = batch_sharding(mesh)
+        self._levels_dev = None
+
+    def _levels_tab(self):
+        """Device copy of the k-mer model table (means, sds) with a
+        sentinel row appended: index ``n_kmers`` maps padding positions
+        to (1.0, 1.0), matching the ones-padded host level matrices."""
+        if self._levels_dev is None:
+            m = np.append(self.std_ref.means, 1.0).astype(self.dtype)
+            s = np.append(self.std_ref.sds, 1.0).astype(self.dtype)
+            self._levels_dev = (jnp.asarray(m), jnp.asarray(s))
+        return self._levels_dev
+
+    def _codes_rows(self, live, B: int, B_pad: int, width: int,
+                    clip: bool = False):
+        """(B, width) k-mer code matrix for a set of reads, sentinel-
+        padded; int16 wire format when the table allows.  ``clip=True``
+        crops each row to ``width`` (start-discovery prefix rows)."""
+        n_sent = self.std_ref.means.shape[0]
+        dt = np.int16 if n_sent < 2 ** 15 else np.int32
+        ridx = np.full((B, width), n_sent, dt)
+        for i, s in enumerate(live):
+            c = s.ref_codes
+            if c is None:
+                continue
+            if clip:
+                if c.shape[0] >= width:
+                    ridx[i] = c[:width]
+            else:
+                ridx[i, :c.shape[0]] = c
+        return self._up(ridx, B_pad)
 
     def _b_pad(self, b: int) -> int:
         """Batch-axis bucket: a power-of-two shard of >= 8 reads per
@@ -535,8 +643,20 @@ class BatchedResquiggler:
         ``jnp.asarray`` or batch-sharded ``device_put`` over the mesh."""
         arr = _pad_rows(np.asarray(arr), b_pad)
         if self.mesh is None:
-            return jnp.asarray(arr)
-        return jax.device_put(arr, self._bsh)
+            out = jnp.asarray(arr)
+        else:
+            out = jax.device_put(arr, self._bsh)
+        if _profiling():
+            TRANSFER_BYTES["upload"] += out.nbytes
+        return out
+
+    def _cpts_of(self, s: "_ReadState") -> np.ndarray:
+        """Materialize a read's changepoints on host (one-row fetch from
+        the device-resident matrix; cached)."""
+        if s.cpts is None and s.cpts_dev is not None:
+            arr, row, n = s.cpts_dev
+            s.cpts = np.asarray(arr[row], np.int64)[:n]
+        return s.cpts
 
     def _pallas_in_jit(self) -> bool:
         """Pallas kernels embedded in plain jitted stages (stage A start
@@ -552,27 +672,44 @@ class BatchedResquiggler:
         live = [s for s in states if s.error is None]
         if not live:
             return
-        S_max = _pow2_bucket(max(s.raw.shape[0] for s in live), 1024)
         B = len(live)
         B_pad = self._b_pad(B)
         sig_lens = np.array([s.raw.shape[0] for s in live], np.int64)
-        # raw FAST5 signal is int16 DAC values; uploading them as int16
-        # halves the dominant host->device transfer (values convert to the
-        # compute dtype on device, exactly for |x| < 2^15).  The per-read
-        # integrality check is cached in raw_i16 at state creation, so
-        # this fills the half-width buffer directly with no full-matrix
-        # scan or float64 staging pass.
-        if all(s.raw_i16 is not None for s in live):
-            raw_pad = np.zeros((B, S_max), np.int16)
+        reuse_raw = (all(s.raw_dev is not None for s in live) and
+                     len({id(s.raw_dev[0]) for s in live}) == 1)
+        if reuse_raw:
+            # rescale pass: the padded raw matrix from the first pass is
+            # still on device — row-gather it in place (keeping the source
+            # width, so the compiled stage shapes are reused) instead of
+            # re-uploading megabytes of signal
+            src = live[0].raw_dev[0]
+            rows_prev = np.array([s.raw_dev[1] for s in live], np.int32)
+            raw_j = _gather_rows_pad(src, self._up(rows_prev, B_pad),
+                                     src.shape[1])
             for i, s in enumerate(live):
-                raw_pad[i, :s.raw_i16.shape[0]] = s.raw_i16
                 s.dev_row = i
         else:
-            raw_pad = np.zeros((B, S_max), self.dtype)
-            for i, s in enumerate(live):
-                raw_pad[i, :s.raw.shape[0]] = s.raw
-                s.dev_row = i
-        raw_j = self._up(raw_pad, B_pad)
+            S_max = _sig_bucket(max(s.raw.shape[0] for s in live))
+            # raw FAST5 signal is int16 DAC values; uploading them as
+            # int16 halves the dominant host->device transfer (values
+            # convert to the compute dtype on device, exactly for
+            # |x| < 2^15).  The per-read integrality check is cached in
+            # raw_i16 at state creation, so this fills the half-width
+            # buffer directly with no full-matrix scan or float64 staging
+            # pass.
+            if all(s.raw_i16 is not None for s in live):
+                raw_pad = np.zeros((B, S_max), np.int16)
+                for i, s in enumerate(live):
+                    raw_pad[i, :s.raw_i16.shape[0]] = s.raw_i16
+                    s.dev_row = i
+            else:
+                raw_pad = np.zeros((B, S_max), self.dtype)
+                for i, s in enumerate(live):
+                    raw_pad[i, :s.raw.shape[0]] = s.raw
+                    s.dev_row = i
+            raw_j = self._up(raw_pad, B_pad)
+        for i, s in enumerate(live):
+            s.raw_dev = (raw_j, i)
         lens_j = self._up(sig_lens, B_pad)
 
         w = p.running_stat_width
@@ -590,7 +727,8 @@ class BatchedResquiggler:
         # shortcut under its documented co-optimal-tie policy.
         if (self.dtype != jnp.float64 and
                 all(s.map_res.scale_values is not None and
-                    s.cpts is not None for s in live)):
+                    (s.cpts is not None or s.cpts_dev is not None)
+                    for s in live)):
             return self._segment_rescale(live, raw_j, lens_j, B, B_pad,
                                          max_cpts)
 
@@ -610,8 +748,6 @@ class BatchedResquiggler:
             stall_s = np.zeros((B, K), np.int64)
             stall_e = np.zeros((B, K), np.int64)
             nb = p.start_n_bases
-            rm_start = np.ones((B, nb))
-            rs_start = np.ones((B, nb))
             for i, s in enumerate(live):
                 sv = s.map_res.scale_values
                 if sv is not None:
@@ -623,10 +759,9 @@ class BatchedResquiggler:
                 if s.map_res.stall_ints is not None:
                     for k, (st, en) in enumerate(s.map_res.stall_ints):
                         stall_s[i, k], stall_e[i, k] = st, en
-                if s.ref_means is not None and \
-                        s.ref_means.shape[0] >= nb:
-                    rm_start[i] = s.ref_means[:nb]
-                    rs_start[i] = s.ref_sds[:nb]
+            mtab, stab = self._levels_tab()
+            rm_sj, rs_sj = _levels_from_codes(
+                mtab, stab, self._codes_rows(live, B, B_pad, nb, clip=True))
             sp = dpo.StartDpParams(
                 z_shift=p.z_shift, skip_pen=p.skip_pen,
                 stay_pen=p.stay_pen,
@@ -641,18 +776,26 @@ class BatchedResquiggler:
                 self._up(sv_upper.astype(self.dtype), B_pad),
                 ncpts_j, self._up(stall_s, B_pad),
                 self._up(stall_e, B_pad),
-                self._up(rm_start.astype(self.dtype), B_pad),
-                self._up(rs_start.astype(self.dtype), B_pad),
+                rm_sj,
+                rs_sj,
                 (None if self.outlier_thresh is None
                  else float(self.outlier_thresh)), w, p.min_obs_per_base,
                 max_cpts, sp, self._pallas_in_jit(), config.USE_RNA_EVENT_SCALE,
                 config.RNA_SCALE_NUM_EVENTS,
                 float(config.RNA_SCALE_MAX_FRAC_EVENTS))
-            (cpts_np, n_cpts, status, shift, scale, lower, upper,
-             start_segs, start_score) = _fetch(
-                cpts_j, n_cpts_j, status_j, shift, scale, lower, upper,
-                start_segs_j, start_score_j)
-            cpts_np = cpts_np.astype(np.int64)[:B]
+            lazy = _lazy_cpts()
+            if lazy:
+                (n_cpts, status, shift, scale, lower, upper,
+                 start_s0, start_sN, start_score) = _fetch(
+                    n_cpts_j, status_j, shift, scale, lower, upper,
+                    start_segs_j[:, 0], start_segs_j[:, -1], start_score_j)
+                cpts_np = None
+            else:
+                (cpts_np, n_cpts, status, shift, scale, lower, upper,
+                 start_s0, start_sN, start_score) = _fetch(
+                    cpts_j, n_cpts_j, status_j, shift, scale, lower, upper,
+                    start_segs_j[:, 0], start_segs_j[:, -1], start_score_j)
+                cpts_np = cpts_np.astype(np.int64)[:B]
             n_cpts = n_cpts[:B]
             status = status[:B]
             shift = shift[:B]; scale = scale[:B]
@@ -661,7 +804,12 @@ class BatchedResquiggler:
                 if status[i] != 0:
                     s.error = "Fewer changepoints found than requested"
                     continue
-                s.cpts = cpts_np[i, :n_cpts[i]]
+                if lazy:
+                    s.cpts = None
+                    s.cpts_dev = (cpts_j, i, int(n_cpts[i]))
+                else:
+                    s.cpts = cpts_np[i, :n_cpts[i]]
+                    s.cpts_dev = None
                 s.n_ev = int(n_cpts[i]) - 1
                 s.norm = None          # recomputed host-side on demand
                 s.event_means = None
@@ -675,7 +823,8 @@ class BatchedResquiggler:
                 if s.n_ev < p.start_bw + p.start_n_bases:
                     s.use_static = True
             return {"em": em_j, "norm": norm_j, "cpts": cpts_j,
-                    "start": (start_segs.astype(np.int64)[:B],
+                    "start": (start_s0.astype(np.int64)[:B],
+                              start_sN.astype(np.int64)[:B],
                               start_score.astype(np.float64)[:B])}
         else:
             # DNA: stages 1-3 (normalize -> select -> event means -> start
@@ -687,8 +836,6 @@ class BatchedResquiggler:
             sv_lower = np.full(B, -nrm.POS_LARGE)
             sv_upper = np.full(B, nrm.POS_LARGE)
             nb = p.start_n_bases
-            rm_start = np.ones((B, nb))
-            rs_start = np.ones((B, nb))
             for i, s in enumerate(live):
                 sv = s.map_res.scale_values
                 if sv is not None:
@@ -697,10 +844,9 @@ class BatchedResquiggler:
                         sv_lower[i] = sv.lower_lim
                     if sv.upper_lim is not None:
                         sv_upper[i] = sv.upper_lim
-                if s.ref_means is not None and \
-                        s.ref_means.shape[0] >= nb:
-                    rm_start[i] = s.ref_means[:nb]
-                    rs_start[i] = s.ref_sds[:nb]
+            mt, st = self._levels_tab()
+            rm_sj, rs_sj = _levels_from_codes(
+                mt, st, self._codes_rows(live, B, B_pad, nb, clip=True))
             sp = dpo.StartDpParams(
                 z_shift=p.z_shift, skip_pen=p.skip_pen,
                 stay_pen=p.stay_pen,
@@ -714,16 +860,27 @@ class BatchedResquiggler:
                 self._up(sv_lower.astype(self.dtype), B_pad),
                 self._up(sv_upper.astype(self.dtype), B_pad),
                 ncpts_j,
-                self._up(rm_start.astype(self.dtype), B_pad),
-                self._up(rs_start.astype(self.dtype), B_pad),
+                rm_sj,
+                rs_sj,
                 (None if self.outlier_thresh is None
                  else float(self.outlier_thresh)), w, p.min_obs_per_base,
                 max_cpts, sp, self._pallas_in_jit())
-            (cpts_np, status, shift, scale, lower, upper, start_segs,
-             start_score) = _fetch(
-                cpts_j, status_j, shift, scale, lower, upper,
-                start_segs_j, start_score_j)
-            cpts_np = cpts_np.astype(np.int64)[:B]
+            lazy = _lazy_cpts()
+            if lazy:
+                # the (B, max_cpts) changepoint matrix never leaves the
+                # device: the fused finalize reads ctx["cpts"] on-chip and
+                # rescale passes row-gather it in place
+                (status, shift, scale, lower, upper, start_s0, start_sN,
+                 start_score) = _fetch(
+                    status_j, shift, scale, lower, upper,
+                    start_segs_j[:, 0], start_segs_j[:, -1], start_score_j)
+                cpts_np = None
+            else:
+                (cpts_np, status, shift, scale, lower, upper, start_s0,
+                 start_sN, start_score) = _fetch(
+                    cpts_j, status_j, shift, scale, lower, upper,
+                    start_segs_j[:, 0], start_segs_j[:, -1], start_score_j)
+                cpts_np = cpts_np.astype(np.int64)[:B]
             status = status[:B]
             shift = shift[:B]; scale = scale[:B]
             lower = lower[:B]; upper = upper[:B]
@@ -731,7 +888,12 @@ class BatchedResquiggler:
                 if status[i] != 0:
                     s.error = "Fewer changepoints found than requested"
                     continue
-                s.cpts = cpts_np[i, :s.num_events]
+                if lazy:
+                    s.cpts = None
+                    s.cpts_dev = (cpts_j, i, s.num_events)
+                else:
+                    s.cpts = cpts_np[i, :s.num_events]
+                    s.cpts_dev = None
                 s.n_ev = s.num_events - 1
                 s.norm = None          # recomputed host-side on demand
                 s.event_means = None
@@ -742,7 +904,8 @@ class BatchedResquiggler:
                     prev_sv.outlier_thresh if prev_sv is not None
                     else self.outlier_thresh)
             return {"em": em_j, "norm": norm_j, "cpts": cpts_j,
-                    "start": (start_segs.astype(np.int64)[:B],
+                    "start": (start_s0.astype(np.int64)[:B],
+                              start_sN.astype(np.int64)[:B],
                               start_score.astype(np.float64)[:B])}
         return {"em": em_j}
 
@@ -752,33 +915,46 @@ class BatchedResquiggler:
         only re-normalize + recompute event means + start discovery."""
         p = self.params
         nb = p.start_n_bases
-        max_n = max(s.cpts.shape[0] for s in live)
-        max_n = _pow2_bucket(max_n, 256)
-        cpts = np.zeros((B, max_n), np.int64)
-        n_cpts = np.zeros(B, np.int64)
+        # changepoints stay on device when every live read references the
+        # same device matrix: re-batch by row gather instead of paying a
+        # fetch + re-upload of ~4 MB over the host link per rescale pass
+        dev_srcs = {id(s.cpts_dev[0]) for s in live
+                    if s.cpts_dev is not None}
+        use_dev = (len(dev_srcs) == 1 and
+                   all(s.cpts_dev is not None for s in live))
+        if use_dev:
+            n_cpts = np.array([s.cpts_dev[2] for s in live], np.int64)
+            max_n = _pow2_bucket(int(n_cpts.max()), 256)
+        else:
+            n_cpts = np.array([self._cpts_of(s).shape[0] for s in live],
+                              np.int64)
+            max_n = _pow2_bucket(int(n_cpts.max()), 256)
+            cpts = np.zeros((B, max_n), np.int64)
+            for i, s in enumerate(live):
+                cpts[i, :n_cpts[i]] = s.cpts
         sv_shift = np.zeros(B); sv_scale = np.ones(B)
         sv_lower = np.full(B, np.nan)
         sv_upper = np.full(B, np.nan)
-        rm_start = np.ones((B, nb))
-        rs_start = np.ones((B, nb))
         for i, s in enumerate(live):
-            n = s.cpts.shape[0]
-            cpts[i, :n] = s.cpts
-            n_cpts[i] = n
             sv = s.map_res.scale_values
             sv_shift[i], sv_scale[i] = sv.shift, sv.scale
             if sv.lower_lim is not None:
                 sv_lower[i] = sv.lower_lim
             if sv.upper_lim is not None:
                 sv_upper[i] = sv.upper_lim
-            if s.ref_means is not None and s.ref_means.shape[0] >= nb:
-                rm_start[i] = s.ref_means[:nb]
-                rs_start[i] = s.ref_sds[:nb]
+        mtab, stab = self._levels_tab()
+        rm_sj, rs_sj = _levels_from_codes(
+            mtab, stab, self._codes_rows(live, B, B_pad, nb, clip=True))
         sp = dpo.StartDpParams(
             z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
             max_half_z_score=p.max_half_z_score or -1.0,
             num_bases=nb, num_events=p.start_bw)
-        cpts_j = self._up(cpts, B_pad)
+        if use_dev:
+            rows_prev = np.array([s.cpts_dev[1] for s in live], np.int32)
+            cpts_j = _gather_rows_pad(
+                live[0].cpts_dev[0], self._up(rows_prev, B_pad), max_n)
+        else:
+            cpts_j = self._up(cpts, B_pad)
         norm_j, em_j, start_segs_j, start_score_j = _stage_a_rescale(
             raw_j, lens_j,
             self._up(sv_shift.astype(self.dtype), B_pad),
@@ -787,18 +963,22 @@ class BatchedResquiggler:
             self._up(sv_upper.astype(self.dtype), B_pad),
             cpts_j,
             self._up(n_cpts, B_pad),
-            self._up(rm_start.astype(self.dtype), B_pad),
-            self._up(rs_start.astype(self.dtype), B_pad),
+            rm_sj,
+            rs_sj,
             sp, self._pallas_in_jit())
-        start_segs, start_score = _fetch(start_segs_j, start_score_j)
+        start_s0, start_sN, start_score = _fetch(
+            start_segs_j[:, 0], start_segs_j[:, -1], start_score_j)
         for i, s in enumerate(live):
-            s.n_ev = s.cpts.shape[0] - 1
+            s.n_ev = int(n_cpts[i]) - 1
+            if use_dev:
+                s.cpts_dev = (cpts_j, i, int(n_cpts[i]))
             s.norm = None
             s.event_means = None
             sv = s.map_res.scale_values
             s.scale_values = sv.replace()
         return {"em": em_j, "norm": norm_j, "cpts": cpts_j,
-                "start": (start_segs.astype(np.int64)[:B],
+                "start": (start_s0.astype(np.int64)[:B],
+                          start_sN.astype(np.int64)[:B],
                           start_score.astype(np.float64)[:B])}
 
     @_timed_stage("plan")
@@ -811,11 +991,13 @@ class BatchedResquiggler:
             std_ref = self.std_ref
             dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
             try:
-                r_means, r_sds = std_ref.get_exp_levels_from_seq(
-                    s.map_res.genome_seq)
+                codes = std_ref.get_kmer_codes(s.map_res.genome_seq)
             except TomboTpuError as e:
                 s.error = str(e)
                 continue
+            s.ref_codes = codes
+            r_means = std_ref.means[codes]
+            r_sds = std_ref.sds[codes]
             s.ref_means, s.ref_sds = r_means, r_sds
             s.genome_seq_trim = s.map_res.genome_seq[
                 std_ref.central_pos:-dnstrm]
@@ -846,8 +1028,9 @@ class BatchedResquiggler:
         need = nb + ne
         if precomputed is not None:
             rows = [s.dev_row for s in live]
-            segs = precomputed[0][rows]
-            score = precomputed[1][rows]
+            seg0 = precomputed[0][rows]
+            segN = precomputed[1][rows]
+            score = precomputed[2][rows]
         else:
             if ctx["em"].shape[1] < need:
                 # every live read has >= need events (else use_static), but
@@ -858,36 +1041,37 @@ class BatchedResquiggler:
             B = len(live)
             B_pad = self._b_pad(B)
             rows = np.array([s.dev_row for s in live], np.int32)
-            rm_pad = np.ones((B, nb), np.float64)
-            rs_pad = np.ones((B, nb), np.float64)
-            for i, s in enumerate(live):
-                rm_pad[i] = s.ref_means[:nb]
-                rs_pad[i] = s.ref_sds[:nb]
+            mtab, stab = self._levels_tab()
+            rm_sj, rs_sj = _levels_from_codes(
+                mtab, stab, self._codes_rows(live, B, B_pad, nb, clip=True))
             sp = dpo.StartDpParams(
                 z_shift=p.z_shift, skip_pen=p.skip_pen, stay_pen=p.stay_pen,
                 max_half_z_score=p.max_half_z_score or -1.0,
                 num_bases=nb, num_events=ne)
             segs, score, n_valid = _stage_start_dp(
                 ctx["em"], self._up(rows, B_pad),
-                self._up(rm_pad.astype(self.dtype), B_pad),
-                self._up(rs_pad.astype(self.dtype), B_pad),
+                rm_sj,
+                rs_sj,
                 sp, use_pallas=self._pallas_in_jit())
-            segs, score = _fetch(segs, score)
-            segs = segs.astype(np.int64)[:B]
+            # only the first and last traceback columns are ever consumed
+            # (mapped start + events-per-base slope), so only those cross
+            # the link
+            seg0, segN, score = _fetch(segs[:, 0], segs[:, -1], score)
+            seg0 = seg0.astype(np.int64)[:B]
+            segN = segN.astype(np.int64)[:B]
             score = score.astype(np.float64)[:B]
 
         failed = []
         thresh = SIG_MATCH_THRESH[self.seq_samp_type.name]
         for i, s in enumerate(live):
-            start_tb = segs[i]
             if check_score and (not np.isfinite(score[i]) or
                                 score[i] > thresh):
                 # "Poor raw to expected signal matching in beginning of
                 # read." / "Invalid path through read start"
                 failed.append(s)
                 continue
-            s.events_per_base = (start_tb[-1] - start_tb[0]) / len(start_tb)
-            s.mapped_start = int(start_tb[0])
+            s.events_per_base = (segN[i] - seg0[i]) / (nb + 1)
+            s.mapped_start = int(seg0[i])
         return failed
 
     @_timed_stage("adaptive")
@@ -955,8 +1139,6 @@ class BatchedResquiggler:
 
         rows = np.array([s.dev_row for s in live], np.int32)
         clips = np.array([s.events_start_clip for s in live], np.int64)
-        rm = np.ones((B, L_max), np.float64)
-        rs = np.ones((B, L_max), np.float64)
         n_events = np.zeros(B, np.int64)
         seq_lens = np.zeros(B, np.int64)
         pstarts = np.zeros((B, P_max), np.int64)
@@ -966,8 +1148,6 @@ class BatchedResquiggler:
         for i, s in enumerate(live):
             n_events[i] = s.n_ev - s.events_start_clip
             L = s.ref_means.shape[0]
-            rm[i, :L] = s.ref_means
-            rs[i, :L] = s.ref_sds
             seq_lens[i] = L
             P = s.prefix_starts.shape[0]
             pstarts[i, :P] = s.prefix_starts
@@ -987,11 +1167,16 @@ class BatchedResquiggler:
             mask_fill_z_score=MASK_FILL_Z_SCORE,
             max_half_z_score=p.max_half_z_score or -1.0, bandwidth=bw)
         seq_lens_j = self._up(seq_lens, B_pad)
+        # expected levels never cross the link: ship (B, L) int16 k-mer
+        # codes and gather (mean, sd) rows from the on-chip model table
+        mt, st = self._levels_tab()
+        rm_j, rs_j = _levels_from_codes(
+            mt, st, self._codes_rows(live, B, B_pad, L_max))
         dp_args = (
             em_j,
             self._up(n_events, B_pad),
-            self._up(rm.astype(self.dtype), B_pad),
-            self._up(rs.astype(self.dtype), B_pad),
+            rm_j,
+            rs_j,
             seq_lens_j, self._up(pstarts, B_pad),
             self._up(pvalid, B_pad),
             self._up(pend, B_pad),
@@ -1031,14 +1216,21 @@ class BatchedResquiggler:
         if use_dev_fin:
             # fused device finalize: traceback trim + raw coordinates +
             # per-read deletion flag in the same device program; only the
-            # (B, L+1) segment table and per-read scalars come back
-            seq_segs_j, rsrtr_j, has_del_j = _stage_finalize(
+            # (B, L) int16 segment deltas and per-read scalars come back
+            # (the int32 table is reconstructed by exact host cumsum;
+            # rare overflow rows refetch from the device-resident table)
+            (seq_segs_j, seg_d16_j, seg_over_j, rsrtr_j,
+             has_del_j) = _stage_finalize(
                 ctx["cpts"], rows_j, clips_j, segs_j, seq_lens_j,
                 dp_args[1], n_rows=L_max)
-            (band_err, bound_err, seq_segs_np, rsrtr_np,
-             has_del) = _fetch(band_err, bound_err, seq_segs_j, rsrtr_j,
-                               has_del_j)
-            seq_segs_np = seq_segs_np.astype(np.int64)[:B]
+            (band_err, bound_err, seg_d16, seg_over, rsrtr_np,
+             has_del) = _fetch(band_err, bound_err, seg_d16_j, seg_over_j,
+                               rsrtr_j, has_del_j)
+            seq_segs_np = np.zeros((B, L_max + 1), np.int64)
+            np.cumsum(seg_d16[:B].astype(np.int64), axis=1,
+                      out=seq_segs_np[:, 1:])
+            for i in np.flatnonzero(seg_over[:B]):
+                seq_segs_np[i] = np.asarray(seq_segs_j[i], np.int64)
             rsrtr_np = rsrtr_np[:B]
             has_del = has_del[:B]
         else:
@@ -1067,7 +1259,7 @@ class BatchedResquiggler:
             read_tb = rsq._trim_traceback(
                 read_tb, events_len=s.n_ev - s.events_start_clip)
             seq_segs, rsrtr = rsq.get_rel_raw_coords(
-                s.cpts[s.events_start_clip:], read_tb)
+                self._cpts_of(s)[s.events_start_clip:], read_tb)
             s.dp_segs = seq_segs
             s.dp_rsrtr = rsrtr
 
@@ -1084,7 +1276,8 @@ class BatchedResquiggler:
             try:
                 seq_events = rsq.find_static_base_assignment(
                     s.event_means, s.ref_means, s.ref_sds, self.params)
-                seq_segs, rsrtr = rsq.get_rel_raw_coords(s.cpts, seq_events)
+                seq_segs, rsrtr = rsq.get_rel_raw_coords(
+                    self._cpts_of(s), seq_events)
                 s.dp_segs = seq_segs
                 s.dp_rsrtr = rsrtr
             except TomboTpuError as e:
