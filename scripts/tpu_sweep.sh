@@ -11,7 +11,7 @@
 # 3. runs the four bench lanes (default, --mixed, --rna, --stats).
 #
 # Outputs append to the logfile (default tpu_sweep.log, gitignored).
-set -u
+set -u -o pipefail
 cd "$(dirname "$0")/.."
 LOG=${1:-tpu_sweep.log}
 

@@ -234,10 +234,8 @@ class KmerModel:
         """Expected levels for a sequence (reference:
         tombo/tombo_stats.py:834-862); level i maps to base
         i + central_pos of ``seq``."""
-        codes = seq_to_kmer_codes(encode_seq(seq), self.kmer_width)
-        if rev_strand:
-            codes = codes[::-1]
-        return self.get_exp_levels_from_kmer_codes(codes)
+        codes = self.get_kmer_codes(seq, rev_strand)
+        return self.means[codes], self.sds[codes]
 
     def get_exp_levels_from_seq_with_gaps(self, seq: str, rev_strand: bool
                                           ) -> Tuple[np.ndarray, np.ndarray]:

@@ -134,6 +134,10 @@ def _dp_variant() -> str:
     import os
     v = os.environ.get("TOMBO_TPU_DP_VARIANT")
     if v:
+        if v not in ("loop", "gather", "shift"):
+            raise ValueError(
+                "TOMBO_TPU_DP_VARIANT must be loop/gather/shift, got %r"
+                % v)
         return v
     if os.environ.get("TOMBO_TPU_DP_GATHER", "0") == "1":
         return "gather"
@@ -173,6 +177,47 @@ def _shift_rows(full: jnp.ndarray, shift: jnp.ndarray,
         rolled = pltpu.roll(xn, Wn - amt, 1)
         xn = jnp.where((fine >> b) & 1 == 1, rolled, xn)
     return xn
+
+
+def _gather_em_window(variant, em_ref, band_start, lanes, bwp, E_tot,
+                      win_ref, gather_row):
+    """Per-read event-mean band window: win[i, q] = em[i, bs_i + bwp + q]
+    for q < bwp, expressed per the selected gather variant (all three
+    bit-identical; shared by the fused and seq-chunked kernels)."""
+    if variant == "gather":
+        return jnp.take_along_axis(
+            em_ref[:, :], jnp.clip(band_start + bwp + lanes, 0, E_tot - 1),
+            axis=1)
+    if variant == "shift":
+        return _shift_rows(em_ref[:, :], band_start + bwp, bwp)[:, :bwp]
+    for i in range(em_ref.shape[0]):
+        w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
+        win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
+    return win_ref[:, :]
+
+
+def _gather_diag_skip(variant, fwdpad_ref, diff, lanes, bwp, W_f, W_seg,
+                      dw_ref, sw_ref, gather_row):
+    """Previous-row windows for the recurrence: diag[q] = fwd[q + diff - 1]
+    and skip[q] = fwd[q + diff], read from the neg-padded forward row
+    (fwd stored at lane offset 128)."""
+    if variant == "gather":
+        base_idx = 128 + diff + lanes
+        diag_w = jnp.take_along_axis(
+            fwdpad_ref[:, :], jnp.clip(base_idx - 1, 0, W_f - 1), axis=1)
+        skip_w = jnp.take_along_axis(
+            fwdpad_ref[:, :], jnp.clip(base_idx, 0, W_f - 1), axis=1)
+        return diag_w, skip_w
+    if variant == "shift":
+        # one barrel-shifted window covers both: lane q holds
+        # fwdpad[127 + diff + q] = fwd[q + diff - 1]
+        row = _shift_rows(fwdpad_ref[:, :], 127 + diff, bwp)
+        return row[:, :bwp], pltpu.roll(row, row.shape[1] - 1, 1)[:, :bwp]
+    for i in range(fwdpad_ref.shape[0]):
+        row = gather_row(fwdpad_ref, i, 127 + diff[i, 0])
+        dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
+        sw_ref[pl.ds(i, 1), :] = pltpu.roll(row, W_seg - 1, 1)[:, :bwp]
+    return dw_ref[:, :], sw_ref[:, :]
 
 
 def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
@@ -249,23 +294,8 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             hi = jnp.where(is_prefix,
                            jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
                            nev)
-            if variant == "gather":
-                # lane-wise dynamic gather: win[i, q] = em[i, bs_i + q]
-                win = jnp.take_along_axis(
-                    em_ref[:, :],
-                    jnp.clip(band_start + bwp + lanes, 0, E_tot - 1),
-                    axis=1)
-            elif variant == "shift":
-                # vectorized barrel shift (em left-padded by bwp, right
-                # padding sized so shift + bwp + 128 <= E_tot)
-                win = _shift_rows(em_ref[:, :], band_start + bwp,
-                                  bwp)[:, :bwp]
-            else:
-                # per-read window gathers (band starts are unaligned)
-                for i in range(R):
-                    w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
-                    win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
-                win = win_ref[:, :]
+            win = _gather_em_window(variant, em_ref, band_start, lanes,
+                                    bwp, E_tot, win_ref, gather_row)
             mu = _col_f(rm, lanes_L, r)
             sd = _col_f(rs, lanes_L, r)
             z = jnp.abs((win - mu) / sd)
@@ -280,30 +310,9 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             diff = jnp.clip(band_start - prev_start, 0, bwp)
             same = diff == 0
             fwdpad_ref[:, pl.ds(128, bwp)] = fwd
-            # diag[p] = fwd[p + diff - 1], skip[p] = fwd[p + diff]
-            if variant == "gather":
-                base_idx = 128 + diff + lanes
-                diag_w = jnp.take_along_axis(
-                    fwdpad_ref[:, :], jnp.clip(base_idx - 1, 0, W_f - 1),
-                    axis=1)
-                skip_w = jnp.take_along_axis(
-                    fwdpad_ref[:, :], jnp.clip(base_idx, 0, W_f - 1),
-                    axis=1)
-            elif variant == "shift":
-                # one barrel-shifted window covers both: lane q holds
-                # fwdpad[127 + diff + q] = fwd[q + diff - 1]
-                row = _shift_rows(fwdpad_ref[:, :], 127 + diff, bwp)
-                diag_w = row[:, :bwp]
-                skip_w = pltpu.roll(row, row.shape[1] - 1, 1)[:, :bwp]
-            else:
-                for i in range(R):
-                    d_i = diff[i, 0]
-                    row = gather_row(fwdpad_ref, i, 127 + d_i)
-                    dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
-                    sw_ref[pl.ds(i, 1), :] = pltpu.roll(
-                        row, W_seg - 1, 1)[:, :bwp]
-                diag_w = dw_ref[:, :]
-                skip_w = sw_ref[:, :]
+            diag_w, skip_w = _gather_diag_skip(
+                variant, fwdpad_ref, diff, lanes, bwp, W_f, W_seg,
+                dw_ref, sw_ref, gather_row)
             diag_score = diag_w + shifted
             skip_score = skip_w - skip_pen
 
@@ -525,19 +534,8 @@ def _make_fwd_chunk_kernel(p: DpParams, R: int, Lc: int, L: int, P: int,
             hi = jnp.where(is_prefix,
                            jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
                            nev)
-            if variant == "gather":
-                win = jnp.take_along_axis(
-                    em_ref[:, :],
-                    jnp.clip(band_start + bwp + lanes, 0, E_tot - 1),
-                    axis=1)
-            elif variant == "shift":
-                win = _shift_rows(em_ref[:, :], band_start + bwp,
-                                  bwp)[:, :bwp]
-            else:
-                for i in range(R):
-                    w_row = gather_row(em_ref, i, band_start[i, 0] + bwp)
-                    win_ref[pl.ds(i, 1), :] = w_row[:, :bwp]
-                win = win_ref[:, :]
+            win = _gather_em_window(variant, em_ref, band_start, lanes,
+                                    bwp, E_tot, win_ref, gather_row)
             mu = _col_f(rm, lanes_Lc, r_local)
             sd = _col_f(rs, lanes_Lc, r_local)
             z = jnp.abs((win - mu) / sd)
@@ -551,27 +549,9 @@ def _make_fwd_chunk_kernel(p: DpParams, R: int, Lc: int, L: int, P: int,
             diff = jnp.clip(band_start - prev_start, 0, bwp)
             same = diff == 0
             fwdpad_ref[:, pl.ds(128, bwp)] = fwd
-            if variant == "gather":
-                base_idx = 128 + diff + lanes
-                diag_w = jnp.take_along_axis(
-                    fwdpad_ref[:, :], jnp.clip(base_idx - 1, 0, W_f - 1),
-                    axis=1)
-                skip_w = jnp.take_along_axis(
-                    fwdpad_ref[:, :], jnp.clip(base_idx, 0, W_f - 1),
-                    axis=1)
-            elif variant == "shift":
-                row = _shift_rows(fwdpad_ref[:, :], 127 + diff, bwp)
-                diag_w = row[:, :bwp]
-                skip_w = pltpu.roll(row, row.shape[1] - 1, 1)[:, :bwp]
-            else:
-                for i in range(R):
-                    d_i = diff[i, 0]
-                    row = gather_row(fwdpad_ref, i, 127 + d_i)
-                    dw_ref[pl.ds(i, 1), :] = row[:, :bwp]
-                    sw_ref[pl.ds(i, 1), :] = pltpu.roll(
-                        row, W_seg - 1, 1)[:, :bwp]
-                diag_w = dw_ref[:, :]
-                skip_w = sw_ref[:, :]
+            diag_w, skip_w = _gather_diag_skip(
+                variant, fwdpad_ref, diff, lanes, bwp, W_f, W_seg,
+                dw_ref, sw_ref, gather_row)
             diag_score = diag_w + shifted
             skip_score = skip_w - skip_pen
 

@@ -165,6 +165,16 @@ def _fetch(*arrs):
     return out
 
 
+def _fetch_row(a) -> np.ndarray:
+    """Single-row on-demand fetch (rare paths: lazy cpts
+    materialization, stall-overflow seg rows, static-fallback event
+    means); counted so the transfer profile stays honest."""
+    out = np.asarray(a)
+    if _profiling():
+        TRANSFER_BYTES["fetch"] += out.nbytes
+    return out
+
+
 def _pad_rows(arr: np.ndarray, b_pad: int) -> np.ndarray:
     """Pad the batch axis to ``b_pad`` rows by replicating row 0.
 
@@ -655,7 +665,7 @@ class BatchedResquiggler:
         the device-resident matrix; cached)."""
         if s.cpts is None and s.cpts_dev is not None:
             arr, row, n = s.cpts_dev
-            s.cpts = np.asarray(arr[row], np.int64)[:n]
+            s.cpts = _fetch_row(arr[row]).astype(np.int64)[:n]
         return s.cpts
 
     def _pallas_in_jit(self) -> bool:
@@ -1230,7 +1240,7 @@ class BatchedResquiggler:
             np.cumsum(seg_d16[:B].astype(np.int64), axis=1,
                       out=seq_segs_np[:, 1:])
             for i in np.flatnonzero(seg_over[:B]):
-                seq_segs_np[i] = np.asarray(seq_segs_j[i], np.int64)
+                seq_segs_np[i] = _fetch_row(seq_segs_j[i]).astype(np.int64)
             rsrtr_np = rsrtr_np[:B]
             has_del = has_del[:B]
         else:
@@ -1271,8 +1281,8 @@ class BatchedResquiggler:
                 continue
             if s.event_means is None:
                 # rare path: pull this read's event means from the device
-                s.event_means = np.asarray(
-                    ctx["em"][s.dev_row], np.float64)[:s.n_ev]
+                s.event_means = _fetch_row(
+                    ctx["em"][s.dev_row]).astype(np.float64)[:s.n_ev]
             try:
                 seq_events = rsq.find_static_base_assignment(
                     s.event_means, s.ref_means, s.ref_sds, self.params)
