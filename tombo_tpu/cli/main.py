@@ -9,6 +9,7 @@ detect_modifications, text_output, build_model and plot.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -434,6 +435,9 @@ def _add_detect_parsers(subparsers):
                        default=config.DEFAULT_REGION_SIZE)
         p.add_argument("--num-most-significant-stored", type=int,
                        default=100000)
+        p.add_argument("--skip-levels-cache", action="store_true",
+                       help="Do not write or read the per-directory read-"
+                            "levels sidecar (warm-run FAST5 bypass)")
         p.add_argument("--dna", action="store_true")
         p.add_argument("--rna", action="store_true")
         _add_common(p)
@@ -442,6 +446,8 @@ def _add_detect_parsers(subparsers):
     def setup(args, stat_type, thresh_table):
         from ..io.fasta import Fasta
         from ..io.model_io import KmerModel
+        if getattr(args, "skip_levels_cache", False):
+            os.environ["TOMBO_TPU_LEVELS_SIDECAR"] = "0"
         samp_type = (config.RNA_SAMP_TYPE if args.rna
                      else config.DNA_SAMP_TYPE)
         if args.tombo_model_filename:

@@ -821,7 +821,13 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
             bool(pr_files), stat_names)
 
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=num_processes) as pool:
+    from . import levels_cache
+    # single-host runs append any FAST5-loaded levels to the
+    # per-directory sidecar so subsequent detection runs skip HDF5
+    # entirely (multi-host runs only read it: the cache lives beside
+    # possibly-shared data)
+    with levels_cache.building(not multi), \
+            ThreadPoolExecutor(max_workers=num_processes) as pool:
         if multi:
             # collectives must run in deterministic region order on every
             # host: the thread pool computes host-local accumulators, the

@@ -15,6 +15,7 @@ import numpy as np
 from scipy import stats as sps
 
 from .. import config
+from ..errors import TomboTpuError
 
 SMALLEST_PVAL = 1e-50
 
@@ -35,7 +36,11 @@ def calc_window_fishers_method(pvals: np.ndarray, lag: int) -> np.ndarray:
     assert lag > 0, "Invalid p-value window provided."
     width = lag * 2 + 1
     if pvals.shape[-1] < width:
-        raise ValueError(
+        # TomboTpuError so per-read loops skip the read, matching the
+        # reference's th.TomboError (tombo/tombo_stats.py:2258): a read
+        # overlapping a test region by fewer bases than the window is
+        # skipped, not fatal
+        raise TomboTpuError(
             "P-values vector too short for Fisher's Method window "
             "computation.")
     with np.errstate(invalid="ignore"):
@@ -57,7 +62,8 @@ def calc_window_means(stat: np.ndarray, lag: int) -> np.ndarray:
     assert lag > 0
     width = lag * 2 + 1
     if stat.shape[-1] < width:
-        raise ValueError("Statistics vector too short for window mean.")
+        raise TomboTpuError(
+            "Statistics vector too short for window mean.")
     cs = np.cumsum(stat, axis=-1)
     pad = np.zeros(cs.shape[:-1] + (1,))
     cs = np.concatenate([pad, cs], axis=-1)

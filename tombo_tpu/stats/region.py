@@ -21,6 +21,7 @@ import numpy as np
 from ..errors import TomboTpuError
 from ..io import fast5 as f5io
 from ..types import ReadData
+from . import levels_cache
 
 _N_IO_THREADS = 8
 
@@ -67,20 +68,31 @@ def _load_levels_raw(r_data: ReadData):
 
 def load_read_levels(r_data: ReadData, with_seq: bool = False) -> ReadLevels:
     """Load one read's norm_mean (+base) from its FAST5 corrected group
-    (reference: tombo/tombo_helper.py:1593-1659), through the LRU."""
+    (reference: tombo/tombo_helper.py:1593-1659), through the LRU and
+    the per-directory levels sidecar (stats/levels_cache.py) — warm
+    detection runs never open HDF5 at all."""
     # file mtime/size in the key: a re-squiggled (rewritten) FAST5 never
     # serves stale cached levels
     try:
         st = os.stat(r_data.fn)
         key = (r_data.fn, r_data.corr_group, st.st_mtime_ns, st.st_size)
     except OSError:
+        st = None
         key = (r_data.fn, r_data.corr_group, None, None)
     with _levels_lock:
         hit = _levels_cache.get(key)
         if hit is not None:
             _levels_cache.move_to_end(key)
     if hit is None:
-        hit = _load_levels_raw(r_data)
+        if st is not None:
+            hit = levels_cache.lookup(r_data.fn, r_data.corr_group,
+                                      st.st_mtime_ns, st.st_size)
+        if hit is None:
+            hit = _load_levels_raw(r_data)
+            if st is not None:
+                levels_cache.record(
+                    r_data.fn, r_data.corr_group, hit[2],
+                    st.st_mtime_ns, st.st_size, hit[0], hit[1])
         if _LEVELS_CACHE_CAP > 0:
             with _levels_lock:
                 _levels_cache[key] = hit
