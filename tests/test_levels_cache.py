@@ -80,6 +80,38 @@ def test_sidecar_builds_and_serves_without_hdf5(resquiggled, monkeypatch):
         np.testing.assert_array_equal(a[strand], b[strand])
 
 
+def test_estimate_builds_and_uses_sidecar(resquiggled, monkeypatch,
+                                          tmp_path):
+    """Model-estimation k-mer level extraction populates the sidecar on a
+    cold run and is served entirely from it (no HDF5) on a warm run."""
+    from tombo_tpu.stats import estimate as est
+    tmp, fasta, model, index, fast5_dir = resquiggled
+    for fn in glob.glob(os.path.join(fast5_dir, ".*.tombo.levels")):
+        os.unlink(fn)
+    rg.clear_levels_cache()
+
+    def _run():
+        return est.extract_kmer_levels(
+            index, fasta, region_size=1000, cov_thresh=1,
+            upstrm_bases=1, dnstrm_bases=1, cs_cov_thresh=None)
+
+    ref = _run()
+    assert glob.glob(os.path.join(fast5_dir, ".*.tombo.levels")), \
+        "estimation did not build the sidecar"
+
+    def _no_h5(r_data):
+        raise AssertionError("HDF5 touched on a warm run: %s" % r_data.fn)
+
+    rg.clear_levels_cache()
+    monkeypatch.setattr(rg, "_load_levels_raw", _no_h5)
+    warm = _run()
+    assert len(ref) == len(warm)
+    for a, b in zip(ref, warm):
+        assert set(a) == set(b)
+        for km in a:
+            np.testing.assert_array_equal(a[km], b[km])
+
+
 def test_sidecar_stale_entries_fall_back(resquiggled, monkeypatch):
     """A rewritten FAST5 (changed mtime/size) must not be served from the
     sidecar: its read falls back to the HDF5 loader."""

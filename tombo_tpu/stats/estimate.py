@@ -24,7 +24,8 @@ from ..io import fast5 as f5io
 from ..io.model_io import AltModel, KmerModel, all_kmers
 from ..pipeline import resquiggle as rsq
 from ..seq import TomboMotif, rev_comp
-from .region import RegionData
+from . import levels_cache
+from .region import RegionData, load_read_levels
 
 DNA_BASES = "ACGT"
 
@@ -182,7 +183,10 @@ def extract_kmer_levels(reads_index, fasta, region_size, cov_thresh,
             reg, fasta, cov_thresh, upstrm_bases, dnstrm_bases,
             cs_cov_thresh, est_mean, region_size, motif, valid_poss, rng)
 
-    with ThreadPoolExecutor(num_processes) as pool:
+    # cache misses populate the per-directory levels sidecar, so a
+    # subsequent detection (or estimation) pass over the same reads
+    # skips HDF5 entirely (stats/levels_cache.py)
+    with levels_cache.building(), ThreadPoolExecutor(num_processes) as pool:
         out = list(pool.map(one, regions))
     return [r for r in out if r is not None]
 
@@ -339,11 +343,11 @@ def parse_base_levels(all_reads, std_ref: KmerModel, kmer_obs_thresh,
     completed = set()
     for r_data in all_reads:
         try:
-            with h5py.File(r_data.fn, "r") as fp:
-                events = fp["/Analyses/" + r_data.corr_group + "/Events"]
-                r_means = events["norm_mean"][:]
-                r_seq = b"".join(events["base"][:]).decode()
-        except (OSError, KeyError):
+            # through the LRU + per-directory sidecar (stats/region.py):
+            # warm alt-estimation runs never open HDF5
+            rl = load_read_levels(r_data, with_seq=True)
+            r_means, r_seq = rl.means, rl.seq
+        except (OSError, KeyError, TomboTpuError):
             continue
         for i, level in enumerate(r_means[central:-dnstrm]):
             km = r_seq[i:i + k]
@@ -375,9 +379,10 @@ def est_kernel_density(reads_index, std_ref, kmer_obs_thresh,
     """(reference: tombo/tombo_stats.py:1916-1944)."""
     all_reads = list(reads_index.iter_reads())
     (rng or np.random.default_rng(0)).shuffle(all_reads)
-    base_levels = parse_base_levels(
-        all_reads, std_ref, kmer_obs_thresh, max_kmer_obs,
-        min_kmer_obs_to_est)
+    with levels_cache.building():
+        base_levels = parse_base_levels(
+            all_reads, std_ref, kmer_obs_thresh, max_kmer_obs,
+            min_kmer_obs_to_est)
     kmer_dens = {}
     for km, norm_levels in base_levels.items():
         norm_levels = np.array(norm_levels)
