@@ -81,26 +81,34 @@ def _dist_from_args(args):
 
 
 def _open_genomic_aligner(args):
-    """Open minimap2 for genomic resquiggle; never silently downgrade.
+    """Open an aligner for genomic resquiggle; never silently downgrade.
 
     The reference hard-fails when mappy is unavailable
-    (reference: tombo/resquiggle.py:14-21).  The built-in exact aligner
-    maps ~nothing on real error-prone reads, so it is only usable behind
-    an explicit opt-in flag.
+    (reference: tombo/resquiggle.py:14-21).  This build additionally
+    carries its own native minimizer/chain engine (csrc/aligner.cpp) that
+    handles real error-prone reads, so the order is: mappy, then the
+    native engine.  The exact aligner maps ~nothing on real reads and is
+    only usable behind an explicit opt-in flag.
     """
     from ..io.fasta import Fasta
-    from ..pipeline.aligner import ExactAligner, MappyAligner
+    from ..pipeline.aligner import (ExactAligner, MappyAligner,
+                                    MinimizerAligner)
     try:
         return MappyAligner(args.reference)
+    except TomboTpuError:
+        pass
+    try:
+        return MinimizerAligner(Fasta(args.reference))
     except TomboTpuError as e:
         if not getattr(args, "allow_exact_aligner", False):
             raise TomboTpuError(
-                "minimap2 (mappy) could not be loaded (%s). The built-in "
-                "exact aligner fails to map real error-prone reads; pass "
-                "--allow-exact-aligner to use it anyway (synthetic or "
-                "error-free reads only)." % e)
-        print("WARNING: mappy unavailable; using the built-in exact "
-              "aligner. Real error-prone reads will fail to map.",
+                "no real aligner available: mappy is not installed and "
+                "the native minimizer aligner could not be loaded (%s). "
+                "The built-in exact aligner fails to map real error-prone "
+                "reads; pass --allow-exact-aligner to use it anyway "
+                "(synthetic or error-free reads only)." % e)
+        print("WARNING: no real aligner available; using the built-in "
+              "exact aligner. Real error-prone reads will fail to map.",
               file=sys.stderr)
         return ExactAligner(Fasta(args.reference))
 

@@ -102,6 +102,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double)]
+        lib.aln_index_build.restype = ctypes.c_void_p
+        lib.aln_index_build.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.aln_index_free.restype = None
+        lib.aln_index_free.argtypes = [ctypes.c_void_p]
+        lib.aln_map.restype = ctypes.c_int64
+        lib.aln_map.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64]
         lib.resquiggle_read_baseline_rna.restype = ctypes.c_int
         lib.resquiggle_read_baseline_rna.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,

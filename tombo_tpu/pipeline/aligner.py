@@ -4,11 +4,14 @@ The reference treats minimap2 (via the ``mappy`` python API) as an external
 engine (reference: tombo/resquiggle.py:14-21, 2031-2032).  This module keeps
 that boundary: an :class:`Aligner` protocol with
 * :class:`MappyAligner` — used when ``mappy`` is installed;
-* :class:`ExactAligner` — a built-in exact/seed aligner against an in-memory
-  reference, sufficient for synthetic and error-free reads (tests, demos)
-  when ``mappy`` is unavailable in the environment.
+* :class:`MinimizerAligner` — the built-in native engine
+  (csrc/aligner.cpp): minimizer seeding + anchor chaining + piecewise
+  banded alignment, handling real error-prone nanopore basecalls without
+  any external dependency;
+* :class:`ExactAligner` — exact/seed aligner against an in-memory
+  reference, only adequate for synthetic error-free reads (tests, demos).
 
-Both produce the same mapping record consumed by map_read().
+All produce the same mapping record consumed by map_read().
 """
 from __future__ import annotations
 
@@ -61,6 +64,80 @@ class MappyAligner:
 
     def seq(self, chrm: str, start: int, end: int) -> Optional[str]:
         return self.aligner.seq(chrm, start, end)
+
+
+class MinimizerAligner:
+    """Native minimizer/chain/align engine over an in-memory reference.
+
+    Mapping semantics follow minimap2's map-ont defaults at tombo's level
+    of need (best hit only; reference: tombo/resquiggle.py:1303 uses just
+    ``next(aligner.map(seq))``): (w,k)-minimizer seeding, gap-cost anchor
+    chaining, banded base-level alignment between anchors for the CIGAR.
+    Handles error-prone reads (~10-15% errors) on both strands.
+    """
+
+    def __init__(self, fasta: Fasta, k: int = 15, w: int = 10,
+                 max_occ: int = 200):
+        import ctypes
+
+        import numpy as np
+
+        from ..native import get_lib
+
+        lib = get_lib()
+        if lib is None or not hasattr(lib, "aln_index_build"):
+            raise TomboTpuError(
+                "native aligner library unavailable (no C++ toolchain?)")
+        self._lib = lib
+        self.fasta = fasta
+        self._chrms = list(fasta.iter_chrms())
+        seqs = [fasta.get_seq(c) for c in self._chrms]
+        offsets = np.zeros(len(seqs) + 1, np.int64)
+        for i, s in enumerate(seqs):
+            offsets[i + 1] = offsets[i] + len(s)
+        concat = "".join(seqs).encode()
+        self._handle = lib.aln_index_build(
+            concat, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(seqs), k, w, max_occ)
+        self._ct = ctypes
+        self._np = np
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.aln_index_free(self._handle)
+                self._handle = None
+        except Exception:
+            pass
+
+    def map(self, seq: str) -> Optional[Alignment]:
+        ct, np = self._ct, self._np
+        out = np.zeros(10, np.int64)
+        cap = 4096
+        while True:
+            cig = np.zeros(cap, np.int32)
+            n_cig = self._lib.aln_map(
+                self._handle, seq.encode(), len(seq),
+                out.ctypes.data_as(ct.POINTER(ct.c_int64)),
+                cig.ctypes.data_as(ct.POINTER(ct.c_int32)), cap)
+            if n_cig == -2:
+                cap *= 4
+                continue
+            break
+        if n_cig < 0:
+            return None
+        cigar = [(int(v) >> 4, int(v) & 0xF) for v in cig[:n_cig]]
+        return Alignment(
+            ctg=self._chrms[int(out[0])], r_st=int(out[1]),
+            r_en=int(out[2]), strand=int(out[5]), q_st=int(out[3]),
+            q_en=int(out[4]), mlen=int(out[6]), blen=int(out[7]),
+            cigar=cigar)
+
+    def seq(self, chrm: str, start: int, end: int) -> Optional[str]:
+        try:
+            return self.fasta.get_seq(chrm, start, end, error_end=False)
+        except TomboTpuError:
+            return None
 
 
 class ExactAligner:
@@ -118,8 +195,13 @@ class ExactAligner:
 
 
 def open_aligner(reference_fn: str):
-    """Prefer minimap2, fall back to the built-in exact aligner."""
+    """Prefer minimap2, then the native minimizer engine, then (last
+    resort, error-free reads only) the exact aligner."""
     try:
         return MappyAligner(reference_fn)
+    except TomboTpuError:
+        pass
+    try:
+        return MinimizerAligner(Fasta(reference_fn))
     except TomboTpuError:
         return ExactAligner(Fasta(reference_fn))
