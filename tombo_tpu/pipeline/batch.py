@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax import lax
 
 import os
+import sys
 
 from .. import config
 from ..config import MASK_FILL_Z_SCORE, ResquiggleParams, SIG_MATCH_THRESH
@@ -104,6 +105,11 @@ def print_stage_timings(out=None):
             name, t, 100 * t / total if total else 0))
     for name, b in sorted(TRANSFER_BYTES.items()):
         out.write("  %-18s %8.2f MB\n" % (name, b / 2 ** 20))
+
+
+# flips permanently (per process) when a Pallas kernel fails to lower or
+# execute on the active backend; the scan engine takes over
+_PALLAS_BROKEN = [False]
 
 
 def _use_pallas() -> bool:
@@ -1191,7 +1197,37 @@ class BatchedResquiggler:
             self._up(pvalid, B_pad),
             self._up(pend, B_pad),
             self._up(start_rows, B_pad))
-        if _use_pallas():
+        use_pallas = _use_pallas() and not _PALLAS_BROKEN[0]
+        try:
+            self._dp_and_finalize(live, ctx, dp_args, rows_j, clips_j,
+                                  seq_lens_j, dpp, L_max, P_max, E_max, B,
+                                  B_pad, use_pallas)
+        except (TomboTpuError, KeyboardInterrupt):
+            raise
+        except Exception as e:  # noqa: BLE001 — lowering/runtime failures
+            if not use_pallas:
+                raise
+            # The fused Pallas kernel failed to lower or execute on this
+            # backend (e.g. a Mosaic rejection of a new layout).  Fall
+            # back to the lax.scan engine permanently for this process so
+            # production runs and bench degrade instead of dying.
+            _PALLAS_BROKEN[0] = True
+            print("WARNING: Pallas DP kernel failed (%s: %s); falling "
+                  "back to the XLA scan engine for this process."
+                  % (type(e).__name__, str(e)[:200]), file=sys.stderr)
+            for s in live:
+                s.dp_segs = None
+                s.error = None
+            self._dp_and_finalize(live, ctx, dp_args, rows_j, clips_j,
+                                  seq_lens_j, dpp, L_max, P_max, E_max, B,
+                                  B_pad, False)
+
+    def _dp_and_finalize(self, live, ctx, dp_args, rows_j, clips_j,
+                         seq_lens_j, dpp, L_max, P_max, E_max, B, B_pad,
+                         use_pallas):
+        p = self.params
+        bw = p.bandwidth
+        if use_pallas:
             from ..ops import pallas_dp as pdp
             # VMEM-budgeted layout: whole-matrix fused kernel when the
             # (r_blk, L, bwp) move scratch fits, sequence-axis-chunked
