@@ -123,6 +123,41 @@ def test_short_query_no_crash(aligner):
     assert aligner.map("ACGT") is None
 
 
+def test_cli_resquiggle_noisy_reads_native_aligner(tmp_path):
+    """Full ``resquiggle`` CLI run on error-prone basecalls WITHOUT
+    --allow-exact-aligner: the mappy-unavailable policy must select the
+    native minimizer engine (not fail, not silently downgrade) and the
+    run must index the reads."""
+    import os
+
+    from tombo_tpu.cli.main import main
+    from tombo_tpu.io.index import ReadsIndex
+    from tombo_tpu.io.model_io import KmerModel
+    from tombo_tpu.testing import (random_reference, simulate_read,
+                                   write_synthetic_fast5)
+    from dataclasses import replace as dc_replace
+
+    rng = np.random.default_rng(41)
+    fasta = random_reference(np.random.default_rng(42), 20000)
+    model = KmerModel.load_default("DNA")
+    fast5_dir = str(tmp_path / "noisy_fast5s")
+    os.makedirs(fast5_dir)
+    for i in range(6):
+        read = simulate_read(rng, fasta, model, read_len=1000,
+                             read_id="ncli_%03d" % i)
+        read = dc_replace(read, seq=_mutate(rng, read.seq, err=0.08))
+        write_synthetic_fast5(
+            os.path.join(fast5_dir, read.read_id + ".fast5"), read)
+    fasta_fn = str(tmp_path / "ref.fasta")
+    fasta.write(fasta_fn)
+
+    assert main(["resquiggle", fast5_dir, fasta_fn, "--dna",
+                 "--overwrite", "-q"]) == 0
+    idx = ReadsIndex([fast5_dir])
+    n_indexed = sum(len(v) for v in idx.reads_index.values())
+    assert n_indexed >= 5, n_indexed
+
+
 def test_resquiggle_e2e_with_noisy_basecalls(genome, aligner):
     """Full single-read resquiggle where the basecalls carry 10% errors:
     the aligner recovers the genomic window and the DP aligns the (clean)
