@@ -136,3 +136,61 @@ def test_finalize_delta_wire_format():
     assert not over[0] and over[1]
     np.testing.assert_array_equal(rec[0], full[0])
     assert not np.array_equal(rec[1], full[1])   # wrapped -> refetch path
+
+
+def test_ragged_raw_wire_format():
+    """Flat ragged signal upload + device scatter reproduces the dense
+    padded int16 matrix bit for bit."""
+    from tombo_tpu.pipeline.batch import _unflatten_rows, _geo_bucket
+    rng = np.random.default_rng(3)
+    lens = rng.integers(100, 5000, size=17)
+    rows = [rng.integers(-2000, 2000, size=n).astype(np.int16)
+            for n in lens]
+    S = 5120
+    dense = np.zeros((len(rows), S), np.int16)
+    for i, r in enumerate(rows):
+        dense[i, :r.shape[0]] = r
+    flat = np.zeros(_geo_bucket(int(lens.sum())), np.int16)
+    offs = np.zeros(len(rows), np.int32)
+    o = 0
+    for i, r in enumerate(rows):
+        flat[o:o + r.shape[0]] = r
+        offs[i] = o
+        o += r.shape[0]
+    out = np.asarray(_unflatten_rows(
+        jnp.asarray(flat), jnp.asarray(offs),
+        jnp.asarray(lens.astype(np.int32)), S))
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, dense)
+
+
+@pytest.mark.parametrize("clip", [False, True])
+def test_packed_codes_wire_format(clip):
+    """2-bit packed bases + device k-mer derivation matches the dense
+    sentinel-padded int code rows exactly (both clip modes)."""
+    from tombo_tpu.pipeline.batch import _pack_bases, _codes_from_packed
+    from tombo_tpu.seq import encode_seq, seq_to_kmer_codes
+    rng = np.random.default_rng(11)
+    k, width, n_sent = 6, 256, 4096
+    seqs = ["".join(rng.choice(list("ACGT"), size=n))
+            for n in [40, 200, 256 + k - 1, 400, 261]]
+    B = len(seqs)
+    PB = (width + k - 1 + 3) // 4
+    packed = np.zeros((B, PB), np.uint8)
+    n_codes = np.zeros(B, np.int32)
+    dense = np.full((B, width), n_sent, np.int64)
+    for i, s in enumerate(seqs):
+        c = seq_to_kmer_codes(encode_seq(s), k)
+        n_codes[i] = c.shape[0]
+        if clip:
+            if c.shape[0] >= width:
+                dense[i] = c[:width]
+        else:
+            dense[i, :min(c.shape[0], width)] = c[:width]
+        pb = _pack_bases(encode_seq(s).astype(np.uint8))
+        m = min(PB, pb.shape[0])
+        packed[i, :m] = pb[:m]
+    out = np.asarray(_codes_from_packed(
+        jnp.asarray(packed), jnp.asarray(n_codes),
+        width, k, n_sent, clip))
+    np.testing.assert_array_equal(out, dense.astype(np.int32))

@@ -45,6 +45,7 @@ from ..ops import normalize as nrm
 from ..ops import ref_impl
 from ..ops import segment as seg
 from ..ops import select as sel
+from ..seq import encode_seq
 from ..types import ResquiggleResults, ScaleValues, SeqSampleType
 from . import resquiggle as rsq
 
@@ -193,6 +194,68 @@ def _pad_rows(arr: np.ndarray, b_pad: int) -> np.ndarray:
         [arr, np.broadcast_to(arr[0], (b_pad - b,) + arr.shape[1:])], axis=0)
 
 
+def _geo_bucket(x: int, lo: int = 1 << 16, ratio: float = 1.25) -> int:
+    """Geometric bucket family for the flat (ragged) signal buffer.
+
+    A 1.25 step bounds padding waste at 20% (mean ~10%) while keeping the
+    bucket set small enough that steady-state batches reuse compiled
+    shapes."""
+    b = lo
+    while b < x:
+        b = _round_up(int(b * ratio), 1024)
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _unflatten_rows(flat, offsets, lens, S: int):
+    """Scatter a flat concatenated signal buffer into the padded (B, S)
+    matrix on device.  Uploading only the real samples (plus a small
+    geometric-bucket pad) instead of the dense padded matrix cuts the
+    dominant host->device transfer by the per-read padding waste —
+    dramatic on mixed-length batches where the longest read sets S."""
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    valid = pos < lens.astype(jnp.int32)[:, None]
+    idx = offsets.astype(jnp.int32)[:, None] + pos
+    out = jnp.take(flat, jnp.where(valid, idx, 0))
+    return jnp.where(valid, out, jnp.zeros((), flat.dtype))
+
+
+def _pack_bases(bc: np.ndarray) -> np.ndarray:
+    """Pack 0..3 base codes four-per-byte (little-endian within the
+    byte); the device side unpacks with two-bit shifts."""
+    n4 = _round_up(bc.shape[0], 4)
+    b = np.zeros(n4, np.uint8)
+    b[:bc.shape[0]] = bc
+    b = b.reshape(-1, 4)
+    return (b[:, 0] | (b[:, 1] << 2) | (b[:, 2] << 4) |
+            (b[:, 3] << 6)).astype(np.uint8)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("width", "k", "n_sent", "clip"))
+def _codes_from_packed(packed, n_codes, width: int, k: int, n_sent: int,
+                       clip: bool):
+    """Derive (B, width) k-mer codes on device from 2-bit packed bases.
+
+    Exactly reproduces the host ``seq_to_kmer_codes`` integer arithmetic
+    (first base most significant) with the sentinel fill of
+    ``_codes_rows``; ships width/4 + k bytes per read over the link
+    instead of 2*width."""
+    B, PB = packed.shape
+    p = packed.astype(jnp.int32)
+    bases = jnp.stack([(p >> (2 * j)) & 3 for j in range(4)],
+                      axis=-1).reshape(B, PB * 4)[:, :width + k - 1]
+    codes = jnp.zeros((B, width), jnp.int32)
+    for j in range(k):
+        codes = codes * 4 + bases[:, j:j + width]
+    nc = n_codes.astype(jnp.int32)[:, None]
+    if clip:
+        valid = nc >= width
+    else:
+        valid = jnp.arange(width, dtype=jnp.int32)[None, :] < nc
+    return jnp.where(valid, codes, n_sent)
+
+
 @dataclass
 class _ReadState:
     """Per-read mutable state as it flows through the stages."""
@@ -227,6 +290,10 @@ class _ReadState:
     # these (L,) int16 rows and gather expected levels from the on-chip
     # model table (4x less wire than two float level rows per read)
     ref_codes: Optional[np.ndarray] = None
+    # 2-bit packed base codes of the mapped sequence (4 bases/byte);
+    # device stages ship these and derive the k-mer codes on-chip — 8x
+    # less wire than the int16 code rows
+    packed_bases: Optional[np.ndarray] = None
     genome_seq_trim: Optional[str] = None
     use_static: bool = False
     n_ev: int = 0
@@ -630,10 +697,28 @@ class BatchedResquiggler:
 
     def _codes_rows(self, live, B: int, B_pad: int, width: int,
                     clip: bool = False):
-        """(B, width) k-mer code matrix for a set of reads, sentinel-
-        padded; int16 wire format when the table allows.  ``clip=True``
-        crops each row to ``width`` (start-discovery prefix rows)."""
+        """Device (B, width) k-mer code matrix for a set of reads,
+        sentinel-padded.  Wire format: 2-bit packed bases (4/byte) plus a
+        per-read code count; the codes are derived on-chip
+        (``_codes_from_packed``), 8x less link traffic than int16 code
+        rows.  ``clip=True`` crops each row to ``width`` (start-discovery
+        prefix rows; shorter reads become all-sentinel rows)."""
         n_sent = self.std_ref.means.shape[0]
+        k = self.std_ref.kmer_width
+        if all(s.packed_bases is not None and s.ref_codes is not None
+               for s in live):
+            PB = _round_up(width + k - 1, 4) // 4
+            packed = np.zeros((B, PB), np.uint8)
+            n_codes = np.zeros(B, np.int32)
+            for i, s in enumerate(live):
+                pb = s.packed_bases
+                m = min(PB, pb.shape[0])
+                packed[i, :m] = pb[:m]
+                n_codes[i] = s.ref_codes.shape[0]
+            return _codes_from_packed(
+                self._up(packed, B_pad), self._up(n_codes, B_pad),
+                width, k, n_sent, clip)
+        # dense fallback (reads without host-mapped sequences)
         dt = np.int16 if n_sent < 2 ** 15 else np.int32
         ridx = np.full((B, width), n_sent, dt)
         for i, s in enumerate(live):
@@ -713,17 +798,39 @@ class BatchedResquiggler:
             # raw_i16 at state creation, so this fills the half-width
             # buffer directly with no full-matrix scan or float64 staging
             # pass.
-            if all(s.raw_i16 is not None for s in live):
+            if all(s.raw_i16 is not None for s in live) and self.mesh is None:
+                # ragged wire format: ship only the real samples as one
+                # flat buffer (geometric-bucket padded) and scatter into
+                # the padded (B, S) matrix on device — removes the
+                # per-read padding waste from the dominant transfer
+                total = int(sig_lens.sum())
+                flat = np.zeros(_geo_bucket(total), np.int16)
+                offs = np.zeros(B, np.int32)
+                o = 0
+                for i, s in enumerate(live):
+                    n = s.raw_i16.shape[0]
+                    flat[o:o + n] = s.raw_i16
+                    offs[i] = o
+                    o += n
+                    s.dev_row = i
+                flat_j = jnp.asarray(flat)
+                if _profiling():
+                    TRANSFER_BYTES["upload"] += flat_j.nbytes
+                raw_j = _unflatten_rows(
+                    flat_j, self._up(offs, B_pad),
+                    self._up(sig_lens.astype(np.int32), B_pad), S_max)
+            elif all(s.raw_i16 is not None for s in live):
                 raw_pad = np.zeros((B, S_max), np.int16)
                 for i, s in enumerate(live):
                     raw_pad[i, :s.raw_i16.shape[0]] = s.raw_i16
                     s.dev_row = i
+                raw_j = self._up(raw_pad, B_pad)
             else:
                 raw_pad = np.zeros((B, S_max), self.dtype)
                 for i, s in enumerate(live):
                     raw_pad[i, :s.raw.shape[0]] = s.raw
                     s.dev_row = i
-            raw_j = self._up(raw_pad, B_pad)
+                raw_j = self._up(raw_pad, B_pad)
         for i, s in enumerate(live):
             s.raw_dev = (raw_j, i)
         lens_j = self._up(sig_lens, B_pad)
@@ -1012,6 +1119,8 @@ class BatchedResquiggler:
                 s.error = str(e)
                 continue
             s.ref_codes = codes
+            s.packed_bases = _pack_bases(
+                encode_seq(s.map_res.genome_seq).astype(np.uint8))
             r_means = std_ref.means[codes]
             r_sds = std_ref.sds[codes]
             s.ref_means, s.ref_sds = r_means, r_sds
