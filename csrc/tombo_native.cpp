@@ -764,3 +764,122 @@ void raw_windows_dp_batch(const double* sig, const int64_t* sig_off,
 }
 
 }  // extern "C"
+
+namespace {
+
+// One band row of the static-band DP, mirroring the float64 oracle's
+// max-plus formulation (tombo_tpu/ops/ref_impl.py process_band_row) op for
+// op so results are bit-identical to the numpy path: c = prefix sum of the
+// stay increments, u = d - c with u[0] = first_val, fwd = c + cummax(u).
+void static_band_row(const double* prev_fwd, const double* sz, int64_t bw,
+                     double first_val, int8_t first_move, double stay_pen,
+                     double skip_pen, int64_t diff, double* fwd,
+                     int8_t* moves, double* diag, double* skip, double* c) {
+  const double neg_inf = -std::numeric_limits<double>::infinity();
+  for (int64_t p = 0; p < bw; ++p) {
+    const int64_t dpos = p + diff - 1;
+    diag[p] = ((dpos >= 0 && dpos < bw) ? prev_fwd[dpos] : neg_inf) + sz[p];
+    const int64_t spos = p + diff;
+    skip[p] = ((spos < bw) ? prev_fwd[spos] : neg_inf) - skip_pen;
+  }
+  c[0] = 0.0;
+  for (int64_t p = 1; p < bw; ++p) c[p] = c[p - 1] + (sz[p] - stay_pen);
+  // fwd[0] pre-reassert is 0.0 + first_val (what the oracle's stay_score
+  // reads); the exported fwd[0] is first_val itself (oracle line 271)
+  const double fwd0_pre = 0.0 + first_val;
+  double run = first_val;
+  double fwd_prev = fwd0_pre;
+  fwd[0] = first_val;
+  moves[0] = first_move;
+  for (int64_t p = 1; p < bw; ++p) {
+    const double d = diag[p] > skip[p] ? diag[p] : skip[p];
+    const double u = d - c[p];
+    if (u > run) run = u;
+    const double f = c[p] + run;
+    const double stay_s = fwd_prev - stay_pen + sz[p];
+    int8_t m = 0;
+    if (diag[p] > stay_s) m = 2;
+    const double best_sd = stay_s > diag[p] ? stay_s : diag[p];
+    if (skip[p] > best_sd) m = 1;
+    moves[p] = m;
+    fwd[p] = f;
+    fwd_prev = f;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Short-read static-band base assignment: band plan + per-row winsorized
+// z-scores + static-band DP + traceback in one native call (reference:
+// tombo/resquiggle.py:547-600 ``find_static_base_assignment``,
+// tombo/_c_dynamic_programming.pyx:240 ``c_banded_forward_pass`` and :281
+// ``c_banded_traceback``).  Bit-identical to the float64 numpy oracle path
+// in pipeline/resquiggle.py + ops/ref_impl.py (verified by
+// tests/test_native.py).  Writes seq_len + 1 event boundaries to ``out``.
+// Returns 0 on success, 1 on degenerate shapes.
+int static_base_assignment(const double* event_means, int64_t events_len,
+                           const double* ref_means, const double* ref_sds,
+                           int64_t seq_len, double z_shift, double skip_pen,
+                           double stay_pen, int winsorize, double max_half_z,
+                           int64_t* out) {
+  const int64_t mask_len = std::min(seq_len, events_len) / 4;
+  const int64_t bw = events_len - mask_len;
+  if (seq_len <= 0 || bw <= 0) return 1;
+
+  std::vector<int64_t> starts(seq_len, 0);
+  const int64_t n_ramp = mask_len * 2;
+  if (n_ramp > 0)
+    linspace_i64(0.0, static_cast<double>(mask_len), n_ramp,
+                 starts.data() + (seq_len - n_ramp));
+
+  std::vector<double> fwd_prev(bw, 0.0), fwd_cur(bw), sz(bw);
+  std::vector<double> diag(bw), skip(bw), c(bw);
+  std::vector<int8_t> tb(static_cast<size_t>(seq_len + 1) * bw, 0);
+
+  for (int64_t row = 0; row < seq_len; ++row) {
+    const int64_t start = starts[row];
+    const double m = ref_means[row], sd = ref_sds[row];
+    for (int64_t p = 0; p < bw; ++p) {
+      double z = std::fabs((event_means[start + p] - m) / sd);
+      if (winsorize && z > max_half_z) z = max_half_z;
+      sz[p] = z_shift - z;
+    }
+    const int64_t diff = row > 0 ? starts[row] - starts[row - 1] : 0;
+    double first_val;
+    int8_t first_move;
+    if (diff == 0) {
+      first_val = fwd_prev[0] - skip_pen;
+      first_move = 1;
+    } else {
+      first_val = fwd_prev[diff - 1] + sz[0];
+      first_move = 2;
+    }
+    static_band_row(fwd_prev.data(), sz.data(), bw, first_val, first_move,
+                    stay_pen, skip_pen, diff, fwd_cur.data(),
+                    tb.data() + static_cast<size_t>(row + 1) * bw,
+                    diag.data(), skip.data(), c.data());
+    fwd_prev.swap(fwd_cur);
+  }
+
+  // argmax of the final forward row (first maximal index, as np.argmax)
+  int64_t band_pos = 0;
+  for (int64_t p = 1; p < bw; ++p)
+    if (fwd_prev[p] > fwd_prev[band_pos]) band_pos = p;
+
+  // traceback (ops/ref_impl.py banded_traceback, no boundary check)
+  int64_t curr_event_pos = band_pos + starts[seq_len - 1];
+  out[seq_len] = curr_event_pos + 1;
+  for (int64_t seq = seq_len; seq > 0; --seq) {
+    int64_t bp = curr_event_pos - starts[seq - 1];
+    const int8_t* row_tb = tb.data() + static_cast<size_t>(seq) * bw;
+    while (bp > 0 && row_tb[bp] == 0) --bp;
+    if (row_tb[bp] == 2) --bp;
+    curr_event_pos = starts[seq - 1] + bp;
+    out[seq - 1] = curr_event_pos + 1;
+  }
+  return 0;
+}
+
+}  // extern "C"

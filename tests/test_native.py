@@ -103,3 +103,39 @@ def test_raw_windows_dp_batch_parity():
     assert (status == 0).all()
     for w in range(12):
         np.testing.assert_array_equal(segs_list[w], oracle[w], str(w))
+
+
+def test_static_base_assignment_parity():
+    """Native static-band DP is bit-identical to the numpy oracle path
+    (z construction + banded_forward_pass + banded_traceback)."""
+    from tombo_tpu import config
+
+    rng = np.random.default_rng(23)
+    params = config.load_resquiggle_parameters(config.DNA_SAMP_TYPE)
+    for seq_len, events_len in [(40, 120), (150, 420), (220, 300),
+                                (333, 901)]:
+        ev = rng.normal(0, 1, events_len)
+        rm = rng.normal(0, 1, seq_len)
+        rs = rng.uniform(0.2, 0.6, seq_len)
+
+        # numpy oracle path (copied shape of find_static_base_assignment)
+        mask_len = min(seq_len, events_len) // 4
+        starts = np.concatenate([
+            np.zeros(seq_len - mask_len * 2),
+            np.linspace(0, mask_len, mask_len * 2)]).astype(np.int64)
+        bw = events_len - mask_len
+        sz = np.empty((seq_len, bw))
+        for row, start in enumerate(starts):
+            z = np.abs((ev[start:start + bw] - rm[row]) / rs[row])
+            if params.max_half_z_score is not None:
+                z = np.minimum(z, params.max_half_z_score)
+            sz[row] = params.z_shift - z
+        fwd, tb = ri.banded_forward_pass(
+            sz, starts, params.skip_pen, params.stay_pen)
+        want = ri.banded_traceback(tb, starts, int(np.argmax(fwd[-1])))
+
+        got = native.static_base_assignment(
+            ev, rm, rs, params.z_shift, params.skip_pen, params.stay_pen,
+            params.max_half_z_score)
+        assert got is not None
+        np.testing.assert_array_equal(got, want)

@@ -102,6 +102,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double)]
+        lib.static_base_assignment.restype = ctypes.c_int
+        lib.static_base_assignment.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int64)]
         lib.aln_index_build.restype = ctypes.c_void_p
         lib.aln_index_build.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
@@ -345,6 +352,35 @@ def _np_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
         accepted.append(cand)
         blacklist[cand + 1:cand + 2 * min_base_obs + 1] = True
     return np.array(accepted, dtype=np.int64)
+
+
+def static_base_assignment(event_means: np.ndarray, ref_means: np.ndarray,
+                           ref_sds: np.ndarray, z_shift: float,
+                           skip_pen: float, stay_pen: float,
+                           max_half_z_score) -> Optional[np.ndarray]:
+    """Short-read static-band base assignment in one native call
+    (band plan + winsorized z-scores + static DP + traceback; reference:
+    tombo/resquiggle.py:547-600).  Bit-identical to the numpy oracle path
+    (tests/test_native.py); returns None when the library is unavailable
+    so the caller can fall back."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ev = np.ascontiguousarray(event_means, np.float64)
+    rm = np.ascontiguousarray(ref_means, np.float64)
+    rs = np.ascontiguousarray(ref_sds, np.float64)
+    seq_len = rm.shape[0]
+    out = np.empty(seq_len + 1, np.int64)
+    rc = lib.static_base_assignment(
+        _as_c(ev, ctypes.c_double), ev.shape[0],
+        _as_c(rm, ctypes.c_double), _as_c(rs, ctypes.c_double), seq_len,
+        float(z_shift), float(skip_pen), float(stay_pen),
+        int(max_half_z_score is not None),
+        float(max_half_z_score if max_half_z_score is not None else -1.0),
+        _as_c(out, ctypes.c_int64))
+    if rc != 0:
+        return None
+    return out
 
 
 # del_fix_batch status codes -> reference error strings

@@ -477,7 +477,18 @@ def find_seq_start_in_events(event_means, r_ref_means, r_ref_sds,
 def find_static_base_assignment(event_means, r_ref_means, r_ref_sds,
                                 rsqgl_params):
     """Short-read static-band assignment
-    (reference: tombo/resquiggle.py:547-600)."""
+    (reference: tombo/resquiggle.py:547-600).
+
+    Routed through one native C++ call (bit-identical to the numpy path
+    below, tests/test_native.py) — the per-row python band loop costs
+    ~0.2 s/read on the host lane; the native pass is ~100x faster."""
+    from ..native import static_base_assignment as _native_static
+    res = _native_static(
+        event_means, r_ref_means, r_ref_sds, rsqgl_params.z_shift,
+        rsqgl_params.skip_pen, rsqgl_params.stay_pen,
+        rsqgl_params.max_half_z_score)
+    if res is not None:
+        return res
     seq_len = r_ref_means.shape[0]
     events_len = event_means.shape[0]
     mask_len = min(seq_len, events_len) // 4
