@@ -220,6 +220,24 @@ def _unflatten_rows(flat, offsets, lens, S: int):
     return jnp.where(valid, out, jnp.zeros((), flat.dtype))
 
 
+def _unflatten_rows_sharded(mesh, flat2, offsets, lens, S: int):
+    """Mesh variant of ``_unflatten_rows``: each device scatters its own
+    shard's flat buffer (one row of ``flat2``) into its read rows — no
+    cross-device traffic, and the host uploads only each shard's real
+    samples."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import READS_AXIS
+
+    def local(f, o, l):
+        return _unflatten_rows(f[0], o, l, S)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(READS_AXIS), P(READS_AXIS), P(READS_AXIS)),
+        out_specs=P(READS_AXIS))(flat2, offsets, lens)
+
+
 def _pack_bases(bc: np.ndarray) -> np.ndarray:
     """Pack 0..3 base codes four-per-byte (little-endian within the
     byte); the device side unpacks with two-bit shifts."""
@@ -820,11 +838,47 @@ class BatchedResquiggler:
                     flat_j, self._up(offs, B_pad),
                     self._up(sig_lens.astype(np.int32), B_pad), S_max)
             elif all(s.raw_i16 is not None for s in live):
-                raw_pad = np.zeros((B, S_max), np.int16)
+                # mesh ragged wire format: one flat buffer PER SHARD
+                # (row of a (D, F) batch-sharded matrix); each device
+                # scatters only its own reads, host ships only real
+                # samples.  Pad rows replicate read 0 (as _pad_rows), so
+                # shards holding pad rows carry one shared copy of
+                # read 0's signal.
+                D = self.n_dev
+                R = B_pad // D
+                row_read = list(range(B)) + [0] * (B_pad - B)
+                offs = np.zeros(B_pad, np.int32)
+                lens_pad = np.zeros(B_pad, np.int32)
+                plans = []
+                for d in range(D):
+                    uniq = {}
+                    tot = 0
+                    for r in range(d * R, (d + 1) * R):
+                        ri = row_read[r]
+                        if ri not in uniq:
+                            uniq[ri] = tot
+                            tot += live[ri].raw_i16.shape[0]
+                    plans.append((uniq, tot))
+                F = _geo_bucket(max(t for _, t in plans))
+                flat2 = np.zeros((D, F), np.int16)
+                for d, (uniq, _) in enumerate(plans):
+                    for ri, off in uniq.items():
+                        r16 = live[ri].raw_i16
+                        flat2[d, off:off + r16.shape[0]] = r16
+                    for r in range(d * R, (d + 1) * R):
+                        ri = row_read[r]
+                        offs[r] = plans[d][0][ri]
+                        lens_pad[r] = live[ri].raw_i16.shape[0]
                 for i, s in enumerate(live):
-                    raw_pad[i, :s.raw_i16.shape[0]] = s.raw_i16
                     s.dev_row = i
-                raw_j = self._up(raw_pad, B_pad)
+                flat_j = jax.device_put(flat2, self._bsh)
+                offs_j = jax.device_put(offs, self._bsh)
+                lens2_j = jax.device_put(lens_pad, self._bsh)
+                if _profiling():
+                    TRANSFER_BYTES["upload"] += (
+                        flat_j.nbytes + offs_j.nbytes + lens2_j.nbytes)
+                raw_j = _unflatten_rows_sharded(
+                    self.mesh, flat_j, offs_j, lens2_j, S_max)
             else:
                 raw_pad = np.zeros((B, S_max), self.dtype)
                 for i, s in enumerate(live):
