@@ -219,13 +219,32 @@ static double median_of(const double* v, size_t len,
   const double hi = select_kth(v, len, m, scratch);
   if (len % 2 == 0) {
     // (m-1)-th: equal to hi when duplicates span the middle, else the
-    // largest element strictly below hi — one vectorizable pass
+    // largest element strictly below hi.  This pass runs over the full
+    // pair buffer, so it must be vector code: a branchy (or even
+    // branchless-ternary) max_less update does not auto-vectorize and
+    // costs more than the whole bracketed select.
+    constexpr double kNegInf = -std::numeric_limits<double>::infinity();
     size_t c_strict = 0;
-    double max_less = -std::numeric_limits<double>::infinity();
-    for (size_t i = 0; i < len; ++i) {
+    double max_less = kNegInf;
+    size_t i0 = 0;
+#ifdef __AVX512F__
+    {
+      const __m512d vhi = _mm512_set1_pd(hi);
+      __m512d vmax = _mm512_set1_pd(kNegInf);
+      for (; i0 + 8 <= len; i0 += 8) {
+        const __m512d x = _mm512_loadu_pd(v + i0);
+        const __mmask8 mlt = _mm512_cmp_pd_mask(x, vhi, _CMP_LT_OQ);
+        c_strict += static_cast<size_t>(__builtin_popcount(mlt));
+        vmax = _mm512_mask_max_pd(vmax, mlt, vmax, x);
+      }
+      max_less = _mm512_reduce_max_pd(vmax);
+    }
+#endif
+    for (size_t i = i0; i < len; ++i) {
       const double x = v[i];
       c_strict += x < hi;
-      if (x < hi && x > max_less) max_less = x;
+      const double cand = x < hi ? x : kNegInf;
+      max_less = max_less > cand ? max_less : cand;
     }
     const double lo_mid = c_strict <= m - 1 ? hi : max_less;
     return (hi + lo_mid) / 2.0;
@@ -298,12 +317,30 @@ static double median_of_f32(const float* v, size_t len,
   const size_t m = len / 2;
   const float hi = select_kth_f32(v, len, m, scratch);
   if (len % 2 == 0) {
+    // vector pass (see median_of): a scalar max_less update on the
+    // 500k-slope buffer dominated the whole selection
+    constexpr float kNegInf = -std::numeric_limits<float>::infinity();
     size_t c_strict = 0;
-    float max_less = -std::numeric_limits<float>::infinity();
-    for (size_t i = 0; i < len; ++i) {
+    float max_less = kNegInf;
+    size_t i0 = 0;
+#ifdef __AVX512F__
+    {
+      const __m512 vhi = _mm512_set1_ps(hi);
+      __m512 vmax = _mm512_set1_ps(kNegInf);
+      for (; i0 + 16 <= len; i0 += 16) {
+        const __m512 x = _mm512_loadu_ps(v + i0);
+        const __mmask16 mlt = _mm512_cmp_ps_mask(x, vhi, _CMP_LT_OQ);
+        c_strict += static_cast<size_t>(__builtin_popcount(mlt));
+        vmax = _mm512_mask_max_ps(vmax, mlt, vmax, x);
+      }
+      max_less = _mm512_reduce_max_ps(vmax);
+    }
+#endif
+    for (size_t i = i0; i < len; ++i) {
       const float x = v[i];
       c_strict += x < hi;
-      if (x < hi && x > max_less) max_less = x;
+      const float cand = x < hi ? x : kNegInf;
+      max_less = max_less > cand ? max_less : cand;
     }
     const float lo_mid = c_strict <= m - 1 ? hi : max_less;
     return (static_cast<double>(hi) + static_cast<double>(lo_mid)) / 2.0;

@@ -46,8 +46,16 @@ def main():
     if "args" not in captured:
         sys.exit("adaptive stage never hit the fused kernel "
                  "(layout routed elsewhere)")
-    args = captured["args"]
-    kw = captured["kw"]
+    import inspect
+    bound = inspect.signature(orig).bind(*captured["args"],
+                                         **captured["kw"])
+    bound.apply_defaults()
+    all_kw = dict(bound.arguments)
+    args = tuple(all_kw.pop(name) for name in (
+        "event_means", "n_events", "ref_means", "ref_sds", "seq_lens",
+        "prefix_starts", "prefix_valid_start", "prefix_end", "start_rows",
+        "params"))
+    kw = all_kw
     print("captured dp_args: em %s, L=%d, P=%d" % (
         args[0].shape, kw.get("n_rows"), kw.get("prefix_rows")))
 
