@@ -40,7 +40,7 @@ def main():
     finally:
         pb.BatchedResquiggler._finalize = orig
     states = [s for s in captured["states"]
-              if s.error is None and hasattr(s, "dp_segs")]
+              if s.error is None and getattr(s, "dp_segs", None) is not None]
     print("live:", len(states))
 
     jobs = []

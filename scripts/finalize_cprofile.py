@@ -1,4 +1,7 @@
-"""cProfile the production _finalize at bench shape (B=512)."""
+"""cProfile the production _finalize at bench shape (B=512).
+
+Runs on the ambient JAX backend by design: point it at the device
+attachment (or JAX_PLATFORMS=cpu) to profile the corresponding lane."""
 import cProfile
 import pstats
 import sys
@@ -25,7 +28,6 @@ def main():
 
     def grab(self, states, skip_seq_scaling=False):
         if "states" not in captured:
-            import copy
             captured["states"] = states
             captured["skip"] = skip_seq_scaling
             raise RuntimeError("stop-before-finalize")

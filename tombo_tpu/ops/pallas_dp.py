@@ -144,7 +144,7 @@ def _dp_variant() -> str:
     if os.environ.get("TOMBO_TPU_DP_GATHER", "0") == "1":
         return "gather"
     try:
-        if jax.default_backend() != "cpu":
+        if jax.default_backend() == "tpu":
             return "shift"
     except Exception:  # backend probe must never break the CPU path
         pass

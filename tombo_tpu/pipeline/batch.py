@@ -206,6 +206,39 @@ def _geo_bucket(x: int, lo: int = 1 << 16, ratio: float = 1.25) -> int:
     return b
 
 
+def _delta_wire() -> bool:
+    """int8-delta raw wire format (default on): consecutive DAC samples
+    differ by < 128 for ~97% of positions, so the dominant host->device
+    transfer ships one int8 delta per sample plus a sparse escape list
+    (position, residual) instead of dense int16 — ~1.7x less wire.
+    Reconstruction (int32 cumsum after scatter-adding residuals) is
+    exact."""
+    return os.environ.get("TOMBO_TPU_DELTA_WIRE", "1") == "1"
+
+
+@functools.partial(jax.jit, static_argnames=("S",))
+def _unflatten_delta_rows(flat8, offsets, lens, firsts, exc_dest, exc_res,
+                          S: int):
+    """Reconstruct the padded (B, S) int16 signal matrix from the
+    int8-delta ragged wire format: scatter per-read deltas into rows,
+    add escape residuals at their flattened destinations, integer-cumsum
+    along the signal axis.  Bit-exact inverse of the host encoder
+    (pad rows beyond the true batch carry in-range garbage; every
+    consumer masks by its own row index)."""
+    B = offsets.shape[0]
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]
+    lens32 = lens.astype(jnp.int32)[:, None]
+    valid_d = (pos >= 1) & (pos < lens32)
+    idx = offsets.astype(jnp.int32)[:, None] + pos - 1
+    d = jnp.where(
+        valid_d,
+        jnp.take(flat8, jnp.where(valid_d, idx, 0)).astype(jnp.int32), 0)
+    d = jnp.where(pos == 0, firsts.astype(jnp.int32)[:, None], d)
+    d = d.reshape(B * S).at[exc_dest].add(exc_res.astype(jnp.int32))
+    x = jnp.cumsum(d.reshape(B, S), axis=1)
+    return jnp.where(pos < lens32, x, 0).astype(jnp.int16)
+
+
 @functools.partial(jax.jit, static_argnames=("S",))
 def _unflatten_rows(flat, offsets, lens, S: int):
     """Scatter a flat concatenated signal buffer into the padded (B, S)
@@ -286,6 +319,9 @@ class _ReadState:
     # computed once per batch so every segment pass uploads half-width
     # without re-scanning the padded matrix
     raw_i16: Optional[np.ndarray] = None
+    # cached int8-delta encoding of raw_i16 (first, deltas, escape
+    # positions, escape residuals) — see _delta_wire
+    raw_d8: Optional[tuple] = None
     # stage products
     scale_values: Optional[ScaleValues] = None
     norm: Optional[np.ndarray] = None
@@ -322,6 +358,20 @@ class _ReadState:
     # device-finalize deletion flag: False = DP path has no zero-length
     # segments (skip the raw-signal fix), None = unknown (host decides)
     has_del: Optional[bool] = None
+
+    def delta8(self):
+        """Cached int8-delta encoding of the int16 raw signal:
+        (first sample, int8 deltas, escape positions, escape residuals);
+        exact by construction (residual = true delta - clipped delta)."""
+        if self.raw_d8 is None:
+            x = self.raw_i16
+            d = np.diff(x.astype(np.int32))
+            c = np.clip(d, -128, 127)
+            epos = np.flatnonzero(d != c)
+            self.raw_d8 = (x[0] if x.size else np.int16(0),
+                           c.astype(np.int8), epos.astype(np.int32),
+                           (d[epos] - c[epos]).astype(np.int32))
+        return self.raw_d8
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -816,7 +866,47 @@ class BatchedResquiggler:
             # raw_i16 at state creation, so this fills the half-width
             # buffer directly with no full-matrix scan or float64 staging
             # pass.
-            if all(s.raw_i16 is not None for s in live) and self.mesh is None:
+            if (all(s.raw_i16 is not None for s in live) and
+                    self.mesh is None and _delta_wire()):
+                # int8-delta ragged wire format: one delta byte per
+                # sample + a sparse escape list; exact reconstruction by
+                # integer cumsum on device (see _unflatten_delta_rows)
+                total = int(sig_lens.sum())
+                flat8 = np.zeros(_geo_bucket(total), np.int8)
+                firsts = np.zeros(B, np.int16)
+                offs = np.zeros(B, np.int32)
+                exc_dest_l, exc_res_l = [], []
+                o = 0
+                for i, s in enumerate(live):
+                    first, d8, epos, eres = s.delta8()
+                    n = d8.shape[0]
+                    flat8[o:o + n] = d8
+                    firsts[i] = first
+                    offs[i] = o
+                    o += n
+                    if epos.shape[0]:
+                        exc_dest_l.append(epos + 1 + i * S_max)
+                        exc_res_l.append(eres)
+                    s.dev_row = i
+                n_exc = sum(e.shape[0] for e in exc_dest_l)
+                E_b = _geo_bucket(max(n_exc, 1), lo=1 << 10)
+                exc_dest = np.zeros(E_b, np.int32)
+                exc_res = np.zeros(E_b, np.int32)
+                if n_exc:
+                    exc_dest[:n_exc] = np.concatenate(exc_dest_l)
+                    exc_res[:n_exc] = np.concatenate(exc_res_l)
+                flat_j = jnp.asarray(flat8)
+                exc_d_j = jnp.asarray(exc_dest)
+                exc_r_j = jnp.asarray(exc_res)
+                if _profiling():
+                    TRANSFER_BYTES["upload"] += (
+                        flat_j.nbytes + exc_d_j.nbytes + exc_r_j.nbytes)
+                raw_j = _unflatten_delta_rows(
+                    flat_j, self._up(offs, B_pad),
+                    self._up(sig_lens.astype(np.int32), B_pad),
+                    self._up(firsts, B_pad), exc_d_j, exc_r_j, S_max)
+            elif (all(s.raw_i16 is not None for s in live) and
+                    self.mesh is None):
                 # ragged wire format: ship only the real samples as one
                 # flat buffer (geometric-bucket padded) and scatter into
                 # the padded (B, S) matrix on device — removes the
@@ -1167,19 +1257,23 @@ class BatchedResquiggler:
                 continue
             std_ref = self.std_ref
             dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
-            try:
-                codes = std_ref.get_kmer_codes(s.map_res.genome_seq)
-            except TomboTpuError as e:
-                s.error = str(e)
-                continue
-            s.ref_codes = codes
-            s.packed_bases = _pack_bases(
-                encode_seq(s.map_res.genome_seq).astype(np.uint8))
-            r_means = std_ref.means[codes]
-            r_sds = std_ref.sds[codes]
-            s.ref_means, s.ref_sds = r_means, r_sds
-            s.genome_seq_trim = s.map_res.genome_seq[
-                std_ref.central_pos:-dnstrm]
+            if s.ref_codes is None:
+                # rescale passes reuse the first pass's plan: the mapped
+                # sequence never changes, so codes/levels/packed bases are
+                # cached on the read state
+                try:
+                    codes = std_ref.get_kmer_codes(s.map_res.genome_seq)
+                except TomboTpuError as e:
+                    s.error = str(e)
+                    continue
+                s.ref_codes = codes
+                s.packed_bases = _pack_bases(
+                    encode_seq(s.map_res.genome_seq).astype(np.uint8))
+                s.ref_means = std_ref.means[codes]
+                s.ref_sds = std_ref.sds[codes]
+                s.genome_seq_trim = s.map_res.genome_seq[
+                    std_ref.central_pos:-dnstrm]
+            r_means = s.ref_means
             if len(s.genome_seq_trim) != r_means.shape[0]:
                 s.error = "Discordant reference and sequence lengths."
                 continue
@@ -1320,9 +1414,23 @@ class BatchedResquiggler:
         clips = np.array([s.events_start_clip for s in live], np.int64)
         n_events = np.zeros(B, np.int64)
         seq_lens = np.zeros(B, np.int64)
-        pstarts = np.zeros((B, P_max), np.int64)
+        # band-plan wire format: pend values are event indices < n_events
+        # (uint16 when every read's event count fits; int32 fallback for
+        # ultra-long reads); pstarts are small signed offsets (they can be
+        # negative by up to half a bandwidth at the read start) shipped as
+        # int16 when in range — 4x less wire than int64 either way.
+        # Prefix rows >= start_rows[i] are never consumed by any DP engine
+        # (is_prefix = r < start_rows), so pad fill values only need to be
+        # in-range.
+        max_nev = max(s.n_ev - s.events_start_clip for s in live)
+        ps_lo = min(int(s.prefix_starts.min()) for s in live)
+        ps_hi = max(int(s.prefix_starts.max()) for s in live)
+        ps_dt = (np.int16 if -2 ** 15 <= ps_lo and ps_hi < 2 ** 15
+                 else np.int32)
+        pe_dt = np.uint16 if max_nev < 2 ** 16 else np.int32
+        pstarts = np.zeros((B, P_max), ps_dt)
         pvalid = np.zeros(B, np.int64)
-        pend = np.full((B, P_max), 2 ** 31 - 1, np.int64)
+        pend = np.zeros((B, P_max), pe_dt)
         start_rows = np.zeros(B, np.int64)
         for i, s in enumerate(live):
             n_events[i] = s.n_ev - s.events_start_clip
@@ -1333,7 +1441,8 @@ class BatchedResquiggler:
             # pad prefix rows with the last start (rows >= start_rows unused)
             pstarts[i, P:] = s.prefix_starts[-1]
             pvalid[i] = s.prefix_valid_start
-            pend[i, :P] = s.prefix_end
+            pend[i, :P] = np.minimum(s.prefix_end, n_events[i])
+            pend[i, P:] = n_events[i]
             start_rows[i] = P
 
         # event means gathered + left-clipped on device from stage 1

@@ -391,9 +391,11 @@ def build_masked_start_plan(n_events: int, mapped_start_offset: int,
         band_events_start_pos,
         band_events_start_pos + tmp_seq_len * events_per_base,
         tmp_seq_len).astype(np.int64)
-    mask_seq_len = max(
-        mask_bases, next(i + 2 for i, bes in enumerate(band_event_starts)
-                         if bes >= mapped_start_offset))
+    # first row whose band start reaches the mapped start (+2); the band
+    # always reaches mapped_start_offset by construction, so the argmax of
+    # the boolean mask is the first hit
+    first_hit = int(np.argmax(band_event_starts >= mapped_start_offset))
+    mask_seq_len = max(mask_bases, first_hit + 2)
     band_event_starts = band_event_starts[:mask_seq_len]
 
     mask_start_pos = np.linspace(
@@ -401,11 +403,8 @@ def build_masked_start_plan(n_events: int, mapped_start_offset: int,
         band_event_starts[mask_bases - 1] + rsqgl_params.bandwidth,
         mask_bases).astype(np.int64)
     # per-row exclusive end of unmasked events
-    row_end = np.full(band_event_starts.shape[0], np.int64(2 ** 62))
-    for row in range(band_event_starts.shape[0]):
-        if row < mask_bases:
-            row_end[row] = mask_start_pos[row]
-        row_end[row] = min(row_end[row], n_events)
+    row_end = np.full(band_event_starts.shape[0], np.int64(n_events))
+    row_end[:mask_bases] = np.minimum(mask_start_pos, n_events)
     return band_event_starts, mapped_start_offset, row_end
 
 
