@@ -348,11 +348,256 @@ static double median_of_f32(const float* v, size_t len,
   return hi;
 }
 
+// ---------------------------------------------------------------------------
+// Fast exact Theil-Sen slope selection — expected O(n log n) per read.
+//
+// The reference estimator is the median of all O(n^2/2) pairwise slopes
+// (reference: tombo/_c_helper.pyx:362 c_compute_slopes +
+// tombo/tombo_stats.py:413 np.median).  Instead of materializing the pairs,
+// this selects the k-th smallest slope by interval narrowing
+// (Dillencourt/Mount/Netanyahu-style slope selection): counting
+// #{pairs: slope <= t} is an inversion count of w_i = mod_i - t*ev_i over
+// the ev-sorted order (one mergesort), and the final few candidates are
+// enumerated output-sensitively from the inversions between the orderings
+// at the two interval ends.  Comparisons run on w in double precision, so
+// the selected pair can differ from the f32-quotient median of the pair
+// enumeration by ~1 ulp for near-tied slopes — inside the f32 production
+// lane's documented tolerance (the exact f64 pair path remains the oracle).
+// Degenerate pairs (equal event means) contribute slope = max_slope,
+// matching the pair-enumeration semantics.
+namespace ts_fast {
+
+struct Rng {  // xorshift64*; only affects pivot quality, never the result
+  uint64_t s;
+  explicit Rng(uint64_t seed) : s(seed | 1) {}
+  uint64_t next() {
+    s ^= s >> 12; s ^= s << 25; s ^= s >> 27;
+    return s * 0x2545F4914F6CDD1DULL;
+  }
+  int64_t below(int64_t n) {
+    return static_cast<int64_t>(next() % static_cast<uint64_t>(n));
+  }
+};
+
+// Count pairs (a before b) with y[b] <= y[a] via mergesort (right element
+// popped on ties so equal values count).  buf is scratch of size n.
+static int64_t merge_count_le(double* y, double* buf, int64_t n) {
+  if (n < 2) return 0;
+  int64_t cnt = 0;
+  for (int64_t width = 1; width < n; width *= 2) {
+    for (int64_t lo = 0; lo < n - width; lo += 2 * width) {
+      const int64_t mid = lo + width;
+      const int64_t hi = std::min(lo + 2 * width, n);
+      int64_t li = lo, ri = mid, o = lo;
+      while (li < mid && ri < hi) {
+        if (y[ri] <= y[li]) { cnt += mid - li; buf[o++] = y[ri++]; }
+        else buf[o++] = y[li++];
+      }
+      while (li < mid) buf[o++] = y[li++];
+      while (ri < hi) buf[o++] = y[ri++];
+      std::copy(buf + lo, buf + hi, y + lo);
+    }
+  }
+  return cnt;
+}
+
+struct Sel {
+  const double* ev;   // ev-sorted
+  const double* mod;  // matching order
+  int64_t n;
+  double max_slope;
+  int64_t m_real;     // cross pairs (distinct ev)
+  int64_t n_eq;       // degenerate pairs (equal ev)
+  int64_t d_le;       // degenerate pairs with mod[j] <= mod[i], i<j
+  double slope_bound; // finite value strictly above all |slopes|
+  std::vector<double> w, buf;
+
+  // #{slopes <= t} over the full multiset (real + degenerate at max_slope)
+  int64_t count_le(double t) {
+    for (int64_t i = 0; i < n; ++i) w[i] = mod[i] - t * ev[i];
+    const int64_t c = merge_count_le(w.data(), buf.data(), n) - d_le;
+    return c + (max_slope <= t ? n_eq : 0);
+  }
+
+  // Collect slopes of pairs with lo < slope <= t_hi (convention of
+  // count_le) into out; returns false if more than cap found.
+  bool enumerate(double t_lo, double t_hi, int64_t cap,
+                 std::vector<double>& out) {
+    const int64_t nn = n;
+    std::vector<double> wlo(nn), whi(nn);
+    for (int64_t i = 0; i < nn; ++i) {
+      wlo[i] = mod[i] - t_lo * ev[i];
+      whi[i] = mod[i] - t_hi * ev[i];
+    }
+    // order by w_lo ascending; ties by ev-rank DESCENDING so slope==lo
+    // pairs land j-before-i and are excluded (see count_le convention)
+    std::vector<int32_t> perm(nn);
+    for (int64_t i = 0; i < nn; ++i) perm[i] = static_cast<int32_t>(i);
+    std::sort(perm.begin(), perm.end(), [&](int32_t a, int32_t b) {
+      if (wlo[a] != wlo[b]) return wlo[a] < wlo[b];
+      return a > b;
+    });
+    std::vector<double> y(nn);
+    std::vector<int32_t> id(nn), idbuf(nn);
+    for (int64_t i = 0; i < nn; ++i) { y[i] = whi[perm[i]]; id[i] = perm[i]; }
+    std::vector<double> ybuf(nn);
+    out.clear();
+    // mergesort over y emitting (left, right) pairs on pop-right
+    for (int64_t width = 1; width < nn; width *= 2) {
+      for (int64_t lo = 0; lo < nn - width; lo += 2 * width) {
+        const int64_t mid = lo + width;
+        const int64_t hi = std::min(lo + 2 * width, nn);
+        int64_t li = lo, ri = mid, o = lo;
+        while (li < mid && ri < hi) {
+          if (y[ri] <= y[li]) {
+            for (int64_t l = li; l < mid; ++l) {
+              const int32_t a = id[l], b = id[ri];
+              const double de = ev[a] - ev[b];
+              if (de != 0.0)
+                out.push_back((mod[a] - mod[b]) / de);
+              if (static_cast<int64_t>(out.size()) > cap) return false;
+            }
+            ybuf[o] = y[ri]; idbuf[o++] = id[ri++];
+          } else {
+            ybuf[o] = y[li]; idbuf[o++] = id[li++];
+          }
+        }
+        while (li < mid) { ybuf[o] = y[li]; idbuf[o++] = id[li++]; }
+        while (ri < hi) { ybuf[o] = y[ri]; idbuf[o++] = id[ri++]; }
+        std::copy(ybuf.begin() + lo, ybuf.begin() + hi, y.begin() + lo);
+        std::copy(idbuf.begin() + lo, idbuf.begin() + hi, id.begin() + lo);
+      }
+    }
+    return true;
+  }
+
+  // k-th smallest (0-based) of the slope multiset; false on giving up
+  bool select(int64_t k, Rng& rng, double* out) {
+    const int64_t m_tot = m_real + n_eq;
+    double lo = -std::numeric_limits<double>::infinity();
+    double hi = std::numeric_limits<double>::infinity();
+    int64_t c_lo = 0, c_hi = m_tot;
+    const int64_t cap = std::max<int64_t>(4 * n, 256);
+    for (int iter = 0; iter < 48 && c_hi - c_lo > cap; ++iter) {
+      // pivot: median of sampled pair slopes inside (lo, hi)
+      double samp[65];
+      int ns = 0;
+      for (int d = 0; d < 256 && ns < 64; ++d) {
+        const int64_t i = rng.below(n), j = rng.below(n);
+        if (ev[i] == ev[j]) continue;
+        const double s = (mod[i] - mod[j]) / (ev[i] - ev[j]);
+        if (s > lo && s < hi) samp[ns++] = s;
+      }
+      double t;
+      if (ns > 0) {
+        std::nth_element(samp, samp + ns / 2, samp + ns);
+        t = samp[ns / 2];
+      } else if (std::isfinite(lo) && std::isfinite(hi)) {
+        t = lo + (hi - lo) / 2;
+      } else if (max_slope > lo && max_slope < hi) {
+        t = max_slope;
+      } else {
+        break;
+      }
+      if (!(t > lo && t < hi)) break;
+      const int64_t c = count_le(t);
+      if (c <= k) { lo = t; c_lo = c; }
+      else { hi = t; c_hi = c; }
+    }
+    if (c_hi - c_lo > 4 * cap) return false;
+    // infinite interval ends become finite bounds strictly outside the
+    // attainable slope range (counts are unchanged: 0 / m_tot)
+    if (std::isinf(lo)) lo = -slope_bound;
+    if (std::isinf(hi)) hi = slope_bound;
+    std::vector<double> cand;
+    cand.reserve(static_cast<size_t>(c_hi - c_lo) + 8);
+    if (!enumerate(lo, hi, 8 * cap, cand)) return false;
+    if (max_slope > lo && max_slope <= hi)
+      cand.insert(cand.end(), static_cast<size_t>(n_eq), max_slope);
+    const int64_t r = k - c_lo;
+    if (r < 0 || r >= static_cast<int64_t>(cand.size())) return false;
+    std::nth_element(cand.begin(), cand.begin() + r, cand.end());
+    *out = cand[static_cast<size_t>(r)];
+    return true;
+  }
+};
+
+// Exact slope median via fast selection; returns false to request the
+// O(n^2) fallback.
+static bool slope_median_fast(const double* ev_in, const double* mod_in,
+                              int64_t n, double max_slope, double* out) {
+  if (n < 64) return false;
+  std::vector<int32_t> ord(n);
+  for (int64_t i = 0; i < n; ++i) ord[i] = static_cast<int32_t>(i);
+  std::sort(ord.begin(), ord.end(), [&](int32_t a, int32_t b) {
+    if (ev_in[a] != ev_in[b]) return ev_in[a] < ev_in[b];
+    return a < b;
+  });
+  std::vector<double> ev(n), mod(n);
+  for (int64_t i = 0; i < n; ++i) {
+    ev[i] = ev_in[ord[i]];
+    mod[i] = mod_in[ord[i]];
+  }
+  // degenerate (equal-ev) bookkeeping
+  int64_t n_eq = 0, d_le = 0;
+  for (int64_t g = 0; g < n;) {
+    int64_t e = g + 1;
+    while (e < n && ev[e] == ev[g]) ++e;
+    const int64_t len = e - g;
+    if (len > 1) {
+      n_eq += len * (len - 1) / 2;
+      for (int64_t i = g; i < e; ++i)
+        for (int64_t j = i + 1; j < e; ++j) d_le += mod[j] <= mod[i];
+    }
+    g = e;
+  }
+  const int64_t m = n * (n - 1) / 2;
+  if (m == n_eq) { *out = max_slope; return true; }  // all pairs degenerate
+  // finite bound strictly above every attainable |slope|
+  double min_gap = std::numeric_limits<double>::infinity();
+  for (int64_t i = 1; i < n; ++i)
+    if (ev[i] != ev[i - 1]) min_gap = std::min(min_gap, ev[i] - ev[i - 1]);
+  double mod_lo = mod[0], mod_hi = mod[0];
+  for (int64_t i = 1; i < n; ++i) {
+    mod_lo = std::min(mod_lo, mod[i]);
+    mod_hi = std::max(mod_hi, mod[i]);
+  }
+  const double bound =
+      ((mod_hi - mod_lo) / min_gap) * 1.0000001 + std::abs(max_slope) + 1.0;
+  if (!std::isfinite(bound)) return false;
+  Sel sel{ev.data(), mod.data(), n, max_slope, m - n_eq, n_eq, d_le, bound,
+          std::vector<double>(static_cast<size_t>(n)),
+          std::vector<double>(static_cast<size_t>(n))};
+  Rng rng(0x9E3779B97F4A7C15ULL ^ static_cast<uint64_t>(n));
+  const int64_t k_lo = (m - 1) / 2, k_hi = m / 2;
+  double v_lo, v_hi;
+  if (!sel.select(k_lo, rng, &v_lo)) return false;
+  if (k_hi == k_lo) { *out = v_lo; return true; }
+  if (!sel.select(k_hi, rng, &v_hi)) return false;
+  *out = (v_lo + v_hi) / 2.0;
+  return true;
+}
+
+}  // namespace ts_fast
+
 static void theil_sen_one(const double* ev, const double* mod, int64_t n,
                           double max_slope, double* out_slope,
                           double* out_inter, int use_f32) {
   const int64_t n_pairs = n * (n - 1) / 2;
   double slope;
+  if (use_f32 == 2 &&
+      ts_fast::slope_median_fast(ev, mod, n, max_slope, &slope)) {
+    thread_local std::vector<double> fast_inters;
+    if (static_cast<int64_t>(fast_inters.size()) < n)
+      fast_inters.resize(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i)
+      fast_inters[static_cast<size_t>(i)] = mod[i] - slope * ev[i];
+    thread_local std::vector<double> fast_sel;
+    *out_slope = slope;
+    *out_inter = median_of(fast_inters.data(), static_cast<size_t>(n),
+                           fast_sel);
+    return;
+  }
   if (use_f32) {
     thread_local std::vector<float> slopes32;
     if (static_cast<int64_t>(slopes32.size()) < n_pairs)
@@ -432,6 +677,33 @@ void theil_sen_batch(const double* ev, const double* mod, int64_t batch,
       if (b >= batch) return;
       theil_sen_one(ev + b * max_n, mod + b * max_n, n_points[b], max_slope,
                     out_slopes + b, out_inters + b, /*use_f32=*/0);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
+// Fast-selection variant for the float32 production lane: expected
+// O(n log n) exact slope selection (ts_fast above; ~1 ulp from the pair
+// enumeration on near-tied slopes), with the f32 pair-buffer path as the
+// per-read fallback when the selection gives up.
+void theil_sen_batch_fast(const double* ev, const double* mod, int64_t batch,
+                          int64_t max_n, const int64_t* n_points,
+                          double max_slope, double* out_slopes,
+                          double* out_inters, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, batch);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t b = next.fetch_add(1);
+      if (b >= batch) return;
+      theil_sen_one(ev + b * max_n, mod + b * max_n, n_points[b], max_slope,
+                    out_slopes + b, out_inters + b, /*use_f32=*/2);
     }
   };
   std::vector<std::thread> threads;

@@ -22,6 +22,7 @@ def main():
         br.resquiggle_batch(
             map_results[b * bench.BATCH_SIZE:(b + 1) * bench.BATCH_SIZE])
     pb.STAGE_TIMINGS.clear()
+    pb.TRANSFER_BYTES.clear()
     batches = [map_results[b * bench.BATCH_SIZE:(b + 1) * bench.BATCH_SIZE]
                for b in range(1, bench.N_BATCHES + 1)]
     t0 = time.perf_counter()

@@ -26,12 +26,12 @@ def main():
     captured = {}
     orig = pb.BatchedResquiggler._finalize
 
-    def grab(self, states, skip_seq_scaling=False):
+    def grab(self, states, skip_seq_scaling=False, will_retry=False):
         if "states" not in captured:
             captured["states"] = states
             captured["skip"] = skip_seq_scaling
             raise RuntimeError("stop-before-finalize")
-        return orig(self, states, skip_seq_scaling)
+        return orig(self, states, skip_seq_scaling, will_retry)
 
     pb.BatchedResquiggler._finalize = grab
     try:

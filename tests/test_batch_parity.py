@@ -194,3 +194,38 @@ def test_packed_codes_wire_format(clip):
         jnp.asarray(packed), jnp.asarray(n_codes),
         width, k, n_sent, clip))
     np.testing.assert_array_equal(out, dense.astype(np.int32))
+
+
+def test_batch_device_fit_lane(monkeypatch):
+    """The opt-in fused device finalize fit (TOMBO_TPU_DEV_FIT=1:
+    on-device event means + Theil-Sen + score + changed mask) must match
+    the host finalize lane within the f32 policy tolerances."""
+    monkeypatch.setenv("TOMBO_TPU_DEV_FIT", "1")
+    samp_type = config.DNA_SAMP_TYPE
+    model, params, sst, map_results, _ = _prep_reads(
+        6, samp_type, read_len=650)
+    br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                            dtype=jnp.float32)
+    dev_out = br.resquiggle_batch(map_results)
+    monkeypatch.setenv("TOMBO_TPU_DEV_FIT", "0")
+    br2 = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                             dtype=jnp.float32)
+    host_out = br2.resquiggle_batch(map_results)
+    n_ok = 0
+    for i, ((d_res, d_err), (h_res, h_err)) in enumerate(
+            zip(dev_out, host_out)):
+        assert (d_err is None) == (h_err is None), (i, d_err, h_err)
+        if d_res is None:
+            continue
+        n_ok += 1
+        assert np.mean(d_res.segs == h_res.segs) > 0.99, i
+        assert d_res.read_start_rel_to_raw == h_res.read_start_rel_to_raw
+        sc = h_res.scale_values.scale
+        assert abs(d_res.scale_values.shift -
+                   h_res.scale_values.shift) / sc < 1e-3, i
+        assert abs(d_res.scale_values.scale - sc) / sc < 1e-3, i
+        assert abs(d_res.sig_match_score - h_res.sig_match_score) < 1e-2, i
+        assert d_res.raw_signal is not None
+        np.testing.assert_allclose(d_res.raw_signal, h_res.raw_signal,
+                                   rtol=1e-4, atol=1e-4)
+    assert n_ok >= 5

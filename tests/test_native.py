@@ -139,3 +139,24 @@ def test_static_base_assignment_parity():
             params.max_half_z_score)
         assert got is not None
         np.testing.assert_array_equal(got, want)
+
+
+def test_theil_sen_fast_selection_matches_exact():
+    """The O(n log n) slope-selection variant must reproduce the exact
+    O(n^2) pair-enumeration median, including tie-heavy and duplicate
+    event-mean inputs (csrc ts_fast)."""
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        B, N = 8, int(rng.integers(80, 700))
+        ev = rng.normal(0, 1, (B, N))
+        mod = ev * rng.uniform(0.5, 2) + rng.normal(0, 0.5, (B, N))
+        if trial % 2:
+            ev = np.round(ev, 2)
+            mod = np.round(mod, 2)
+        if trial % 3 == 2:
+            ev[:, ::5] = ev[:, 0:1]
+        n_pts = rng.integers(64, N + 1, B).astype(np.int64)
+        s1, i1 = native.theil_sen_batch(ev, mod, n_pts)
+        s2, i2 = native.theil_sen_batch(ev, mod, n_pts, use_fast=True)
+        np.testing.assert_allclose(s2, s1, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(i2, i1, rtol=0, atol=1e-12)

@@ -76,6 +76,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64]
         lib.theil_sen_batch32.restype = None
         lib.theil_sen_batch32.argtypes = lib.theil_sen_batch.argtypes
+        lib.theil_sen_batch_fast.restype = None
+        lib.theil_sen_batch_fast.argtypes = lib.theil_sen_batch.argtypes
         lib.raw_windows_dp_batch.restype = None
         lib.raw_windows_dp_batch.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
@@ -196,13 +198,16 @@ def greedy_cpts_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
 
 def theil_sen_batch(ev: np.ndarray, mod: np.ndarray, n_points: np.ndarray,
                     max_slope: float = 1000.0, n_threads: int = 0,
-                    use_f32: bool = False):
+                    use_f32: bool = False, use_fast: bool = False):
     """Batched Theil-Sen (median slope + median intercept) over padded
     (B, max_n) float64 arrays.  Returns (slopes (B,), intercepts (B,)).
 
     ``use_f32`` selects the f32 pair-buffer variant (~2x faster,
     ~1e-7-relative slope error) for the float32 production lane; the exact
-    f64 path is the default (oracle-parity mode)."""
+    f64 path is the default (oracle-parity mode).  ``use_fast`` selects
+    the expected-O(n log n) exact slope-selection variant (interval
+    narrowing + inversion counting; csrc ``ts_fast``) — same selection in
+    f64 comparisons, advantageous for n well above 1000."""
     ev = np.ascontiguousarray(ev, np.float64)
     mod = np.ascontiguousarray(mod, np.float64)
     n_points = np.ascontiguousarray(n_points, np.int64)
@@ -211,7 +216,9 @@ def theil_sen_batch(ev: np.ndarray, mod: np.ndarray, n_points: np.ndarray,
     inters = np.zeros(B)
     lib = get_lib()
     if lib is not None:
-        fn = lib.theil_sen_batch32 if use_f32 else lib.theil_sen_batch
+        fn = (lib.theil_sen_batch_fast if use_fast
+              else lib.theil_sen_batch32 if use_f32
+              else lib.theil_sen_batch)
         fn(_as_c(ev, ctypes.c_double), _as_c(mod, ctypes.c_double), B,
            max_n, _as_c(n_points, ctypes.c_int64), max_slope,
            _as_c(slopes, ctypes.c_double), _as_c(inters, ctypes.c_double),

@@ -543,6 +543,73 @@ def _stage_finalize(cpts, rows, clips, segs_dp, seq_lens, ev_lens,
     return seq_segs, seg_d16, seg_over, rsrtr, has_del
 
 
+_TS_SAMPLE_CACHE: dict = {}
+
+
+def _ts_sample_idx(n: int, max_n: int) -> np.ndarray:
+    """Deterministic Theil-Sen subsample for a read with n > max_n points
+    (same rng(0) policy as the host lane / reference
+    tombo/tombo_stats.py:398-401); cached per (n, max_n)."""
+    key = (n, max_n)
+    out = _TS_SAMPLE_CACHE.get(key)
+    if out is None:
+        out = np.random.default_rng(0).choice(
+            n, max_n, replace=False).astype(np.int32)
+        _TS_SAMPLE_CACHE[key] = out
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("do_fit", "sampled",
+                                             "shift_thresh", "scale_thresh"))
+def _stage_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens, samp,
+               do_fit: bool, sampled: bool, shift_thresh: float,
+               scale_thresh: float):
+    """Device rescale fit, fused with the DP program: event means over
+    the final segment table -> exact Theil-Sen -> scale/shift corrections
+    + norm-params-changed mask + signal-match score.  Replaces the host
+    finalize hot path (native Theil-Sen ~1 ms/read on a 4-core host;
+    reference semantics: tombo/resquiggle.py:1122-1197 fitted rescaling +
+    tombo/tombo_stats.py:2327-2339 score) for reads without deletion
+    windows; only per-read scalars cross the link."""
+    from ..ops import rescale
+    L = seq_segs.shape[1] - 1
+    norm_rows = jnp.take(norm, rows.astype(jnp.int32), axis=0)
+    abs_segs = jnp.clip((rsrtr[:, None] + seq_segs).astype(jnp.int32),
+                        0, norm.shape[1])
+    sl32 = seq_lens.astype(jnp.int32)
+    em = nrm.compute_base_means_batch(norm_rows, abs_segs, sl32)
+    if sampled:
+        gi = jnp.clip(samp.astype(jnp.int32), 0, L - 1)
+        ev = jnp.take_along_axis(em, gi, axis=1)
+        mod = jnp.take_along_axis(rm, gi, axis=1)
+        n_pts = jnp.minimum(sl32, samp.shape[1])
+    else:
+        ev, mod, n_pts = em, rm, sl32
+    dt = em.dtype
+    if do_fit:
+        # blocked selection: bounds the pair-key buffer and is ~wire-free;
+        # the fused recompute variant is far slower at production batch
+        # sizes (the 32 selection rounds re-divide 5e8 pairs each)
+        slope, inter = rescale.theil_sen_device(ev, mod, n_pts, block=64)
+        fit_ok = slope != 0
+        safe = jnp.where(fit_ok, slope, 1.0)
+        scale_corr = (1.0 / safe).astype(dt)
+        shift_corr = (-inter / safe).astype(dt)
+        em_s = (em - shift_corr[:, None]) / scale_corr[:, None]
+        changed = ((jnp.abs(shift_corr) > shift_thresh) |
+                   (jnp.abs(scale_corr - 1.0) > scale_thresh))
+    else:
+        shift_corr = jnp.zeros((em.shape[0],), dt)
+        scale_corr = jnp.ones((em.shape[0],), dt)
+        fit_ok = jnp.ones((em.shape[0],), jnp.bool_)
+        changed = jnp.zeros((em.shape[0],), jnp.bool_)
+        em_s = em
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < sl32[:, None]
+    score = (jnp.sum(jnp.where(valid, jnp.abs((em_s - rm) / rs), 0.0),
+                     axis=1) / jnp.maximum(sl32, 1))
+    return shift_corr, scale_corr, score, changed, fit_ok
+
+
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def _gather_clip_rows(em, rows, clips, out_width: int):
     """Gather per-read event-mean rows and left-clip each by ``clips``
@@ -1541,9 +1608,46 @@ class BatchedResquiggler:
              has_del_j) = _stage_finalize(
                 ctx["cpts"], rows_j, clips_j, segs_j, seq_lens_j,
                 dp_args[1], n_rows=L_max)
-            (band_err, bound_err, seg_d16, seg_over, rsrtr_np,
-             has_del) = _fetch(band_err, bound_err, seg_d16_j, seg_over_j,
-                               rsrtr_j, has_del_j)
+            # opt-in: the fused device fit frees the host entirely but
+            # costs ~140 ms/batch of device time (blocked Theil-Sen
+            # selection); on hosts whose threaded native fit overlaps
+            # under the batch pipeline (4+ cores) the host lane is faster,
+            # so device fitting is off unless TOMBO_TPU_DEV_FIT=1
+            use_dev_fit = (
+                self.dtype != jnp.float64 and self.mesh is None and
+                ctx.get("norm") is not None and
+                os.environ.get("TOMBO_TPU_DEV_FIT", "0") == "1")
+            if use_dev_fit:
+                # fused rescale fit: event means + Theil-Sen + score +
+                # changed mask on device (host lane kept for deletion-fix
+                # reads and the f64 oracle mode)
+                max_n = config.MAX_POINTS_FOR_THEIL_SEN
+                sampled = L_max > max_n
+                if sampled:
+                    samp_np = np.zeros((B, max_n), np.int32)
+                    for i, s in enumerate(live):
+                        n = s.ref_means.shape[0]
+                        if n > max_n:
+                            samp_np[i] = _ts_sample_idx(n, max_n)
+                        else:
+                            samp_np[i, :n] = np.arange(n, dtype=np.int32)
+                    samp_j = self._up(samp_np, B_pad)
+                else:
+                    samp_j = jnp.zeros((1, 1), jnp.int32)
+                (shc_j, scc_j, fscore_j, fchanged_j, fok_j) = _stage_fit(
+                    ctx["norm"], rows_j, rsrtr_j, seq_segs_j, dp_args[2],
+                    dp_args[3], seq_lens_j, samp_j,
+                    do_fit=not self.skip_seq_scaling, sampled=sampled,
+                    shift_thresh=float(config.SHIFT_CHANGE_THRESH),
+                    scale_thresh=float(config.SCALE_CHANGE_THRESH))
+                (band_err, bound_err, seg_d16, seg_over, rsrtr_np, has_del,
+                 f_shc, f_scc, f_score, f_changed, f_ok) = _fetch(
+                    band_err, bound_err, seg_d16_j, seg_over_j, rsrtr_j,
+                    has_del_j, shc_j, scc_j, fscore_j, fchanged_j, fok_j)
+            else:
+                (band_err, bound_err, seg_d16, seg_over, rsrtr_np,
+                 has_del) = _fetch(band_err, bound_err, seg_d16_j,
+                                   seg_over_j, rsrtr_j, has_del_j)
             seq_segs_np = np.zeros((B, L_max + 1), np.int64)
             np.cumsum(seg_d16[:B].astype(np.int64), axis=1,
                       out=seq_segs_np[:, 1:])
@@ -1572,6 +1676,10 @@ class BatchedResquiggler:
                 s.dp_segs = seq_segs_np[i, :L + 1]
                 s.dp_rsrtr = int(rsrtr_np[i])
                 s.has_del = bool(has_del[i])
+                if use_dev_fit and not s.has_del:
+                    s._dev_fit = (float(f_shc[i]), float(f_scc[i]),
+                                  float(f_score[i]), bool(f_changed[i]),
+                                  bool(f_ok[i]))
                 continue
             read_tb = segs_np[i, :L + 1].copy()
             read_tb = rsq._trim_traceback(
@@ -1602,14 +1710,22 @@ class BatchedResquiggler:
                 s.error = str(e)
 
     @_timed_stage("finalize")
-    def _finalize(self, states: List[_ReadState], skip_seq_scaling=False):
+    def _finalize(self, states: List[_ReadState], skip_seq_scaling=False,
+                  will_retry: bool = False):
         """Stage 6: deletion fix, rescale, score (host).
 
-        The Theil-Sen estimator (O(n^2/2) pair slopes per read, n<=1000;
-        reference: tombo/_c_helper.pyx:362, tombo/tombo_stats.py:370) is the
-        host hot spot after the greedy changepoint pick, so it is batched
-        across reads into one threaded native call rather than run
-        per-read."""
+        On the f32 production lane most reads arrive already fitted by the
+        fused device finalize (``_stage_fit``: event means + exact
+        Theil-Sen + score + changed mask on device) and only need scalar
+        bookkeeping plus normalized-signal materialization here.  The host
+        lane below remains for deletion-fix reads, the f64 oracle mode and
+        the static fallback; its Theil-Sen (O(n^2/2) pair slopes per read,
+        n<=1000; reference: tombo/_c_helper.pyx:362,
+        tombo/tombo_stats.py:370) is batched into one threaded native
+        call.  ``will_retry`` marks passes that will be followed by
+        another scaling iteration: reads whose norm params changed skip
+        normalized-signal materialization (their result is re-computed
+        next pass anyway)."""
         from ..types import DpResults
         from ..native import DEL_FIX_ERRORS, del_fix_batch, theil_sen_batch
 
@@ -1621,11 +1737,23 @@ class BatchedResquiggler:
         # pure interpreter overhead on the host lane).
         pending = []
         del_jobs = []
+        dev_fitted = []
         for s in states:
             if s.error is not None or s.result is not None:
                 continue
             if not hasattr(s, "dp_segs"):
                 s.error = s.error or "DP did not produce a path"
+                continue
+            dev_fit = getattr(s, "_dev_fit", None)
+            if dev_fit is not None and s.has_del is False:
+                # fitted on device; defer all O(signal) host work to
+                # assembly (pass C)
+                s._dp_res = DpResults(
+                    s.dp_rsrtr, s.dp_segs, s.ref_means, s.ref_sds,
+                    s.genome_seq_trim)
+                s._segs = s.dp_segs
+                s._norm_signal = None
+                dev_fitted.append(s)
                 continue
             try:
                 dp_res = DpResults(
@@ -1737,23 +1865,72 @@ class BatchedResquiggler:
             for s in pending:
                 s._norm_params_changed = False
 
+        # pass B': apply the device fit (scalar bookkeeping only)
+        for s in dev_fitted:
+            shc, scc, score, changed, fit_ok = s._dev_fit
+            s._dev_score = score
+            if skip_seq_scaling:
+                s._norm_params_changed = False
+                s._score_corr = None
+                continue
+            if not fit_ok:
+                s.error = ("Read failed sequence-based signal re-scaling "
+                           "parameter estimation.")
+                continue
+            sv = s.scale_values
+            s._sv_pre = sv
+            s.scale_values = sv.replace(
+                shift=sv.shift + shc * sv.scale,
+                scale=sv.scale * scc,
+                outlier_thresh=self.outlier_thresh)
+            s._score_corr = (shc, scc)
+            s._norm_params_changed = changed
+
         # pass C: score + assemble results
-        for s in pending:
+        for s in pending + dev_fitted:
             if s.error is not None:
                 continue
             try:
                 dp_res, segs = s._dp_res, s._segs
-                norm_signal = s._norm_signal
-                ev_pre = getattr(s, "_ev_means_pre", None)
-                if (ev_pre is not None and
-                        ev_pre.shape[0] == segs.shape[0] - 1):
-                    corr = getattr(s, "_score_corr", None)
-                    score_means = ((ev_pre - corr[0]) / corr[1]
-                                   if corr is not None else ev_pre)
+                if s._norm_signal is None:
+                    # device-fitted read: materialize the normalized
+                    # mapped slice only now (and not at all for reads
+                    # that the next scaling iteration recomputes anyway).
+                    # Two steps exactly as the host lane: normalize+clip
+                    # with the pre-fit scale values, then apply the
+                    # fitted correction.
+                    if will_retry and s._norm_params_changed:
+                        norm_signal = None
+                    else:
+                        start = dp_res.read_start_rel_to_raw
+                        end = start + int(segs[-1])
+                        svp = getattr(s, "_sv_pre", s.scale_values)
+                        norm_signal = (s.raw[start:end] - svp.shift) \
+                            / svp.scale
+                        if (svp.lower_lim is not None and
+                                svp.upper_lim is not None and
+                                np.isfinite(svp.lower_lim) and
+                                np.isfinite(svp.upper_lim)):
+                            norm_signal = np.clip(
+                                norm_signal, svp.lower_lim, svp.upper_lim)
+                        corr = getattr(s, "_score_corr", None)
+                        if corr is not None:
+                            norm_signal = (norm_signal - corr[0]) / corr[1]
                 else:
-                    score_means = ref_impl.new_means(norm_signal, segs)
-                sig_match_score = rsq.get_read_seg_score(
-                    score_means, dp_res.ref_means, dp_res.ref_sds)
+                    norm_signal = s._norm_signal
+                if hasattr(s, "_dev_score"):
+                    sig_match_score = s._dev_score
+                else:
+                    ev_pre = getattr(s, "_ev_means_pre", None)
+                    if (ev_pre is not None and
+                            ev_pre.shape[0] == segs.shape[0] - 1):
+                        corr = getattr(s, "_score_corr", None)
+                        score_means = ((ev_pre - corr[0]) / corr[1]
+                                       if corr is not None else ev_pre)
+                    else:
+                        score_means = ref_impl.new_means(norm_signal, segs)
+                    sig_match_score = rsq.get_read_seg_score(
+                        score_means, dp_res.ref_means, dp_res.ref_sds)
                 if segs.shape[0] != len(dp_res.genome_seq) + 1:
                     raise TomboTpuError(
                         "Aligned sequence does not match number of segments "
@@ -1782,7 +1959,8 @@ class BatchedResquiggler:
         return norm
 
     # ------------------------------------------------------------ run API
-    def _run_pass(self, states: List[_ReadState]):
+    def _run_pass(self, states: List[_ReadState],
+                  will_retry: bool = False):
         # planning first (expected levels need only the mapped sequence);
         # segmentation + start discovery then fuse into one device call.
         # RNA stall removal can shrink the event count below the adaptive
@@ -1813,7 +1991,8 @@ class BatchedResquiggler:
                     s.error = "Read start discovery failed"
             self._adaptive_batch(states, ctx)
             self._static_reads(states, ctx)
-        self._finalize(states, skip_seq_scaling=self.skip_seq_scaling)
+        self._finalize(states, skip_seq_scaling=self.skip_seq_scaling,
+                       will_retry=will_retry)
 
     def resquiggle_batches(self, batches, pipeline_depth: int = 3,
                            max_scaling_iters: int =
@@ -1873,10 +2052,10 @@ class BatchedResquiggler:
             st.num_events = num_events
             states.append(st)
 
-        self._run_pass(states)
+        self._run_pass(states, will_retry=max_scaling_iters > 1)
 
         # iterative sequence-fitted rescaling
-        for _ in range(max_scaling_iters - 1):
+        for it in range(max_scaling_iters - 1):
             redo = [s for s in states
                     if s.result is not None and s.result.norm_params_changed]
             if not redo:
@@ -1890,7 +2069,11 @@ class BatchedResquiggler:
                 s.has_del = None
                 if hasattr(s, "dp_segs"):
                     del s.dp_segs
-            self._run_pass(redo)
+                for attr in ("_dev_fit", "_dev_score", "_score_corr",
+                             "_sv_pre", "_ev_means_pre"):
+                    if hasattr(s, attr):
+                        delattr(s, attr)
+            self._run_pass(redo, will_retry=it < max_scaling_iters - 2)
 
         # failed reads retried with the save bandwidth
         # (reference: tombo/resquiggle.py:1586-1588); skip if already in the
