@@ -34,8 +34,13 @@ def main():
     orig = pdp.adaptive_banded_dp_tb
 
     def capture(*args, **kw):
-        captured["args"] = args
-        captured["kw"] = dict(kw)
+        import jax.core
+        if "args" not in captured and not isinstance(args[0],
+                                                     jax.core.Tracer):
+            # keep the FIRST concrete (full-batch) call; the start-DP
+            # path invokes this under jit with tracer args
+            captured["args"] = args
+            captured["kw"] = dict(kw)
         return orig(*args, **kw)
 
     pdp.adaptive_banded_dp_tb = capture
@@ -68,12 +73,14 @@ def main():
             try:
                 out = orig(*args, **kw2)
                 jax.block_until_ready(out)
+                # amortize the tunnel RTT: 8 async dispatches per timing
                 best = np.inf
-                for _ in range(4):
+                n_rep = 8
+                for _ in range(3):
                     t0 = time.perf_counter()
-                    out = orig(*args, **kw2)
-                    jax.block_until_ready(out)
-                    best = min(best, time.perf_counter() - t0)
+                    outs = [orig(*args, **kw2) for _ in range(n_rep)]
+                    jax.block_until_ready(outs)
+                    best = min(best, (time.perf_counter() - t0) / n_rep)
                 segs = np.asarray(out[0])
                 if ref_segs is None:
                     ref_segs = segs

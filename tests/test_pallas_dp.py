@@ -172,3 +172,26 @@ def test_pallas_small_block_subbatch():
     for i in range(B):
         n = seq_lens[i] + 1
         np.testing.assert_array_equal(segs_s[i, :n], segs_p[i, :n], str(i))
+
+
+@pytest.mark.parametrize("variant", ["loop", "shift"])
+def test_pallas_untiled_rows(variant):
+    """L not a multiple of 128 routes the fused kernel through the
+    untiled column-access paths (the tiled staging requires L % 128 == 0);
+    results must stay bit-identical to the scan engine."""
+    p, args, seq_lens = _mk_case(11, L_max=96, E_max=384)
+    B, L_max, P_max, bw = 8, 96, 64, 32
+    tb, band_starts, final_fwd, band_err = dpo.adaptive_banded_dp(
+        *args, p, L_max, P_max)
+    top = jnp.argmax(final_fwd, axis=1).astype(jnp.int32)
+    segs_s, _ = dpo.banded_traceback(
+        tb, band_starts, args[4], top, 10, bw, L_max)
+    segs_p, band_err_p, _, _ = pdp.adaptive_banded_dp_tb(
+        *args, p, L_max, P_max, 10, block_reads=4, interpret=True,
+        variant=variant)
+    np.testing.assert_array_equal(np.asarray(band_err),
+                                  np.asarray(band_err_p))
+    segs_s, segs_p = np.asarray(segs_s), np.asarray(segs_p)
+    for i in range(B):
+        n = seq_lens[i] + 1
+        np.testing.assert_array_equal(segs_s[i, :n], segs_p[i, :n], str(i))

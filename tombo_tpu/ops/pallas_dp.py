@@ -32,6 +32,7 @@ first-max band placement) matches the C comparison chains.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -152,7 +153,7 @@ def _dp_variant() -> str:
 
 
 def _shift_rows(full: jnp.ndarray, shift: jnp.ndarray,
-                out_w: int) -> jnp.ndarray:
+                out_w: int, max_shift: int = None) -> jnp.ndarray:
     """Vectorized per-row window extraction: ``out[i, q] = full[i,
     shift[i] + q]`` valid for ``q <= out_w`` (returns (R, out_w + 128)).
 
@@ -166,13 +167,16 @@ def _shift_rows(full: jnp.ndarray, shift: jnp.ndarray,
 
     Requires ``shift >= 0`` and ``shift + out_w + 128 <= full.shape[1]``
     (so rotation wrap-around never contaminates the window).
+    ``max_shift`` (static) bounds the shift values, dropping coarse roll
+    levels the caller knows can never fire.
     """
     R, W = full.shape
     coarse = shift // 128
     fine = shift - coarse * 128
     x = full
     b = 0
-    while (128 << b) < W:
+    lim = W if max_shift is None else min(W, max_shift + 1)
+    while (128 << b) < lim:
         amt = 128 << b
         rolled = pltpu.roll(x, W - amt, 1)
         x = jnp.where((coarse >> b) & 1 == 1, rolled, x)
@@ -250,14 +254,25 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
         seg = ref[pl.ds(i, 1), pl.ds(base, W_seg)]
         return pltpu.roll(seg, W_seg - (start - base), 1)
 
+    TILE = 128
+    tiled = L % TILE == 0 and L >= TILE
+    # sliding event-mean window (shift variant): per-read (R, W_win) VMEM
+    # copy refreshed only when the band approaches its right edge, so the
+    # per-row barrel shifter runs over W_win lanes instead of E_tot
+    W_win = bwp + 3 * TILE
+    slide = variant == "shift" and os.environ.get(
+        "TOMBO_TPU_DP_SLIDE", "0") == "1"
+    max_fine = W_win - bwp - TILE    # refresh keeps shift <= this
+
     def kernel(em_ref, nev_ref, rm_ref, rs_ref, sl_ref, ps_ref, pv_ref,
                pe_ref, sr_ref,
                segs_ref, banderr_ref, bounderr_ref, ffwd_ref,
                moves_ref, bs_ref, segsacc_ref, fwdpad_ref, win_ref, dw_ref,
-               sw_ref):
+               sw_ref, rmt_ref, rst_ref, bst_ref, segt_ref, emw_ref):
         lanes = _lane_iota(R, bwp)
         lanes_L = _lane_iota(R, L)
         lanes_P = _lane_iota(R, P)
+        lanes_T = _lane_iota(R, TILE)
         lane_lt_bw = lanes < bw
 
         nev = nev_ref[:, :]          # (R, 1) i32
@@ -276,10 +291,31 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
         # read-block R ride the grid path at production bandwidths
         moves_ref[:, :, :] = jnp.zeros(moves_ref.shape, jnp.int32)
 
+        if slide:
+            # initialize each read's window at its first band start; the
+            # (R, 1) base vector rides the loop carry (Mosaic forbids
+            # scalar stores to VMEM, but vector-lane extracts are fine)
+            ewb0 = ((ps[:, 0:1].astype(jnp.int32) + bwp) // TILE) * TILE
+            for i in range(R):
+                base0 = pl.multiple_of(ewb0[i, 0], TILE)
+                emw_ref[pl.ds(i, 1), :] = em_ref[pl.ds(i, 1),
+                                                 pl.ds(base0, W_win)]
+        else:
+            ewb0 = jnp.zeros((R, 1), jnp.int32)
+
         def fwd_body(r, carry):
-            fwd, prev_start, band_err, final_fwd = carry
+            fwd, prev_start, band_err, final_fwd, ewb = carry
             active = r < sl                                   # (R, 1)
             is_prefix = r < sr
+
+            if tiled:
+                # per-row column reads of the (R, L) level arrays cost
+                # O(L) lanes; staging 128-wide tiles makes them O(TILE)
+                @pl.when(r % TILE == 0)
+                def _():
+                    tb = pl.multiple_of((r // TILE) * TILE, TILE)
+                    rmt_ref[:, :] = rm_ref[:, pl.ds(tb, TILE)]
+                    rst_ref[:, :] = rs_ref[:, pl.ds(tb, TILE)]
 
             # --- adaptive band placement (reference: pyx:342-358)
             amax = _first_argmax(fwd, bw)
@@ -301,10 +337,36 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             hi = jnp.where(is_prefix,
                            jnp.minimum(_col_i(pe, lanes_P, pref_idx), nev),
                            nev)
-            win = _gather_em_window(variant, em_ref, band_start, lanes,
-                                    bwp, E_tot, win_ref, gather_row)
-            mu = _col_f(rm, lanes_L, r)
-            sd = _col_f(rs, lanes_L, r)
+            if slide:
+                # slide any read's window whose band ran past the fine-
+                # shift range (band starts are monotone, so the window
+                # only ever moves right)
+                bsv = band_start + bwp
+                move = (bsv - ewb > max_fine).astype(jnp.int32)
+                # one vector->scalar sync per row (per-read extracts are
+                # expensive); when ANY read outruns its window, re-base
+                # every read to its current band for maximum runway
+                am = jnp.max(move)
+                nbv = (bsv // TILE) * TILE
+                ewb = jnp.where(am == 1, nbv, ewb)
+
+                @pl.when(am == 1)
+                def _():
+                    for i in range(R):
+                        nb = pl.multiple_of(nbv[i, 0], TILE)
+                        emw_ref[pl.ds(i, 1), :] = em_ref[pl.ds(i, 1),
+                                                         pl.ds(nb, W_win)]
+                win = _shift_rows(emw_ref[:, :], bsv - ewb,
+                                  bwp, max_shift=max_fine + TILE - 1)[:, :bwp]
+            else:
+                win = _gather_em_window(variant, em_ref, band_start, lanes,
+                                        bwp, E_tot, win_ref, gather_row)
+            if tiled:
+                mu = _col_f(rmt_ref[:, :], lanes_T, r % TILE)
+                sd = _col_f(rst_ref[:, :], lanes_T, r % TILE)
+            else:
+                mu = _col_f(rm, lanes_L, r)
+                sd = _col_f(rs, lanes_L, r)
             z = jnp.abs((win - mu) / sd)
             if max_half_z > 0:
                 z = jnp.minimum(z, max_half_z)
@@ -360,15 +422,27 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             prev_w = moves_ref[:, pl.ds(word, 1), :].reshape(R, bwp)
             moves_ref[:, pl.ds(word, 1), :] = (
                 prev_w | (moves << sh)).reshape(R, 1, bwp)
-            bs_ref[:, :] = jnp.where(lanes_L == r, band_start, bs_ref[:, :])
+            if tiled:
+                # stage band starts in a 128-wide tile; flush once per
+                # TILE rows (O(L^2) lane traffic -> O(L * TILE))
+                bst_ref[:, :] = jnp.where(lanes_T == r % TILE, band_start,
+                                          bst_ref[:, :])
 
-            return new_fwd, band_start, band_err, final_fwd
+                @pl.when(r % TILE == TILE - 1)
+                def _():
+                    tb = pl.multiple_of((r // TILE) * TILE, TILE)
+                    bs_ref[:, pl.ds(tb, TILE)] = bst_ref[:, :]
+            else:
+                bs_ref[:, :] = jnp.where(lanes_L == r, band_start,
+                                         bs_ref[:, :])
 
-        fwd, last_start, band_err, final_fwd = lax.fori_loop(
+            return new_fwd, band_start, band_err, final_fwd, ewb
+
+        fwd, last_start, band_err, final_fwd, _ = lax.fori_loop(
             0, L, fwd_body,
             (init_fwd, ps_ref[:, 0:1].astype(jnp.int32),
              jnp.zeros((R, 1), jnp.int32),
-             jnp.full((R, bwp), neg, jnp.float32)))
+             jnp.full((R, bwp), neg, jnp.float32), ewb0))
 
         # ------------------------------------------------ traceback
         top = _first_argmax(final_fwd, bw)
@@ -379,7 +453,17 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
             event_pos, bound_err = carry
             r = L - 1 - t
             active = r < sl
-            bs_row = _col_i(bs_ref[:, :], lanes_L, r)
+            if tiled:
+                # r descends: re-stage the band-start tile on tile entry
+                # and zero the segment tile (inactive rows write nothing)
+                @pl.when(r % TILE == TILE - 1)
+                def _():
+                    tb = pl.multiple_of((r // TILE) * TILE, TILE)
+                    bst_ref[:, :] = bs_ref[:, pl.ds(tb, TILE)]
+                    segt_ref[:, :] = jnp.zeros((R, TILE), jnp.int32)
+                bs_row = _col_i(bst_ref[:, :], lanes_T, r % TILE)
+            else:
+                bs_row = _col_i(bs_ref[:, :], lanes_L, r)
             bp = jnp.clip(event_pos - bs_row, 0, bw - 1)
             mv_row = (moves_ref[:, pl.ds(r // 16, 1), :].reshape(R, bwp)
                       >> (2 * (r % 16))) & 3
@@ -394,10 +478,20 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
                 (jnp.minimum(bp2, bw - bp2 - 1) < band_bound_thresh)
             ).astype(jnp.int32)
             new_event_pos = jnp.where(active, bs_row + bp2, event_pos)
-            lanes_L1 = _lane_iota(R, L + 1)
-            segsacc_ref[:, :] = jnp.where(
-                (lanes_L1 == r) & active, new_event_pos + 1,
-                segsacc_ref[:, :])
+            if tiled:
+                segt_ref[:, :] = jnp.where(
+                    (lanes_T == r % TILE) & active, new_event_pos + 1,
+                    segt_ref[:, :])
+
+                @pl.when(r % TILE == 0)
+                def _():
+                    tb = pl.multiple_of((r // TILE) * TILE, TILE)
+                    segsacc_ref[:, pl.ds(tb, TILE)] = segt_ref[:, :]
+            else:
+                lanes_L1 = _lane_iota(R, L + 1)
+                segsacc_ref[:, :] = jnp.where(
+                    (lanes_L1 == r) & active, new_event_pos + 1,
+                    segsacc_ref[:, :])
             return new_event_pos, bound_err
 
         event_pos, bound_err = lax.fori_loop(
@@ -414,6 +508,25 @@ def _make_kernel(p: DpParams, R: int, L: int, P: int, E_tot: int,
     return kernel
 
 
+def _fused_scratch(R: int, L: int, bwp: int):
+    """Scratch set for the fused kernel (shared by the grid and
+    whole-array call paths; must match the kernel signature)."""
+    return [
+        pltpu.VMEM((R, (L + 15) // 16, bwp), jnp.int32),  # 2-bit moves
+        pltpu.VMEM((R, L), jnp.int32),           # band starts
+        pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
+        pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row
+        pltpu.VMEM((R, bwp), jnp.float32),       # window assembly
+        pltpu.VMEM((R, bwp), jnp.float32),       # diag assembly
+        pltpu.VMEM((R, bwp), jnp.float32),       # skip assembly
+        pltpu.VMEM((R, 128), jnp.float32),       # ref-mean tile
+        pltpu.VMEM((R, 128), jnp.float32),       # ref-sd tile
+        pltpu.VMEM((R, 128), jnp.int32),         # band-start tile
+        pltpu.VMEM((R, 128), jnp.int32),         # seg tile
+        pltpu.VMEM((R, bwp + 384), jnp.float32),  # sliding em window
+    ]
+
+
 def _pallas_dp_block(ins, kernel, R: int, L: int, bwp: int,
                      interpret: bool = False):
     """One whole-array (grid-1) kernel invocation over an R-read slice."""
@@ -428,15 +541,7 @@ def _pallas_dp_block(ins, kernel, R: int, L: int, bwp: int,
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
             jax.ShapeDtypeStruct((R, bwp), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((R, (L + 15) // 16, bwp), jnp.int32),  # 2-bit moves
-            pltpu.VMEM((R, L), jnp.int32),           # band starts
-            pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
-            pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row
-            pltpu.VMEM((R, bwp), jnp.float32),       # window assembly
-            pltpu.VMEM((R, bwp), jnp.float32),       # diag assembly
-            pltpu.VMEM((R, bwp), jnp.float32),       # skip assembly
-        ],
+        scratch_shapes=_fused_scratch(R, L, bwp),
         interpret=interpret,
     )(*ins)
 
@@ -965,15 +1070,7 @@ def adaptive_banded_dp_tb(
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
             jax.ShapeDtypeStruct((B, bwp), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((R, (L + 15) // 16, bwp), jnp.int32),  # 2-bit moves
-            pltpu.VMEM((R, L), jnp.int32),           # band starts
-            pltpu.VMEM((R, L + 1), jnp.int32),       # segs accumulator
-            pltpu.VMEM((R, 2 * bwp + 256), jnp.float32),  # padded fwd row
-            pltpu.VMEM((R, bwp), jnp.float32),       # window assembly
-            pltpu.VMEM((R, bwp), jnp.float32),       # diag assembly
-            pltpu.VMEM((R, bwp), jnp.float32),       # skip assembly
-        ],
+        scratch_shapes=_fused_scratch(R, L, bwp),
         interpret=interpret,
     )(em, col(n_events), ref_means.astype(jnp.float32),
       ref_sds.astype(jnp.float32), col(seq_lens), i32(prefix_starts),
