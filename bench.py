@@ -165,24 +165,84 @@ def bench_stats():
                          for rl in reg.load_levels(with_seq=True))
         io_dt = time.perf_counter() - t0
 
-        best = np.inf
-        for _ in range(2):
-            stats_fn = os.path.join(tmp, "bench.tombo.stats")
-            if os.path.exists(stats_fn):
-                os.unlink(stats_fn)
-            t0 = time.perf_counter()
-            dt.test_significance(index, params, stats_fn, fasta=fasta,
-                                 std_ref=model, num_processes=4)
-            best = min(best, time.perf_counter() - t0)
+        def timed_pass(device_flag: str) -> float:
+            os.environ["TOMBO_TPU_STATS_DEVICE"] = device_flag
+            best = np.inf
+            for _ in range(2):
+                stats_fn = os.path.join(tmp, "bench.tombo.stats")
+                if os.path.exists(stats_fn):
+                    os.unlink(stats_fn)
+                t0 = time.perf_counter()
+                dt.test_significance(index, params, stats_fn, fasta=fasta,
+                                     std_ref=model, num_processes=4)
+                best = min(best, time.perf_counter() - t0)
+            return best
 
+        best = timed_pass("0")
         n_sites = n_reads * read_len  # tested site-observations
-        print(json.dumps({
+        out = {
             "metric": "detect_de_novo_site_obs_per_s_cpu",
             "value": round(n_sites / best, 1),
             "unit": "site-obs/s",
             "wall_s": round(best, 3),
             "io_frac": round(io_dt / best, 3),
-        }))
+        }
+        # device lane (stats/device.py): fused per-region z->p->Fisher +
+        # per-site reduction on the accelerator
+        try:
+            dev_best = timed_pass("1")
+            out["device_site_obs_per_s"] = round(n_sites / dev_best, 1)
+            out["device_vs_cpu"] = round(best / dev_best, 3)
+        except Exception as e:  # noqa: BLE001 — lane must not kill bench
+            out["device_error"] = "%s: %s" % (type(e).__name__,
+                                              str(e)[:120])
+        finally:
+            os.environ.pop("TOMBO_TPU_STATS_DEVICE", None)
+        print(json.dumps(out))
+
+
+# partial results shared with the deadline guard: if the extra lanes
+# (from-disk, mixed) overrun, the guard prints whatever is already
+# measured instead of a zero record
+RESULT: dict = {}
+_T_START = time.perf_counter()
+
+
+def _remaining_s() -> float:
+    deadline = float(os.environ.get("TOMBO_TPU_BENCH_DEADLINE", "540"))
+    return deadline - (time.perf_counter() - _T_START)
+
+
+def bench_from_disk(model, params, sst):
+    """End-to-end-from-disk lane: FAST5 ingest -> mapping (error-tolerant
+    native minimizer aligner) -> batched resquiggle -> HDF5 writeback +
+    index, all inside the timed window (the reference's real workflow is
+    FAST5-dominated; reference: tombo/resquiggle.py:1859-1948).  20% of
+    reads carry 5% basecall errors, so the noisy mapping + retry lanes
+    are part of the measured path."""
+    import tempfile
+
+    from tombo_tpu.pipeline.aligner import MinimizerAligner
+    from tombo_tpu.pipeline.runner import RunConfig, resquiggle_all_reads
+    from tombo_tpu.testing import make_synthetic_dataset
+
+    n_reads = int(os.environ.get("TOMBO_TPU_BENCH_DISK_READS", "768"))
+    with tempfile.TemporaryDirectory() as tmp:
+        fasta, _, fast5_dir = make_synthetic_dataset(
+            tmp, n_reads=n_reads, seed=11, read_len=READ_LEN,
+            ref_len=60000, noisy_frac=0.2, noisy_err=0.05)
+        aligner = MinimizerAligner(fasta)
+        cfg = RunConfig(overwrite=True, batch_size=BATCH_SIZE,
+                        num_io_threads=4)
+        # warm pass compiles all shape buckets; timed pass re-runs the
+        # full disk workflow (prep + ingest + map + DP + writeback + index)
+        summary, _ = resquiggle_all_reads(
+            fast5_dir, aligner, model, sst, params, cfg)
+        t0 = time.perf_counter()
+        summary, _ = resquiggle_all_reads(
+            fast5_dir, aligner, model, sst, params, cfg)
+        dt = time.perf_counter() - t0
+    return n_reads / dt, summary.n_success / n_reads
 
 
 def main():
@@ -243,7 +303,7 @@ def main():
         "native baseline unavailable or failing: %d/%d" % (
             n_base_ok, N_CPU_READS)
 
-    print(json.dumps({
+    RESULT.update({
         "metric": "resquiggle_reads_per_s_per_chip_%s%s%s" % (
             backend, "_mixedlen" if MIXED else "",
             "_rna" if RNA else ""),
@@ -251,7 +311,56 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 3),
         "baseline_reads_per_s_1core": round(cpu_rate, 3),
-    }))
+    })
+
+    # extra recorded lanes (same JSON line; headline value stays the
+    # in-memory uniform config).  Each lane runs only if enough deadline
+    # budget remains; the guard prints RESULT as-is on overrun.
+    if not MIXED and not RNA:
+        if _remaining_s() > 180:
+            try:
+                disk_rate, disk_ok = bench_from_disk(model, params, sst)
+                RESULT["from_disk_reads_per_s"] = round(disk_rate, 3)
+                RESULT["from_disk_success_rate"] = round(disk_ok, 4)
+                RESULT["from_disk_vs_baseline"] = round(
+                    disk_rate / cpu_rate, 3)
+            except Exception as e:  # noqa: BLE001 — lane must not kill bench
+                RESULT["from_disk_error"] = "%s: %s" % (
+                    type(e).__name__, str(e)[:120])
+        if _remaining_s() > 150:
+            try:
+                RESULT["mixed_reads_per_s"] = round(bench_mixed_lane(), 3)
+            except Exception as e:  # noqa: BLE001
+                RESULT["mixed_error"] = "%s: %s" % (
+                    type(e).__name__, str(e)[:120])
+
+    print(json.dumps(RESULT))
+
+
+def bench_mixed_lane():
+    """Recorded mixed-length lane: log-normal 1-30 kb reads through the
+    in-memory batched path (half-octave signal buckets + seq-chunked
+    kernels; SURVEY §5.7)."""
+    global MIXED
+    MIXED = True
+    try:
+        b = int(os.environ.get("TOMBO_TPU_BENCH_MIXED_BATCH", "128"))
+        n_b = 2
+        model, params, sst, map_results = build_dataset(b * (n_b + 1))
+        br = BatchedResquiggler(model, params, sst, config.OUTLIER_THRESH,
+                                dtype=jnp.float32)
+        br.resquiggle_batch(map_results[:b])         # warm/compile
+        for i in range(1, n_b + 1):
+            br.resquiggle_batch(map_results[i * b:(i + 1) * b])
+        batches = [map_results[i * b:(i + 1) * b]
+                   for i in range(1, n_b + 1)]
+        t0 = time.perf_counter()
+        total = 0
+        for out in br.resquiggle_batches(batches):
+            total += sum(1 for r, e in out if r is not None)
+        return total / (time.perf_counter() - t0)
+    finally:
+        MIXED = False
 
 
 def _deadline_guard():
@@ -269,13 +378,22 @@ def _deadline_guard():
     deadline = float(os.environ.get("TOMBO_TPU_BENCH_DEADLINE", "540"))
 
     def fire():
-        print(_json.dumps({
-            "metric": "resquiggle_reads_per_s_per_chip_unknown",
-            "value": 0.0,
-            "unit": "reads/s",
-            "vs_baseline": 0.0,
-            "error": "device link stalled past %.0fs deadline" % deadline,
-        }), flush=True)
+        if RESULT.get("value"):
+            # headline already measured; an extra lane overran — report
+            # what we have rather than a degraded zero record
+            out = dict(RESULT)
+            out["deadline_note"] = ("extra lanes cut at %.0fs deadline"
+                                    % deadline)
+        else:
+            out = {
+                "metric": "resquiggle_reads_per_s_per_chip_unknown",
+                "value": 0.0,
+                "unit": "reads/s",
+                "vs_baseline": 0.0,
+                "error": ("device link stalled past %.0fs deadline"
+                          % deadline),
+            }
+        print(_json.dumps(out), flush=True)
         _os._exit(0)
 
     t = threading.Timer(deadline, fire)

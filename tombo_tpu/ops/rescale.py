@@ -8,13 +8,18 @@ round-1 build ran this on the host (threaded C++); on a 4-core host it is
 the single largest finalize cost (~1 ms/read).  This module moves it onto
 the device:
 
-* pairwise slopes are never materialized: the median is found by a
-  bitwise binary search over the *float bit pattern* space (monotone
-  unsigned key), each round recomputing the slopes in a fused
-  broadcast-compare-count pass (32 rounds for f32, 64 for f64) — an
-  exact selection, not an approximation;
-* both middle order statistics (numpy even-length median semantics) are
-  found in the same rounds;
+* pairwise slopes are selected over the *float bit pattern* space
+  (monotone unsigned key) with a multi-way (15-pivot) range search:
+  each round counts all pair keys against a per-read pivot grid in ONE
+  fused pass, shrinking the candidate key range ~15x per round (10
+  rounds for f32, 18 for f64) — an exact selection, not an
+  approximation.  Both middle order statistics (numpy even-length
+  median semantics) ride the same pass with their own pivot grids, so
+  the dominant cost is ``rounds`` passes over the pair keys instead of
+  the 2 x 32 bisection passes of the round-2 design;
+* pair validity is folded into the keys (invalid pairs get the all-ones
+  sentinel, above every achievable slope key), so count passes read one
+  buffer with no mask recompute;
 * the O(n) intercept median uses a plain masked sort.
 
 Everything is batch-parallel over reads and jit/shard_map friendly
@@ -55,60 +60,109 @@ def _key_to_float(k, dtype):
     return lax.bitcast_convert_type(ki ^ mask, jnp.float32)
 
 
+_N_PIV = 15          # pivots per rank per round (range shrinks ~15x)
+
+
+def _select_rounds(n_bits: int) -> int:
+    """Rounds needed for a 15-pivot grid to pin an ``n_bits`` key range
+    down to a single value: width w > 14 shrinks to at most
+    ``w // 15 + 1`` per round (pivot step), and any w <= 14 resolves in
+    one round (the grid covers every integer in the range)."""
+    w = (1 << n_bits) - 1
+    r = 0
+    while w > 0:
+        w = w // _N_PIV + 1 if w > _N_PIV - 1 else 0
+        r += 1
+    return r            # 9 for 32-bit keys, 17 for 64-bit
+
+
+def _dual_rank_select(count_fn, B, uint, n_bits, k_lo, k_hi):
+    """Exact dual order-statistic selection over unsigned key space.
+
+    ``count_fn(pivots)``: (B, P) uint pivots -> (B, P) int32 counts of
+    keys <= pivot per read.  Returns the (k_lo, k_hi)-th smallest keys
+    (0-based).  Each round evaluates a 15-pivot grid per rank (one fused
+    pass over the data for all 30 pivots), keeping the invariant
+    ``target in [lo, hi]`` with ``count(hi) >= k+1``."""
+    one = jnp.ones((), uint)
+    grid = jnp.arange(_N_PIV, dtype=uint)[None, :]          # (1, 15)
+
+    def pivots_of(lo, hi):
+        w = hi - lo
+        step = w // _N_PIV + one                            # ceil-ish
+        return jnp.minimum(lo[:, None] + step[:, None] * grid, hi[:, None])
+
+    def update(lo, hi, p, c, k):
+        admit = c.astype(jnp.int64) >= (k + 1)[:, None]     # (B, 15)
+        top = ~jnp.zeros((), uint)
+        hi_new = jnp.minimum(hi, jnp.min(jnp.where(admit, p, top), axis=1))
+        lo_new = jnp.maximum(lo, jnp.max(
+            jnp.where(admit, jnp.zeros((), uint), p + one), axis=1))
+        return lo_new, hi_new
+
+    def body(_, carry):
+        lo1, hi1, lo2, hi2 = carry
+        p1 = pivots_of(lo1, hi1)
+        p2 = pivots_of(lo2, hi2)
+        c = count_fn(jnp.concatenate([p1, p2], axis=1))     # (B, 30)
+        lo1, hi1 = update(lo1, hi1, p1, c[:, :_N_PIV], k_lo)
+        lo2, hi2 = update(lo2, hi2, p2, c[:, _N_PIV:], k_hi)
+        return lo1, hi1, lo2, hi2
+
+    zero = jnp.zeros((B,), uint)
+    # the all-ones key is the invalid-pair sentinel; starting hi one
+    # below it keeps sentinels out of every count bracket
+    top = ~zero - one
+    _, hi1, _, hi2 = lax.fori_loop(
+        0, _select_rounds(n_bits), body, (zero, top, zero, top))
+    return hi1, hi2
+
+
+def _pair_ranks(n_pts):
+    n = n_pts.astype(jnp.int64)
+    m = n * (n - 1) // 2                       # valid pair count
+    k_lo = jnp.maximum((m - 1) // 2, 0)        # 0-based middle order stats
+    k_hi = m // 2
+    return m, k_lo, k_hi
+
+
 def pairwise_slope_median(ev, mod, n_pts, max_slope):
-    """Per-read median of all-pairs slopes, without materializing pairs.
+    """Per-read median of all-pairs slopes via materialized keys.
 
     ev, mod: (B, N) point sets (first ``n_pts[b]`` valid per read).
     Returns (B,) median slopes with numpy semantics (mean of the two
     middle order statistics for an even pair count); pairs with equal
     event means contribute ``max_slope``
     (reference: tombo/_c_helper.pyx:362-377).
-    """
+
+    The (B, N, N) key buffer is materialized ONCE in HBM; each selection
+    round is then one bandwidth-bound count pass over it (30 fused
+    compares per key), ~9 rounds total for f32.  Invalid pairs carry the
+    all-ones sentinel key, above every achievable slope key (slopes are
+    never NaN: equal-``ev`` pairs map to ``max_slope`` first), so the
+    count passes need no validity mask."""
     dtype = ev.dtype
     B, N = ev.shape
     uint = jnp.uint64 if dtype == jnp.float64 else jnp.uint32
     n_bits = 64 if dtype == jnp.float64 else 32
-    n = n_pts.astype(jnp.int64)
-    m = n * (n - 1) // 2                       # valid pair count
-    k_lo = jnp.maximum((m - 1) // 2, 0)        # 0-based middle order stats
-    k_hi = m // 2
+    m, k_lo, k_hi = _pair_ranks(n_pts)
 
     iot = jnp.arange(N, dtype=jnp.int32)
     pair_valid = ((iot[None, :, None] < iot[None, None, :]) &
                   (iot[None, None, :] < n_pts[:, None, None]))
 
-    # keys materialized ONCE (B*N^2 ints in HBM): each selection round then
-    # re-reads them instead of re-dividing — on TPU the 2*n_bits masked
-    # count-reductions are bandwidth-bound fusions over this buffer
     de = ev[:, :, None] - ev[:, None, :]
     dm = mod[:, :, None] - mod[:, None, :]
     s = jnp.where(de == 0, jnp.asarray(max_slope, dtype), dm / de)
     keys = jnp.where(pair_valid, _float_to_key(s),
-                     jnp.zeros((), jnp.uint64 if dtype == jnp.float64
-                               else jnp.uint32))
+                     ~jnp.zeros((), uint)).reshape(B, N * N)
 
-    def count_le(mid):
-        """#{valid pair keys <= mid} per read; mid (B,) uint."""
-        le = pair_valid & (keys <= mid[:, None, None])
-        return jnp.sum(le, axis=(1, 2)).astype(jnp.int64)
+    def count_le(pivots):
+        """(B, P) pivot keys -> (B, P) #{pair keys <= pivot}."""
+        le = keys[:, :, None] <= pivots[:, None, :]
+        return jnp.sum(le, axis=1, dtype=jnp.int32)
 
-    top = ~jnp.zeros((B,), uint)
-
-    def body(_, carry):
-        lo1, hi1, lo2, hi2 = carry
-        mid1 = lo1 + (hi1 - lo1) // 2
-        mid2 = lo2 + (hi2 - lo2) // 2
-        c1 = count_le(mid1)
-        c2 = count_le(mid2)
-        lo1 = jnp.where(c1 >= k_lo + 1, lo1, mid1 + 1)
-        hi1 = jnp.where(c1 >= k_lo + 1, mid1, hi1)
-        lo2 = jnp.where(c2 >= k_hi + 1, lo2, mid2 + 1)
-        hi2 = jnp.where(c2 >= k_hi + 1, mid2, hi2)
-        return lo1, hi1, lo2, hi2
-
-    zero = jnp.zeros((B,), uint)
-    lo1, hi1, lo2, hi2 = lax.fori_loop(
-        0, n_bits, body, (zero, top, zero, top))
+    hi1, hi2 = _dual_rank_select(count_le, B, uint, n_bits, k_lo, k_hi)
     v_lo = _key_to_float(hi1, dtype).astype(dtype)
     v_hi = _key_to_float(hi2, dtype).astype(dtype)
     med = jnp.where(m % 2 == 1, v_hi, (v_lo + v_hi) / 2)
@@ -143,41 +197,22 @@ def pairwise_slope_median_recompute(ev, mod, n_pts, max_slope):
     B, N = ev.shape
     uint = jnp.uint64 if dtype == jnp.float64 else jnp.uint32
     n_bits = 64 if dtype == jnp.float64 else 32
-    n = n_pts.astype(jnp.int64)
-    m = n * (n - 1) // 2
-    k_lo = jnp.maximum((m - 1) // 2, 0)
-    k_hi = m // 2
+    m, k_lo, k_hi = _pair_ranks(n_pts)
 
     iot = jnp.arange(N, dtype=jnp.int32)
 
-    def counts(mid1, mid2):
+    def count_le(pivots):
         pair_valid = ((iot[None, :, None] < iot[None, None, :]) &
                       (iot[None, None, :] < n_pts[:, None, None]))
         de = ev[:, :, None] - ev[:, None, :]
         dm = mod[:, :, None] - mod[:, None, :]
         s = jnp.where(de == 0, jnp.asarray(max_slope, dtype), dm / de)
-        keys = jnp.where(pair_valid, _float_to_key(s), jnp.zeros((), uint))
-        c1 = jnp.sum(pair_valid & (keys <= mid1[:, None, None]),
-                     axis=(1, 2)).astype(jnp.int64)
-        c2 = jnp.sum(pair_valid & (keys <= mid2[:, None, None]),
-                     axis=(1, 2)).astype(jnp.int64)
-        return c1, c2
+        keys = jnp.where(pair_valid, _float_to_key(s),
+                         ~jnp.zeros((), uint)).reshape(B, N * N)
+        le = keys[:, :, None] <= pivots[:, None, :]
+        return jnp.sum(le, axis=1, dtype=jnp.int32)
 
-    top = ~jnp.zeros((B,), uint)
-
-    def body(_, carry):
-        lo1, hi1, lo2, hi2 = carry
-        mid1 = lo1 + (hi1 - lo1) // 2
-        mid2 = lo2 + (hi2 - lo2) // 2
-        c1, c2 = counts(mid1, mid2)
-        lo1 = jnp.where(c1 >= k_lo + 1, lo1, mid1 + 1)
-        hi1 = jnp.where(c1 >= k_lo + 1, mid1, hi1)
-        lo2 = jnp.where(c2 >= k_hi + 1, lo2, mid2 + 1)
-        hi2 = jnp.where(c2 >= k_hi + 1, mid2, hi2)
-        return lo1, hi1, lo2, hi2
-
-    zero = jnp.zeros((B,), uint)
-    _, hi1, _, hi2 = lax.fori_loop(0, n_bits, body, (zero, top, zero, top))
+    hi1, hi2 = _dual_rank_select(count_le, B, uint, n_bits, k_lo, k_hi)
     v_lo = _key_to_float(hi1, dtype).astype(dtype)
     v_hi = _key_to_float(hi2, dtype).astype(dtype)
     med = jnp.where(m % 2 == 1, v_hi, (v_lo + v_hi) / 2)

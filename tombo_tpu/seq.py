@@ -148,8 +148,12 @@ class TomboMotif:
         expanded = "".join(
             b if len(IUPAC_CODES[b]) == 1 else "[" + IUPAC_CODES[b] + "]"
             for b in motif)
-        # lookahead for overlapped matches (as the reference's find_mod_poss)
-        return re.compile("(?=(" + expanded + "))")
+        # plain (non-overlapping finditer) pattern, matching the
+        # reference's scan semantics everywhere — including dense motifs
+        # whose occurrences can overlap (reference:
+        # tombo/tombo_helper.py:556-563, :695-696; verified A/B in
+        # tests/test_reference_parity.py::test_tombo_motif_parity)
+        return re.compile(expanded)
 
     def matches_seq(self, seq: str) -> bool:
         return self.motif_pat.search(seq) is not None

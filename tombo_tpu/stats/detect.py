@@ -34,6 +34,22 @@ from .files import (ALT_MODEL_TXT, DE_NOVO_TXT, KS_STAT_TEST_TXT,
 from .region import RegionData, ReadLevels
 
 
+def use_device_stats() -> bool:
+    """Route per-site testing through the batched JAX kernels
+    (stats/device.py).  Default: on when a TPU backend is active; force
+    with TOMBO_TPU_STATS_DEVICE=0/1.  The host lane always serves
+    per-read statistics files and the ALT_MODEL motif path."""
+    import os
+    env = os.environ.get("TOMBO_TPU_STATS_DEVICE", "")
+    if env in ("0", "1"):
+        return env == "1"
+    import jax
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001 — backend probe must never fail hard
+        return False
+
+
 @dataclass
 class TestParams:
     """Testing configuration (reference: argparse layer +
@@ -559,6 +575,108 @@ def group_stats_from_dense(reg_data: RegionData, params: TestParams,
                       reg_data.strand, reg_data.start, cov[rel], ctrl[rel])
 
 
+def _span_exp_levels(reg_data: RegionData, fasta, std_ref: KmerModel,
+                     span_lo: int, span_n: int):
+    """Sequence-derived expected (mean, sd) per span position (the same
+    genome-oriented convention as ``compute_posterior_samp_dists``;
+    reference: tombo/tombo_stats.py:3596-3626).  NaN at positions whose
+    k-mer window runs off the chromosome or contains N."""
+    dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
+    begin_lag = (std_ref.central_pos if reg_data.strand == "+" else dnstrm)
+    end_lag = dnstrm if reg_data.strand == "+" else std_ref.central_pos
+    seq_start = span_lo - begin_lag
+    seq_end = span_lo + span_n + end_lag
+    reg_seq = fasta.get_seq(reg_data.chrm, max(seq_start, 0), seq_end,
+                            error_end=False)
+    if seq_start < 0:
+        reg_seq = "N" * -seq_start + reg_seq
+    if len(reg_seq) < seq_end - seq_start:
+        reg_seq = reg_seq + "N" * (seq_end - seq_start - len(reg_seq))
+    if reg_data.strand == "-":
+        reg_seq = rev_comp(reg_seq)
+    return std_ref.get_exp_levels_from_seq_with_gaps(
+        reg_seq, reg_data.strand == "-")
+
+
+def compute_reg_stats_device(reg_data: RegionData, params: TestParams,
+                             ctrl_reg_data: Optional[RegionData], fasta,
+                             std_ref: Optional[KmerModel]):
+    """Device (TPU) lane for the de_novo / sample_compare per-read tests:
+    one fused jitted call per region computes every read's z -> p ->
+    Fisher window and reduces the dense per-site accumulators on device
+    (stats/device.py; host equivalent: ``compute_reg_stats``).
+
+    Returns the same [(name, RegionStats, None)] shape as the host lane
+    (no per-read payloads — per-read statistics files use the host
+    lane)."""
+    from . import device as dev
+    stat_type = params.stat_type
+    span_lo, span_n = _accum_span(reg_data, params)
+    fm = params.fm_offset
+
+    ctrl_cov_dense = None
+    if stat_type == SAMP_COMP_TXT:
+        ctrl_means, ctrl_sds, ctrl_cov = get_reads_ref(
+            ctrl_reg_data, fasta, params.min_test_reads, fm, std_ref,
+            params.prior_weights)
+        ctrl_cov_dense = np.zeros(span_n, np.int64)
+        for pos, c in ctrl_cov.items():
+            rel = pos - span_lo
+            if 0 <= rel < span_n:
+                ctrl_cov_dense[rel] = c
+        # the host ctrl arrays cover [reg_start - fm, reg_end + fm);
+        # re-align them to the span
+        ref_means = np.full(span_n, np.nan)
+        ref_sds = np.full(span_n, np.nan)
+        off = (reg_data.start - fm) - span_lo
+        ref_means[off:off + ctrl_means.shape[0]] = ctrl_means
+        ref_sds[off:off + ctrl_sds.shape[0]] = ctrl_sds
+        begin_lag = end_lag = 0
+        place_lo = reg_data.start - fm
+        place_hi = reg_data.end + fm
+        clamp_after = False
+    elif stat_type == DE_NOVO_TXT:
+        dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
+        begin_lag = (std_ref.central_pos if reg_data.strand == "+"
+                     else dnstrm)
+        end_lag = (dnstrm if reg_data.strand == "+"
+                   else std_ref.central_pos)
+        ref_means, ref_sds = _span_exp_levels(
+            reg_data, fasta, std_ref, span_lo, span_n)
+        place_lo = reg_data.start - begin_lag - fm
+        place_hi = reg_data.end + end_lag + fm
+        clamp_after = True
+    else:
+        raise TomboTpuError(
+            "Device stats lane supports de_novo and sample_compare only")
+
+    block = dev.build_read_block(
+        reg_data.load_levels(), span_lo, span_n, place_lo, place_hi,
+        begin_lag, end_lag, b_pad=16)
+    if block is None:
+        raise TomboTpuError("Reads contain no statistics in this region.")
+    r_means, _, emit = block
+    # z-scores exist only on each read's lag-trimmed emission extent —
+    # the host lane trims the means BEFORE testing, so Fisher windows
+    # never see values beyond it (reference: tombo/tombo_stats.py:3846)
+    mode = "two_way" if params.lower_thresh is not None else "plain"
+    import jax.numpy as jnp
+    cov, valid_cov, above = (np.asarray(x, np.int64) for x in
+                             dev.model_test_and_accumulate(
+        jnp.asarray(r_means), jnp.asarray(ref_means),
+        jnp.asarray(ref_sds), jnp.asarray(emit), jnp.asarray(emit),
+        fm, clamp_after,
+        float(params.single_read_thresh),
+        float(params.lower_thresh
+              if params.lower_thresh is not None else -1e30), mode))
+    reg_stats = region_stats_from_accumulators(
+        reg_data, span_lo, cov, valid_cov, above, ctrl_cov_dense,
+        stat_type)
+    if reg_stats is None:
+        raise TomboTpuError("No valid positions in this region.")
+    return [(stat_type, reg_stats, None)]
+
+
 def compute_reg_stats(reg_data: RegionData, params: TestParams,
                       ctrl_reg_data: Optional[RegionData], fasta,
                       std_ref: Optional[KmerModel],
@@ -658,11 +776,33 @@ def compute_group_reg_stats(reg_data: RegionData,
         (ctrl_cov >= params.min_test_reads), [False]])))[0]
     if len(cov_regs) == 0:
         return []
+    # device lane: per-site level tests are position-independent, so one
+    # batched call over the whole region computes every covered block's
+    # statistics at once; the block-local Fisher/mean windows below stay
+    # on host, preserving the reference's block-edge semantics
+    dev_stats = None
+    if use_device_stats():
+        from . import device as dev
+        import jax.numpy as jnp
+        samp_p, ctrl_p = dev.pad_levels_pair(samp, ctrl)
+        sj, cj = jnp.asarray(samp_p), jnp.asarray(ctrl_p)
+        if stat_type in (KS_TEST_TXT, KS_STAT_TEST_TXT):
+            dev_stats = dev.ks_tests(sj, cj, stat_type == KS_STAT_TEST_TXT)
+        elif stat_type in (U_TEST_TXT, U_STAT_TEST_TXT):
+            dev_stats = dev.u_tests(sj, cj, stat_type == U_STAT_TEST_TXT)
+        elif stat_type in (T_TEST_TXT, T_STAT_TEST_TXT):
+            dev_stats = dev.t_tests(sj, cj, stat_type == T_STAT_TEST_TXT)
+        else:
+            raise TomboTpuError("Unrecognized test type.")
+        dev_stats = np.asarray(dev_stats, np.float64)
+
     reg_stats, reg_poss, reg_cov, reg_ctrl_cov = [], [], [], []
     for cs, ce in zip(cov_regs[:-1:2], cov_regs[1::2]):
         if ce - cs < fm_offset * 2 + 1:
             continue
-        if stat_type in (KS_TEST_TXT, KS_STAT_TEST_TXT):
+        if dev_stats is not None:
+            cstats = dev_stats[cs:ce]
+        elif stat_type in (KS_TEST_TXT, KS_STAT_TEST_TXT):
             cstats = kernels.compute_ks_tests(
                 samp[cs:ce], ctrl[cs:ce], stat_type == KS_STAT_TEST_TXT)
         elif stat_type in (U_TEST_TXT, U_STAT_TEST_TXT):
@@ -774,6 +914,12 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
     for pf in pr_files.values():
         pf.set_resolved_params(resolved_json)
 
+    # the device lane serves the per-site reductions; the host lane is
+    # required when per-read statistic streams must be written, and for
+    # the alt-model motif path
+    device_ok = (use_device_stats() and not pr_files and
+                 stat_type in (DE_NOVO_TXT, SAMP_COMP_TXT))
+
     def run_region_single(reg: RegionData):
         reg.add_reads(reads_index)
         ctrl_reg = None
@@ -784,6 +930,9 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
             if is_level:
                 return [(n, gs, None) for n, gs in compute_group_reg_stats(
                     reg, ctrl_reg, params)]
+            if device_ok:
+                return compute_reg_stats_device(
+                    reg, params, ctrl_reg, fasta, std_ref)
             return compute_reg_stats(
                 reg, params, ctrl_reg, fasta, std_ref, alt_items,
                 emit_per_read=bool(pr_files))

@@ -1,0 +1,306 @@
+"""Device (TPU) lane for the modified-base detection engine.
+
+The reference's detection hot path is compiled per-read C/Python loops
+(reference: tombo/tombo_stats.py:3675-3874 per-read model tests,
+:4236-4334 group level tests, :4084-4123 per-site aggregation).  Here the
+same math runs as batched JAX kernels over whole regions at once:
+
+* per-read model tests (de novo / sample-compare) operate on a dense
+  (reads, span) level matrix aligned to the region's accumulator span —
+  z -> two-sided p -> Fisher's-method window -> per-site (coverage,
+  valid coverage, above-threshold) sums reduce along the reads axis in
+  the SAME jitted program, so only three (span,) integer vectors return
+  to the host;
+* group level tests (KS / Mann-Whitney U / t) operate on (positions,
+  max_cov) NaN-padded level matrices: per-site sorts + vmapped
+  searchsorted replace the reference's per-site Python loops.
+
+Semantics match stats/kernels.py (the host lane) and therefore the
+reference; cross-checked by tests/test_stats_device.py.  The host lane
+remains the per-read-statistics-file path (it needs every read's
+statistic stream, not just the per-site reductions).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.special import betainc, gammaincc, ndtr
+
+from .kernels import SMALLEST_PVAL
+
+
+def _f() -> jnp.dtype:
+    """Float dtype for the stats lane: float64 when jax x64 is enabled
+    (exact parity with the scipy host lane), else float32."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# per-read model tests (reference: tombo/tombo_stats.py:3675-3874)
+# ---------------------------------------------------------------------------
+
+def _window_logp_sum(logp: jnp.ndarray, lag: int) -> jnp.ndarray:
+    """Per-window sum of +-lag neighbors; windows reaching a NaN (or the
+    array edge) become NaN — the reference's strided-window semantics
+    (reference: tombo/tombo_stats.py:2262-2266), NOT a cumsum difference."""
+    B, W = logp.shape
+    nan = jnp.asarray(jnp.nan, logp.dtype)
+    padded = jnp.pad(logp, ((0, 0), (lag, lag)), constant_values=nan)
+    out = jnp.zeros_like(logp)
+    for d in range(2 * lag + 1):
+        out = out + lax.dynamic_slice_in_dim(padded, d, W, axis=1)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("fm_offset", "clamp_after"))
+def model_test_pvals(r_means, ref_means, ref_sds, valid,
+                     fm_offset: int, clamp_after: bool):
+    """Two-sided z-test p-values with optional Fisher's-method window.
+
+    r_means: (B, W) span-aligned read level means; ref_means/ref_sds are
+    (W,) (de novo: sequence-derived expected levels; sample-compare:
+    control central levels) or (B, W).  ``valid`` masks each read's
+    contributing span columns.  ``clamp_after`` applies the de novo
+    SMALLEST_PVAL floor after the window (reference:
+    tombo/tombo_stats.py:3860-3862)."""
+    dt = _f()
+    r_means = r_means.astype(dt)
+    ref_means = ref_means.astype(dt)
+    ref_sds = ref_sds.astype(dt)
+    z = jnp.abs((r_means - ref_means) / ref_sds)
+    z = jnp.where(valid, z, jnp.asarray(jnp.nan, dt))
+    p = 2.0 * ndtr(-z)
+    if fm_offset > 0:
+        width = 2 * fm_offset + 1
+        logp = jnp.log(jnp.maximum(p, SMALLEST_PVAL))
+        s = _window_logp_sum(logp, fm_offset)
+        # chi2.sf(-2s, 2*width) = gammaincc(width, -s)
+        p = gammaincc(jnp.asarray(float(width), dt), -s)
+    if clamp_after:
+        p = jnp.maximum(p, SMALLEST_PVAL)
+    return p
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def site_accumulate(stats, emit_valid, single_read_thresh: float,
+                    lower_thresh: float, mode: str):
+    """Dense per-site (coverage, valid coverage, above-threshold count)
+    sums along the reads axis (host equivalent:
+    stats/detect.py ``site_accumulators``).  ``mode``: "two_way" uses
+    ``lower_thresh``, "alt" uses |stat| >= thresh, "plain" counts all."""
+    ok = emit_valid & ~jnp.isnan(stats)
+    cov = jnp.sum(ok, axis=0, dtype=jnp.int32)
+    if mode == "two_way":
+        is_valid = ok & ((stats <= lower_thresh) |
+                         (stats >= single_read_thresh))
+    elif mode == "alt":
+        is_valid = ok & (jnp.abs(stats) >= single_read_thresh)
+    else:
+        is_valid = ok
+    valid_cov = jnp.sum(is_valid, axis=0, dtype=jnp.int32)
+    above = jnp.sum(ok & (stats >= single_read_thresh), axis=0,
+                    dtype=jnp.int32)
+    return cov, valid_cov, above
+
+
+@functools.partial(jax.jit, static_argnames=("fm_offset", "clamp_after",
+                                             "mode"))
+def model_test_and_accumulate(r_means, ref_means, ref_sds, valid,
+                              emit_valid, fm_offset: int,
+                              clamp_after: bool,
+                              single_read_thresh: float,
+                              lower_thresh: float, mode: str):
+    """Fused per-read test + per-site reduction: one device call per
+    region block, three (W,) int vectors back."""
+    p = model_test_pvals(r_means, ref_means, ref_sds, valid, fm_offset,
+                         clamp_after)
+    return site_accumulate(p, emit_valid, single_read_thresh,
+                           lower_thresh, mode)
+
+
+# ---------------------------------------------------------------------------
+# group (level) tests (reference: tombo/tombo_stats.py:4236-4334)
+# ---------------------------------------------------------------------------
+
+def _kolmogorov_sf(x):
+    """Kolmogorov distribution survival function (scipy
+    ``kstwobign.sf``): series 2*sum_k (-1)^(k-1) exp(-2 k^2 x^2) for
+    large x; Jacobi-theta form of the CDF for small x where that series
+    converges slowly."""
+    dt = x.dtype
+    x = jnp.maximum(x, jnp.asarray(1e-8, dt))
+    k = jnp.arange(1, 26, dtype=dt)
+    sf_big = 2.0 * jnp.sum(
+        jnp.where(k[None, :] % 2 == 1, 1.0, -1.0) *
+        jnp.exp(-2.0 * (k[None, :] * x[:, None]) ** 2), axis=1)
+    j = jnp.arange(1, 21, dtype=dt)
+    w = jnp.sqrt(2.0 * jnp.pi) / x
+    cdf_small = w * jnp.sum(
+        jnp.exp(-((2.0 * j[None, :] - 1.0) ** 2) * (jnp.pi ** 2) /
+                (8.0 * x[:, None] ** 2)), axis=1)
+    return jnp.where(x > 1.0, sf_big, 1.0 - cdf_small)
+
+
+def _sorted_valid(levels):
+    """Sort (P, C) NaN-padded levels ascending with NaN -> +inf, plus
+    per-site valid counts."""
+    dt = _f()
+    levels = levels.astype(dt)
+    n = jnp.sum(~jnp.isnan(levels), axis=1)
+    s = jnp.sort(jnp.where(jnp.isnan(levels),
+                           jnp.asarray(jnp.inf, dt), levels), axis=1)
+    return s, n
+
+
+@functools.partial(jax.jit, static_argnames=("return_stat",))
+def ks_tests(samp, ctrl, return_stat: bool):
+    """Two-sample KS per site over (P, C) NaN-padded level matrices
+    (host equivalent: stats/kernels.py ``compute_ks_tests``)."""
+    dt = _f()
+    s, sn = _sorted_valid(samp)
+    c, cn = _sorted_valid(ctrl)
+    allv = jnp.concatenate([s, c], axis=1)
+    v_valid = jnp.isfinite(allv)
+
+    ss_r = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))
+    s_cdf = ss_r(s, allv).astype(dt)
+    c_cdf = ss_r(c, allv).astype(dt)
+    # searchsorted over the inf padding counts pads below +inf queries;
+    # cap at the true valid count
+    s_cdf = jnp.minimum(s_cdf, sn[:, None].astype(dt)) / sn[:, None]
+    c_cdf = jnp.minimum(c_cdf, cn[:, None].astype(dt)) / cn[:, None]
+    d = jnp.max(jnp.where(v_valid, jnp.abs(s_cdf - c_cdf), 0.0), axis=1)
+    if return_stat:
+        return 1.0 - d
+    sn_f, cn_f = sn.astype(dt), cn.astype(dt)
+    en = jnp.sqrt(sn_f * cn_f / (sn_f + cn_f))
+    return _kolmogorov_sf((en + 0.12 + 0.11 / en) * d)
+
+
+@functools.partial(jax.jit, static_argnames=("return_stat",))
+def u_tests(samp, ctrl, return_stat: bool):
+    """Mann-Whitney U per site (host equivalent:
+    stats/kernels.py ``compute_u_tests``; the reference breaks rank ties
+    by stable order with sample entries first — ``searchsorted(...,
+    'left')`` reproduces that exactly)."""
+    dt = _f()
+    s, sn = _sorted_valid(samp)
+    c, cn = _sorted_valid(ctrl)
+    ss_l = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))
+    below = jnp.minimum(ss_l(c, s), cn[:, None]).astype(dt)
+    iot = jnp.arange(s.shape[1])
+    u1 = jnp.sum(jnp.where(iot[None, :] < sn[:, None], below, 0.0), axis=1)
+    sn_f, cn_f = sn.astype(dt), cn.astype(dt)
+    tot = sn_f * cn_f
+    u = jnp.minimum(u1, tot - u1)
+    mu = tot / 2.0
+    if return_stat:
+        return (u - mu) / mu
+    rhou = jnp.sqrt(tot * (tot + 1.0) / 12.0)
+    return ndtr((u - mu) / rhou) * 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("return_stat",))
+def t_tests(samp, ctrl, return_stat: bool):
+    """Welch/pooled two-sample t per site (host equivalent:
+    stats/kernels.py ``compute_t_tests``)."""
+    dt = _f()
+    samp = samp.astype(dt)
+    ctrl = ctrl.astype(dt)
+
+    def moments(x):
+        m = ~jnp.isnan(x)
+        n = jnp.sum(m, axis=1).astype(dt)
+        mean = jnp.sum(jnp.where(m, x, 0.0), axis=1) / n
+        var = jnp.sum(jnp.where(m, (x - mean[:, None]) ** 2, 0.0),
+                      axis=1) / n
+        return n, mean, jnp.sqrt(var)
+
+    sn, s_mean, s_sd = moments(samp)
+    cn, c_mean, c_sd = moments(ctrl)
+    if return_stat:
+        return -jnp.abs(s_mean - c_mean) / jnp.sqrt(
+            (s_sd ** 2 + c_sd ** 2) / 2.0)
+    df = sn + cn - 2.0
+    sp = jnp.sqrt((((sn - 1.0) * s_sd ** 2) + (cn - 1.0) * c_sd ** 2) / df)
+    t = -jnp.abs(s_mean - c_mean) / (sp * jnp.sqrt(1.0 / sn + 1.0 / cn))
+    # t.cdf(t, df) for t <= 0 equals betainc(df/2, 1/2, df/(df+t^2)) / 2
+    cdf = 0.5 * betainc(df / 2.0, jnp.asarray(0.5, dt),
+                        df / (df + t ** 2))
+    return cdf * 2.0
+
+
+# ---------------------------------------------------------------------------
+# host-side region block preparation
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def build_read_block(levels, span_lo: int, span_n: int,
+                     place_lo: int, place_hi: int,
+                     begin_lag: int, end_lag: int,
+                     b_pad: Optional[int] = None
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray,
+                                         np.ndarray]]:
+    """Pack a region's ReadLevels into span-aligned device inputs.
+
+    Returns (r_means (B, span_n) f32/f64 NaN-padded, valid (B, span_n),
+    emit_valid (B, span_n)).  ``place_lo/place_hi`` bound the columns a
+    read may contribute means to — the host lane's read clipping
+    (reference: tombo/tombo_stats.py:3783-3806) expressed as a mask;
+    ``begin_lag/end_lag`` trim each read's emission extent (k-mer
+    context; zero for sample-compare)."""
+    B = len(levels)
+    if B == 0:
+        return None
+    dt = np.float64
+    means = np.full((B, span_n), np.nan, dt)
+    emit = np.zeros((B, span_n), bool)
+    for i, rl in enumerate(levels):
+        r = rl.r_data
+        m = rl.means
+        if r.strand == "-":
+            m = m[::-1]
+        g_lo = max(r.start, span_lo, place_lo)
+        g_hi = min(r.end, span_lo + span_n, place_hi)
+        if g_hi <= g_lo:
+            continue
+        means[i, g_lo - span_lo:g_hi - span_lo] = \
+            m[g_lo - r.start:g_hi - r.start]
+        # emission trims the k-mer lags off the CLIPPED read extent (the
+        # host lane clips first, then trims: tombo/tombo_stats.py:3846)
+        c_lo = max(r.start, place_lo)
+        c_hi = min(r.end, place_hi)
+        e_lo = max(g_lo, c_lo + begin_lag)
+        e_hi = min(g_hi, c_hi - end_lag)
+        if e_hi > e_lo:
+            emit[i, e_lo - span_lo:e_hi - span_lo] = True
+    if b_pad:
+        Bp = _round_up(B, b_pad)
+        if Bp != B:
+            means = np.pad(means, ((0, Bp - B), (0, 0)),
+                           constant_values=np.nan)
+            emit = np.pad(emit, ((0, Bp - B), (0, 0)))
+    return means, ~np.isnan(means), emit
+
+
+def pad_levels_pair(samp: np.ndarray, ctrl: np.ndarray, cov_mult: int = 8
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pad the coverage axes of a (P, C) sample/control matrix pair to a
+    shared bucketed width so group-test shapes recompile rarely."""
+    C = _round_up(max(samp.shape[1], ctrl.shape[1], 1), cov_mult)
+
+    def pad(x):
+        if x.shape[1] == C:
+            return x
+        return np.pad(x, ((0, 0), (0, C - x.shape[1])),
+                      constant_values=np.nan)
+
+    return pad(samp), pad(ctrl)

@@ -45,12 +45,12 @@ def calc_window_fishers_method(pvals: np.ndarray, lag: int) -> np.ndarray:
             "computation.")
     with np.errstate(invalid="ignore"):
         pvals = np.maximum(pvals, SMALLEST_PVAL)
-    log_p = np.log(pvals)
-    # rolling sum over the last axis
-    cs = np.cumsum(log_p, axis=-1)
-    pad = np.zeros(cs.shape[:-1] + (1,))
-    cs = np.concatenate([pad, cs], axis=-1)
-    log_sums = cs[..., width:] - cs[..., :-width]
+    # per-window sums (NOT a cumsum difference): a NaN p-value must only
+    # poison the windows containing it — the cumsum trick would NaN every
+    # window downstream of it (reference: tombo/tombo_stats.py:2262-2266
+    # strided window sums; A/B-checked in tests/test_reference_parity.py)
+    log_sums = np.lib.stride_tricks.sliding_window_view(
+        np.log(pvals), width, axis=-1).sum(-1)
     f_pvals = np.full(pvals.shape, np.nan)
     with np.errstate(invalid="ignore"):
         f_pvals[..., lag:-lag] = sps.chi2.sf(log_sums * -2, width * 2)
@@ -64,11 +64,9 @@ def calc_window_means(stat: np.ndarray, lag: int) -> np.ndarray:
     if stat.shape[-1] < width:
         raise TomboTpuError(
             "Statistics vector too short for window mean.")
-    cs = np.cumsum(stat, axis=-1)
-    pad = np.zeros(cs.shape[:-1] + (1,))
-    cs = np.concatenate([pad, cs], axis=-1)
     m = np.full(stat.shape, np.nan)
-    m[..., lag:-lag] = (cs[..., width:] - cs[..., :-width]) / width
+    m[..., lag:-lag] = np.lib.stride_tricks.sliding_window_view(
+        stat, width, axis=-1).mean(-1)
     return m
 
 

@@ -115,13 +115,43 @@ def write_synthetic_fast5(path: str, read: SyntheticRead,
                 "Fastq", data=np.bytes_(fastq.encode()))
 
 
+def mutate_seq(rng: np.random.Generator, seq: str,
+               err: float = 0.05) -> str:
+    """Nanopore-like basecall errors: ~50% substitutions, 25% insertions,
+    25% deletions at total rate ``err`` (drives the error-prone mapping
+    lane; the reference handles such reads through minimap2's alignment,
+    reference: tombo/resquiggle.py:1303)."""
+    bases = "ACGT"
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < err * 0.5:
+            out.append(bases[int(rng.integers(0, 4))])
+        elif r < err * 0.75:
+            out.append(c)
+            out.append(bases[int(rng.integers(0, 4))])
+        elif r < err:
+            pass
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def make_synthetic_dataset(tmpdir: str, n_reads: int = 10, seed: int = 42,
                            ref_len: int = 20000, read_len: int = 800,
-                           model: Optional[KmerModel] = None
+                           model: Optional[KmerModel] = None,
+                           noisy_frac: float = 0.0,
+                           noisy_err: float = 0.05
                            ) -> Tuple[Fasta, List[SyntheticRead], str]:
     """Reference + FAST5 directory of synthetic reads.  Returns
-    (fasta, reads, fast5_dir); the reference FASTA is written to tmpdir."""
+    (fasta, reads, fast5_dir); the reference FASTA is written to tmpdir.
+
+    ``noisy_frac`` > 0 writes that fraction of reads with basecall errors
+    (rate ``noisy_err``) in their Fastq slot — the raw signal stays the
+    clean simulation, so resquiggle must map them through an error-
+    tolerant aligner."""
     import os
+    from dataclasses import replace as _dc_replace
     rng = np.random.default_rng(seed)
     if model is None:
         model = KmerModel.load_default(config.DNA_SAMP_TYPE)
@@ -132,6 +162,9 @@ def make_synthetic_dataset(tmpdir: str, n_reads: int = 10, seed: int = 42,
     for i in range(n_reads):
         read = simulate_read(rng, fasta, model, read_len=read_len,
                              read_id="synth_%04d" % i)
+        if noisy_frac > 0 and rng.random() < noisy_frac:
+            read = _dc_replace(
+                read, seq=mutate_seq(rng, read.seq, noisy_err))
         write_synthetic_fast5(
             os.path.join(fast5_dir, read.read_id + ".fast5"), read)
         reads.append(read)
