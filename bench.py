@@ -187,6 +187,43 @@ def bench_stats():
             "wall_s": round(best, 3),
             "io_frac": round(io_dt / best, 3),
         }
+        # compute-only comparison (regions pre-loaded, no HDF5 in the
+        # timed window): host per-read testing vs the fused device
+        # kernels — the honest kernel-lane speedup, separate from the
+        # I/O-bound end-to-end number above
+        try:
+            for reg in regions:
+                reg.load_levels(with_seq=True)
+            comp = {}
+            for flag, key in (("0", "host"), ("1", "device")):
+                os.environ["TOMBO_TPU_STATS_DEVICE"] = flag
+                fn = (dt.compute_reg_stats_device if flag == "1"
+                      else dt.compute_reg_stats)
+                best_c = np.inf
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    for reg in regions:
+                        try:
+                            if flag == "1":
+                                fn(reg, params, None, fasta, model)
+                            else:
+                                fn(reg, params, None, fasta, model, None,
+                                   emit_per_read=False)
+                        except Exception:  # noqa: BLE001 (empty regions)
+                            pass
+                    best_c = min(best_c, time.perf_counter() - t0)
+                comp[key] = best_c
+            out["compute_host_site_obs_per_s"] = round(
+                n_sites / comp["host"], 1)
+            out["compute_device_site_obs_per_s"] = round(
+                n_sites / comp["device"], 1)
+            out["compute_device_vs_host"] = round(
+                comp["host"] / comp["device"], 3)
+        except Exception as e:  # noqa: BLE001
+            out["compute_error"] = "%s: %s" % (type(e).__name__,
+                                               str(e)[:120])
+        finally:
+            os.environ.pop("TOMBO_TPU_STATS_DEVICE", None)
         # device lane (stats/device.py): fused per-region z->p->Fisher +
         # per-site reduction on the accelerator
         try:

@@ -268,3 +268,48 @@ def test_resquiggle_advanced_options(tmp_path, capsys):
             assert abs(grp.attrs["scale"] - const) < 1e-9
             n_checked += 1
     assert n_checked >= 5
+
+
+def test_preprocess_annotate_multiprocess(tmp_path):
+    """The parallel annotation writers (real processes, disjoint FAST5
+    shards) produce exactly the sequential result."""
+    import os
+
+    import h5py
+    import numpy as np
+
+    from tombo_tpu import config
+    from tombo_tpu.io.model_io import KmerModel
+    from tombo_tpu.preprocess import annotate_reads_with_fastq
+    from tombo_tpu.testing import (random_reference, simulate_read,
+                                   write_synthetic_fast5)
+
+    rng = np.random.default_rng(91)
+    fasta = random_reference(np.random.default_rng(92), 8000)
+    model = KmerModel.load_default(config.DNA_SAMP_TYPE)
+    fast5_dir = str(tmp_path / "raw_fast5s")
+    os.makedirs(fast5_dir)
+    fastq_fn = str(tmp_path / "reads.fastq")
+    reads = []
+    with open(fastq_fn, "w") as fp:
+        for i in range(12):
+            read = simulate_read(rng, fasta, model, read_len=150,
+                                 read_id="mp_%03d" % i)
+            write_synthetic_fast5(
+                os.path.join(fast5_dir, read.read_id + ".fast5"), read,
+                with_basecalls=False)
+            fp.write("@%s\n%s\n+\n%s\n" % (read.read_id, read.seq,
+                                           "#" * len(read.seq)))
+            reads.append(read)
+
+    n_ann, n_miss = annotate_reads_with_fastq(
+        fast5_dir, [fastq_fn], num_threads=3, min_parallel_records=4)
+    assert (n_ann, n_miss) == (12, 0)
+    for read in reads:
+        fn = os.path.join(fast5_dir, read.read_id + ".fast5")
+        with h5py.File(fn, "r") as fp:
+            rec = fp["/Analyses/Basecall_1D_000/BaseCalled_template/"
+                     "Fastq"][()]
+            if isinstance(rec, bytes):
+                rec = rec.decode()
+            assert rec.split("\n")[1] == read.seq

@@ -296,3 +296,73 @@ def test_pa_normalization(tmp_path):
         norm_means = grp["Events"]["norm_mean"]
         assert abs(np.median(norm_means) -
                    np.median(model.means)) < 0.5
+
+
+def _write_m5(path, fasta, reads):
+    """m5 alignment lines (blasr/graphmap format): aligned sequence pair
+    in target-forward orientation (reference m5 lane:
+    tombo/_event_resquiggle.py:567-613)."""
+    from tombo_tpu.seq import rev_comp
+    chrm = fasta.iter_chrms()[0]
+    t_len = len(fasta.get_seq(chrm))
+    with open(path, "w") as fp:
+        for read in reads:
+            target = fasta.get_seq(chrm, read.start, read.end)
+            q_aln = read.seq if read.strand == "+" else rev_comp(read.seq)
+            n = len(read.seq)
+            fp.write(" ".join([
+                read.read_id, str(n), "0", str(n), read.strand,
+                chrm, str(t_len), str(read.start), str(read.end), "+",
+                str(n), str(n), "0", "0", "0", "254",
+                q_aln, "|" * n, target]) + "\n")
+
+
+def test_m5_parse_and_resquiggle(tmp_path):
+    """m5-driven event re-squiggle matches the SAM lane record for
+    record and produces identical corrected events."""
+    from tombo_tpu.pipeline.event_resquiggle import parse_m5_file
+
+    fasta, model, fast5_dir, reads = _build_reads(tmp_path, seed=29)
+    m5_fn = str(tmp_path / "aln.m5")
+    sam_fn = str(tmp_path / "aln.sam")
+    _write_m5(m5_fn, fasta, reads)
+    _write_sam(sam_fn, fasta, reads)
+
+    m5_alns = parse_m5_file(m5_fn)
+    sam_alns = parse_sam_file(sam_fn, fasta)
+    assert set(m5_alns) == set(sam_alns) == {r.read_id for r in reads}
+    for rid in m5_alns:
+        assert m5_alns[rid].align_vals == sam_alns[rid].align_vals, rid
+        assert m5_alns[rid].genome_loc == sam_alns[rid].genome_loc
+        assert m5_alns[rid].start_clip == sam_alns[rid].start_clip
+        assert m5_alns[rid].end_clip == sam_alns[rid].end_clip
+
+    n_ok, n_fail, fails = event_resquiggle_all_reads(
+        fast5_dir, None, corr_grp="RawGenomeCorrected_m5",
+        num_threads=2, sam_fn=m5_fn, fasta=None)
+    assert n_ok == len(reads), fails
+
+
+def test_m5_record_clipping():
+    """Gap columns at either end are clipped with the genome start
+    adjusted on the strand-appropriate side (reference:
+    tombo/_event_resquiggle.py:529-565 ``clip_m5_alignment``)."""
+    from tombo_tpu.pipeline.event_resquiggle import parse_m5_record
+
+    rec = dict(qName="r", qLength="8", qStart="0", qEnd="8", qStrand="+",
+               tName="c", tLength="100", tStart="10", tEnd="17",
+               tStrand="+", score="5", numMatch="5", numMismatch="0",
+               numIns="1", numDel="2", mapQV="254",
+               qAlignedSeq="A-ACGTA-", matchPattern="||||||||",
+               tAlignedSeq="-GACGT-C")
+    out = parse_m5_record(rec)
+    # leading (A,-) and (-,G) columns clip 1 read + 1 genome base;
+    # trailing (A,-), (-,C) clip 1 read + 1 genome base
+    assert out.align_vals == list(zip("ACGT", "ACGT"))
+    assert out.start_clip == 1 and out.end_clip == 1
+    assert out.genome_loc.start == 11       # '+' strand: start-side clip
+    rec["qStrand"] = "-"
+    out_rc = parse_m5_record(rec)
+    assert out_rc.genome_loc.strand == "-"
+    # '-' strand: genome start moves by the END-side clipped genome bases
+    assert out_rc.genome_loc.start == 11

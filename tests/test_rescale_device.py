@@ -68,3 +68,29 @@ def test_matches_native_batch():
         jnp.asarray(ev), jnp.asarray(mod), jnp.asarray(n_pts))
     np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(i_dev), i_host, rtol=1e-12)
+
+
+def test_pallas_slope_median_matches_xla():
+    """Pallas streaming-count selection == XLA selection == host median
+    (interpret mode; f32)."""
+    import jax.numpy as jnp
+
+    from tombo_tpu.ops import rescale
+
+    rng = np.random.default_rng(21)
+    B, N = 5, 64
+    ev = rng.normal(0, 1, (B, N)).astype(np.float32)
+    mod = (ev * 1.1 + 0.2 + rng.normal(0, 0.2, (B, N))).astype(np.float32)
+    # include duplicate event means (max_slope pairs) and short reads
+    ev[0, 3] = ev[0, 7]
+    n_pts = np.array([N, N - 1, 5, 2, N], np.int32)
+    s_pal = np.asarray(rescale.pairwise_slope_median_pallas(
+        jnp.asarray(ev), jnp.asarray(mod), jnp.asarray(n_pts),
+        1000.0, interpret=True))
+    s_xla = np.asarray(rescale.pairwise_slope_median(
+        jnp.asarray(ev), jnp.asarray(mod), jnp.asarray(n_pts), 1000.0))
+    np.testing.assert_array_equal(s_pal, s_xla)
+    for b in range(B):
+        s, _ = _host_ts(ev[b, :n_pts[b]].astype(np.float64),
+                        mod[b, :n_pts[b]].astype(np.float64))
+        assert abs(float(s_pal[b]) - s) < 5e-6 * max(abs(s), 1e-3)

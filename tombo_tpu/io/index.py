@@ -71,11 +71,18 @@ class ReadsIndex:
         self.reads_index = new_reads_index
         self.coverage = None
 
-    def write_index_file(self):
+    def write_index_file(self, shard_suffix: str = ""):
         """Write the pickle index in the reference's record layout
-        (reference: tombo/tombo_helper.py:1149-1185)."""
+        (reference: tombo/tombo_helper.py:1149-1185).
+
+        ``shard_suffix`` (e.g. ``.host1``) writes a per-host shard beside
+        the main index name: multi-host resquiggle runs own disjoint read
+        sets, and every reader merges ``<index>.host*`` shards
+        (``_parse_fast5s``), so shards never collide on the shared
+        filesystem."""
         assert len(self.fast5s_dirs) == 1
         basedir, index_fn = next(iter(self.fast5s_dirs.items()))
+        index_fn = index_fn + shard_suffix
         index_data = defaultdict(list)
         for chrm_strand, cs_reads in self.reads_index.items():
             for rd in cs_reads:
@@ -89,10 +96,13 @@ class ReadsIndex:
             pickle.dump(dict(index_data), fp, protocol=2)
 
     # ------------------------------------------------------------- parsing
-    def _load_index_data(self, fast5s_dir: str):
+    def _load_index_data(self, fast5s_dir: str,
+                         index_fn: Optional[str] = None):
         """Parse the pickle index, accepting the reference's 8/10/11-field
         historical layouts (reference: tombo/tombo_helper.py:1235-1283)."""
-        with io.open(self.fast5s_dirs[fast5s_dir], "rb") as fp:
+        if index_fn is None:
+            index_fn = self.fast5s_dirs[fast5s_dir]
+        with io.open(index_fn, "rb") as fp:
             raw = pickle.load(fp)
         try:
             n_vals = len(next(iter(raw.values()))[0])
@@ -158,25 +168,37 @@ class ReadsIndex:
         return dict(out)
 
     def _parse_fast5s(self, fast5s_basedirs: List[str]):
+        import glob
         wo_index_dirs = []
         merged = defaultdict(list)
         for d in fast5s_basedirs:
             d = d if d.endswith("/") else d + "/"
             self.fast5s_dirs[d] = get_index_fn(d, self.corr_grp)
-            if os.path.exists(self.fast5s_dirs[d]):
-                try:
-                    parsed = self._load_index_data(d)
-                except Exception:
+            # a single-host run writes the plain index; multi-host
+            # resquiggle writes disjoint per-host `.host<i>` shards —
+            # merge whichever exist
+            index_fns = ([self.fast5s_dirs[d]]
+                         if os.path.exists(self.fast5s_dirs[d]) else [])
+            index_fns += sorted(glob.glob(self.fast5s_dirs[d] + ".host*"))
+            if index_fns:
+                failed = False
+                for index_fn in index_fns:
+                    try:
+                        parsed = self._load_index_data(d, index_fn)
+                    except Exception:
+                        failed = True
+                        continue
+                    for cs, reads in parsed.items():
+                        reads = [
+                            rd for rd in reads
+                            if rd.corr_group.split("/")[0] == self.corr_grp
+                            and (self.bc_subgrps is None or
+                                 rd.corr_group.split("/")[-1] in
+                                 self.bc_subgrps) and
+                            (not self.remove_filtered or not rd.filtered)]
+                        merged[cs].extend(reads)
+                if failed and not merged:
                     wo_index_dirs.append(d)
-                    continue
-                for cs, reads in parsed.items():
-                    reads = [
-                        rd for rd in reads
-                        if rd.corr_group.split("/")[0] == self.corr_grp and
-                        (self.bc_subgrps is None or
-                         rd.corr_group.split("/")[-1] in self.bc_subgrps) and
-                        (not self.remove_filtered or not rd.filtered)]
-                    merged[cs].extend(reads)
             else:
                 wo_index_dirs.append(d)
         if wo_index_dirs:

@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _float_to_key(x):
@@ -63,33 +65,37 @@ def _key_to_float(k, dtype):
 _N_PIV = 15          # pivots per rank per round (range shrinks ~15x)
 
 
-def _select_rounds(n_bits: int) -> int:
-    """Rounds needed for a 15-pivot grid to pin an ``n_bits`` key range
-    down to a single value: width w > 14 shrinks to at most
-    ``w // 15 + 1`` per round (pivot step), and any w <= 14 resolves in
-    one round (the grid covers every integer in the range)."""
+def _select_rounds(n_bits: int, n_piv: int = _N_PIV) -> int:
+    """Rounds needed for an ``n_piv``-pivot grid to pin an ``n_bits``
+    key range down to a single value: width w > n_piv-1 shrinks to at
+    most ``w // n_piv + 1`` per round (pivot step), and any w <= n_piv-1
+    resolves in one round (the grid covers every integer in the
+    range)."""
     w = (1 << n_bits) - 1
     r = 0
     while w > 0:
-        w = w // _N_PIV + 1 if w > _N_PIV - 1 else 0
+        w = w // n_piv + 1 if w > n_piv - 1 else 0
         r += 1
-    return r            # 9 for 32-bit keys, 17 for 64-bit
+    return r            # 9 for 32-bit keys at 15 pivots, 17 for 64-bit
 
 
-def _dual_rank_select(count_fn, B, uint, n_bits, k_lo, k_hi):
+def _dual_rank_select(count_fn, B, uint, n_bits, k_lo, k_hi,
+                      n_piv: int = _N_PIV):
     """Exact dual order-statistic selection over unsigned key space.
 
     ``count_fn(pivots)``: (B, P) uint pivots -> (B, P) int32 counts of
     keys <= pivot per read.  Returns the (k_lo, k_hi)-th smallest keys
-    (0-based).  Each round evaluates a 15-pivot grid per rank (one fused
-    pass over the data for all 30 pivots), keeping the invariant
-    ``target in [lo, hi]`` with ``count(hi) >= k+1``."""
+    (0-based).  Each round evaluates an ``n_piv``-pivot grid per rank
+    (one fused pass over the data for all 2*n_piv pivots), keeping the
+    invariant ``target in [lo, hi]`` with ``count(hi) >= k+1``.  Fewer
+    pivots per round = more (bandwidth-bound) passes but less compute
+    per key; the engines pick their own balance."""
     one = jnp.ones((), uint)
-    grid = jnp.arange(_N_PIV, dtype=uint)[None, :]          # (1, 15)
+    grid = jnp.arange(n_piv, dtype=uint)[None, :]           # (1, n_piv)
 
     def pivots_of(lo, hi):
         w = hi - lo
-        step = w // _N_PIV + one                            # ceil-ish
+        step = w // n_piv + one                             # ceil-ish
         return jnp.minimum(lo[:, None] + step[:, None] * grid, hi[:, None])
 
     def update(lo, hi, p, c, k):
@@ -104,9 +110,9 @@ def _dual_rank_select(count_fn, B, uint, n_bits, k_lo, k_hi):
         lo1, hi1, lo2, hi2 = carry
         p1 = pivots_of(lo1, hi1)
         p2 = pivots_of(lo2, hi2)
-        c = count_fn(jnp.concatenate([p1, p2], axis=1))     # (B, 30)
-        lo1, hi1 = update(lo1, hi1, p1, c[:, :_N_PIV], k_lo)
-        lo2, hi2 = update(lo2, hi2, p2, c[:, _N_PIV:], k_hi)
+        c = count_fn(jnp.concatenate([p1, p2], axis=1))     # (B, 2*n_piv)
+        lo1, hi1 = update(lo1, hi1, p1, c[:, :n_piv], k_lo)
+        lo2, hi2 = update(lo2, hi2, p2, c[:, n_piv:], k_hi)
         return lo1, hi1, lo2, hi2
 
     zero = jnp.zeros((B,), uint)
@@ -114,8 +120,118 @@ def _dual_rank_select(count_fn, B, uint, n_bits, k_lo, k_hi):
     # below it keeps sentinels out of every count bracket
     top = ~zero - one
     _, hi1, _, hi2 = lax.fori_loop(
-        0, _select_rounds(n_bits), body, (zero, top, zero, top))
+        0, _select_rounds(n_bits, n_piv), body, (zero, top, zero, top))
     return hi1, hi2
+
+
+_PIV_PAD = 32        # pivot lanes per count call (2 ranks x 15, padded)
+
+
+def _count_le_kernel(P: int, n_chunks: int):
+    def kernel(k_ref, p_ref, o_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            o_ref[:, :] = jnp.zeros_like(o_ref)
+
+        tile = k_ref[:, :]                          # (R, C) int32 keys
+        parts = [
+            jnp.sum((tile <= p_ref[:, p:p + 1]).astype(jnp.int32),
+                    axis=1, keepdims=True)
+            for p in range(P)]
+        o_ref[:, :] = o_ref[:, :] + jnp.concatenate(parts, axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _count_le_pallas(keys_i32, pivots_i32, interpret: bool = False):
+    """Streaming multi-pivot count: #{keys <= pivot} per (read, pivot).
+
+    keys_i32: (B, M) ORDER-PRESERVING int32 keys (the uint32 slope keys
+    xor 0x80000000 — Mosaic's integer compares are signed); pivots_i32:
+    (B, P<=32).  One pass over the key buffer counts all pivots at once:
+    HBM traffic per selection round is exactly one key-buffer read, which
+    is what makes the device Theil-Sen fit bandwidth-bound (~9 rounds
+    for f32) instead of the 2x32 XLA bisection passes of round 2."""
+    B, M = keys_i32.shape
+    P = pivots_i32.shape[1]
+    Pp = _round_up_int(P, 8)
+    R_BLK = 32
+    C = 16384
+    Bp = _round_up_int(B, R_BLK)
+    Mp = _round_up_int(M, C)
+    if Bp != B or Mp != M:
+        # pad keys with the maximum key (never <= any real pivot search
+        # bracket top, which excludes the sentinel)
+        keys_i32 = jnp.pad(keys_i32, ((0, Bp - B), (0, Mp - M)),
+                           constant_values=jnp.int32(2 ** 31 - 1))
+    if Pp != P or Bp != B:
+        pivots_i32 = jnp.pad(
+            pivots_i32, ((0, Bp - B), (0, Pp - P)),
+            constant_values=jnp.int32(-2 ** 31))
+    out = pl.pallas_call(
+        _count_le_kernel(Pp, Mp // C),
+        grid=(Bp // R_BLK, Mp // C),
+        in_specs=[
+            pl.BlockSpec((R_BLK, C), lambda r, c: (r, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_BLK, Pp), lambda r, c: (r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R_BLK, Pp), lambda r, c: (r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Pp), jnp.int32),
+        interpret=interpret,
+    )(keys_i32, pivots_i32)
+    return out[:B, :P]
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _u32_to_ordered_i32(u):
+    """Order-preserving uint32 -> int32 (xor the sign bit)."""
+    return lax.bitcast_convert_type(
+        u ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+def pairwise_slope_median_pallas(ev, mod, n_pts, max_slope,
+                                 interpret: bool = False,
+                                 n_piv: int = 7):
+    """f32 exact pairwise-slope median with Pallas streaming counts:
+    keys materialized once by XLA, then each selection round is ONE
+    bandwidth-bound pass over them (vs the XLA variant whose broadcast
+    compare does not fuse into a single read).  ``n_piv`` pivots per
+    rank per round trades compute per key against pass count; 7 (11
+    rounds, 16 padded compare lanes) measured fastest on v5e."""
+    dtype = ev.dtype
+    assert dtype == jnp.float32, "pallas slope selection is f32-only"
+    B, N = ev.shape
+    m, k_lo, k_hi = _pair_ranks(n_pts)
+
+    iot = jnp.arange(N, dtype=jnp.int32)
+    pair_valid = ((iot[None, :, None] < iot[None, None, :]) &
+                  (iot[None, None, :] < n_pts[:, None, None]))
+    de = ev[:, :, None] - ev[:, None, :]
+    dm = mod[:, :, None] - mod[:, None, :]
+    s = jnp.where(de == 0, jnp.asarray(max_slope, dtype), dm / de)
+    keys = jnp.where(pair_valid, _float_to_key(s),
+                     ~jnp.zeros((), jnp.uint32))
+    keys_i32 = _u32_to_ordered_i32(keys.reshape(B, N * N))
+
+    def count_le(pivots_u32):
+        return _count_le_pallas(
+            keys_i32, _u32_to_ordered_i32(pivots_u32), interpret)
+
+    hi1, hi2 = _dual_rank_select(count_le, B, jnp.uint32, 32, k_lo, k_hi,
+                                 n_piv=n_piv)
+    v_lo = _key_to_float(hi1, dtype).astype(dtype)
+    v_hi = _key_to_float(hi2, dtype).astype(dtype)
+    med = jnp.where(m % 2 == 1, v_hi, (v_lo + v_hi) / 2)
+    return jnp.where(m > 0, med, jnp.zeros((), dtype))
 
 
 def _pair_ranks(n_pts):
@@ -219,17 +335,30 @@ def pairwise_slope_median_recompute(ev, mod, n_pts, max_slope):
     return jnp.where(m > 0, med, jnp.zeros((), dtype))
 
 
-def theil_sen_device(ev, mod, n_pts, max_slope=1000.0, block=0):
+def theil_sen_device(ev, mod, n_pts, max_slope=1000.0, block=0,
+                     engine: str = "auto"):
     """Batched Theil-Sen fit on device: (slopes, intercepts), matching
     the host estimator (native theil_sen_batch / reference
     tombo/tombo_stats.py:413-419): slope = median pairwise slope,
     intercept = median(mod - slope * ev).
 
-    ``block > 0`` runs the slope selection over read blocks of that size
-    via ``lax.map`` with materialized pair keys (bounds the HBM pair
-    buffer to block*N*N ints while each round re-reads instead of
-    re-divides); ``block = 0`` recomputes keys per round with no pair
-    buffer at all (fused; the default inside larger device programs)."""
+    ``engine``: "pallas" streams materialized keys through the Pallas
+    multi-pivot count kernel (f32/TPU; one bandwidth-bound pass per
+    round — the fast path); "xla" uses the portable XLA selection;
+    "auto" picks pallas when the default backend is TPU and the dtype is
+    f32.  For the XLA engine, ``block > 0`` materializes pair keys per
+    read block; ``block = 0`` recomputes keys per round with no pair
+    buffer at all."""
+    if engine == "auto":
+        try:
+            engine = ("pallas" if jax.default_backend() == "tpu" and
+                      ev.dtype == jnp.float32 else "xla")
+        except Exception:  # noqa: BLE001
+            engine = "xla"
+    if engine == "pallas":
+        slope = pairwise_slope_median_pallas(ev, mod, n_pts, max_slope)
+        inter = masked_median_sorted(mod - slope[:, None] * ev, n_pts)
+        return slope, inter
     if block and ev.shape[0] > block:
         B, N = ev.shape
         nb = -(-B // block)

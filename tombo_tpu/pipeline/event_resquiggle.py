@@ -160,6 +160,75 @@ def parse_sam_file(sam_fn: str, fasta) -> dict:
     return out
 
 
+# blasr/graphmap m5 alignment format
+# (reference: tombo/_event_resquiggle.py:60-66)
+M5_FIELDS = (
+    "qName", "qLength", "qStart", "qEnd", "qStrand",
+    "tName", "tLength", "tStart", "tEnd", "tStrand",
+    "score", "numMatch", "numMismatch", "numIns", "numDel",
+    "mapQV", "qAlignedSeq", "matchPattern", "tAlignedSeq")
+
+
+def parse_m5_record(rec: dict) -> SamAlignment:
+    """One m5 record -> gapped alignment columns
+    (reference: tombo/_event_resquiggle.py:529-585 ``clip_m5_alignment``
+    + ``parse_m5_record``): the '-'-gapped aligned sequence pair is
+    re-oriented to the read, clipped to its first/last matching columns,
+    and the genome start adjusted by the genome bases clipped on the
+    strand-appropriate end."""
+    if rec["tStrand"] != "+":
+        raise TomboTpuError(
+            "Mapping indicates negative strand reference mapping.")
+    q, t = rec["qAlignedSeq"], rec["tAlignedSeq"]
+    if rec["qStrand"] != "+":
+        q, t = rev_comp(q), rev_comp(t)
+    align_vals = list(zip(q, t))
+
+    start_clip_read = start_clip_genome = s = 0
+    while align_vals[s][0] == "-" or align_vals[s][1] == "-":
+        start_clip_read += align_vals[s][0] != "-"
+        start_clip_genome += align_vals[s][1] != "-"
+        s += 1
+    end_clip_read = end_clip_genome = e = 0
+    while (align_vals[-1 - e][0] == "-" or align_vals[-1 - e][1] == "-"):
+        end_clip_read += align_vals[-1 - e][0] != "-"
+        end_clip_genome += align_vals[-1 - e][1] != "-"
+        e += 1
+    align_vals = align_vals[s:len(align_vals) - e]
+
+    start = int(rec["tStart"])
+    if rec["qStrand"] == "+":
+        start += start_clip_genome
+    else:
+        start += end_clip_genome
+    return SamAlignment(
+        align_vals, GenomeLocation(start, rec["qStrand"], rec["tName"]),
+        start_clip_read, end_clip_read)
+
+
+def parse_m5_file(m5_fn: str) -> dict:
+    """Parse an m5 alignment file (blasr/graphmap ``-printMD``-style
+    output) keeping the highest-score record per read
+    (reference: tombo/_event_resquiggle.py:587-613 ``parse_m5_output``).
+    No FASTA needed: m5 records carry the aligned target sequence."""
+    best = {}
+    with open(m5_fn) as fp:
+        for line in fp:
+            rec = dict(zip(M5_FIELDS, line.strip().split()))
+            if len(rec) != len(M5_FIELDS):
+                continue
+            prev = best.get(rec["qName"])
+            if prev is None or int(prev["score"]) < int(rec["score"]):
+                best[rec["qName"]] = rec
+    out = {}
+    for qname, rec in best.items():
+        try:
+            out[qname] = parse_m5_record(rec)
+        except (TomboTpuError, KeyError, ValueError, IndexError):
+            continue
+    return out
+
+
 def parse_pore_model_file(pore_model_fn: str):
     """Load a tab-separated pore model (columns including ``kmer``,
     ``level_mean``, ``level_stdv``) for pA fitted normalization
@@ -714,10 +783,16 @@ def event_resquiggle_all_reads(fast5s_dir: str, aligner,
             num_align_processes=align_processes)
     sam_alignments = None
     if sam_fn is not None:
-        if fasta is None:
-            raise TomboTpuError(
-                "SAM-based event re-squiggle requires the reference FASTA")
-        sam_alignments = parse_sam_file(sam_fn, fasta)
+        if sam_fn.endswith(".m5"):
+            # m5 records carry the aligned target sequence — no FASTA
+            # needed (reference: tombo/_event_resquiggle.py:587 m5 lane)
+            sam_alignments = parse_m5_file(sam_fn)
+        else:
+            if fasta is None:
+                raise TomboTpuError(
+                    "SAM-based event re-squiggle requires the reference "
+                    "FASTA")
+            sam_alignments = parse_sam_file(sam_fn, fasta)
 
     n_ok = n_fail = 0
     fails = {}

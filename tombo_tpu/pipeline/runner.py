@@ -339,7 +339,11 @@ def resquiggle_all_reads(
             from .batch import print_stage_timings
             print_stage_timings()
         if reads_index is not None and not rc.dry_run:
-            reads_index.write_index_file()
+            # multi-host runs write disjoint per-host index shards (all
+            # readers merge `<index>.host*`, io/index.py _parse_fast5s)
+            suffix = ("" if rc.dist is None or rc.dist.n_hosts <= 1
+                      else ".host%d" % rc.dist.host_id)
+            reads_index.write_index_file(suffix)
     finally:
         if failed_fp is not None:
             failed_fp.close()

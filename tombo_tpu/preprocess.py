@@ -87,7 +87,8 @@ def annotate_reads_with_fastq(
         seq_summary_fns: Optional[List[str]] = None,
         basecall_group: str = "Basecall_1D_000",
         basecall_subgroup: str = "BaseCalled_template",
-        overwrite: bool = False, num_threads: int = 8) -> Tuple[int, int]:
+        overwrite: bool = False, num_threads: int = 8,
+        min_parallel_records: int = 200) -> Tuple[int, int]:
     """Write FASTQ records into their raw FAST5s.  Returns
     (n_annotated, n_missing)."""
     if seq_summary_fns:
@@ -99,12 +100,50 @@ def annotate_reads_with_fastq(
     else:
         id_to_path = index_fast5s_by_read_id(fast5s_dir, num_threads)
 
-    n_ann = n_miss = 0
+    n_miss = 0
+    jobs: List[Tuple[str, str]] = []
     for read_id, record in iter_fastq_records(fastq_fns):
         path = id_to_path.get(read_id)
         if path is None:
             n_miss += 1
             continue
+        jobs.append((path, record))
+
+    # parallel writers over disjoint FAST5 files (the reference uses a
+    # producer/consumer multiprocess pipeline, reference:
+    # tombo/_preprocess.py:253-450; h5py holds a process-global HDF5
+    # lock, so real processes — not threads — are required for write
+    # concurrency).  Jobs shard by file path, so no two workers ever
+    # touch the same FAST5.
+    if num_threads > 1 and len(jobs) >= min_parallel_records:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        shards: List[List[Tuple[str, str]]] = [
+            [] for _ in range(num_threads)]
+        for path, record in jobs:
+            shards[hash(path) % num_threads].append((path, record))
+        with ProcessPoolExecutor(
+                max_workers=num_threads,
+                mp_context=mp.get_context("spawn")) as pool:
+            outs = list(pool.map(
+                _annotate_shard,
+                [(shard, basecall_group, basecall_subgroup, overwrite)
+                 for shard in shards if shard]))
+        n_ann = sum(a for a, _ in outs)
+        n_miss += sum(m for _, m in outs)
+        return n_ann, n_miss
+
+    n_ann, miss = _annotate_shard(
+        (jobs, basecall_group, basecall_subgroup, overwrite))
+    return n_ann, n_miss + miss
+
+
+def _annotate_shard(args: Tuple) -> Tuple[int, int]:
+    """Write one shard of (fast5_path, fastq_record) jobs; shards are
+    disjoint by file so writers never contend on one FAST5."""
+    jobs, basecall_group, basecall_subgroup, overwrite = args
+    n_ann = n_miss = 0
+    for path, record in jobs:
         try:
             with h5py.File(path, "r+") as fp:
                 bc_path = "/Analyses/" + basecall_group

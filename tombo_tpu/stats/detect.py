@@ -15,6 +15,7 @@ single-writer process design, reference: tombo/tombo_stats.py:4448).
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -836,6 +837,45 @@ def compute_group_reg_stats(reg_data: RegionData,
 # Orchestration (reference: tombo/tombo_stats.py:4400-4634)
 # --------------------------------------------------------------------------
 
+# process-pool worker state, installed once per worker by _proc_init
+# (the reference's region workers are real processes,
+# tombo/tombo_stats.py:4400-4446; a thread pool is GIL-bound on the
+# per-read python loops)
+_PROC_STATE: dict = {}
+
+
+def _proc_init(reads_index, ctrl_reads_index, fasta, std_ref, alt_items,
+               params, emit_per_read, is_level):
+    import os
+    # workers are pure numpy/scipy compute: never let them grab the
+    # device or mutate the shared levels sidecar
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["TOMBO_TPU_STATS_DEVICE"] = "0"
+    os.environ["TOMBO_TPU_LEVELS_SIDECAR"] = "0"
+    _PROC_STATE.update(
+        reads_index=reads_index, ctrl_reads_index=ctrl_reads_index,
+        fasta=fasta, std_ref=std_ref, alt_items=alt_items, params=params,
+        emit_per_read=emit_per_read, is_level=is_level)
+
+
+def _proc_run_region(reg_desc):
+    s = _PROC_STATE
+    chrm, strand, start, end = reg_desc
+    reg = RegionData(chrm, strand, start, end).add_reads(s["reads_index"])
+    ctrl_reg = None
+    if s["ctrl_reads_index"] is not None:
+        ctrl_reg = RegionData(chrm, strand, start, end).add_reads(
+            s["ctrl_reads_index"])
+    try:
+        if s["is_level"]:
+            return [(n, gs, None) for n, gs in compute_group_reg_stats(
+                reg, ctrl_reg, s["params"])]
+        return compute_reg_stats(
+            reg, s["params"], ctrl_reg, s["fasta"], s["std_ref"],
+            s["alt_items"], emit_per_read=s["emit_per_read"])
+    except TomboTpuError:
+        return []
+
 def test_significance(reads_index, params: TestParams, stats_fn: str,
                       fasta=None, std_ref: Optional[KmerModel] = None,
                       alt_refs: Optional[Dict[str, AltModel]] = None,
@@ -979,42 +1019,110 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
             ThreadPoolExecutor(max_workers=num_processes) as pool:
         if multi:
             # collectives must run in deterministic region order on every
-            # host: the thread pool computes host-local accumulators, the
-            # cross-host sums happen serially here
-            for reg, acc in zip(regions, pool.map(
-                    run_region_multi, enumerate(regions))):
+            # host: the thread pool computes host-local accumulators and
+            # the cross-host sums happen here — BATCHED over region
+            # chunks (regions share one dense span size), so a genome
+            # costs O(regions / chunk) collective round trips instead of
+            # one per region
+            chunk = int(os.environ.get("TOMBO_TPU_PSUM_CHUNK", "64"))
+            for c0 in range(0, len(regions), chunk):
+                c_regs = regions[c0:c0 + chunk]
+                c_accs = list(pool.map(
+                    run_region_multi,
+                    list(enumerate(c_regs, start=c0))))
                 for name in stat_names:
                     if is_level:
-                        merged = psum_hosts(dist, *acc[name])
-                        reg_stats = group_stats_from_dense(
-                            reg, params, *merged)
-                        pr_payload = None
+                        stacked = [
+                            np.stack([acc[name][k] for acc in c_accs])
+                            for k in range(4)]
+                        merged = psum_hosts(dist, *stacked)
+                        per_reg = [
+                            (group_stats_from_dense(
+                                reg, params, *(m[i] for m in merged)),
+                             None)
+                            for i, reg in enumerate(c_regs)]
                     else:
-                        cov, valid, above, ctrl_dense, pr_payload = acc[name]
-                        cov, valid, above = psum_hosts(
-                            dist, cov, valid, above)
-                        span_lo, _ = _accum_span(reg, params)
-                        reg_stats = region_stats_from_accumulators(
-                            reg, span_lo, cov, valid, above, ctrl_dense,
-                            stat_type)
-                    if reg_stats is not None and name in stats_files:
-                        stats_files[name]._write_stat_block(reg_stats)
-                    if pr_payload is not None and name in pr_files:
-                        _, block, lookup, chrm, strand, start = pr_payload
-                        pr_files[name]._write_per_read_block(
-                            block, lookup, chrm, strand, start)
+                        stacked = [
+                            np.stack([acc[name][k] for acc in c_accs])
+                            for k in range(3)]
+                        cov_m, valid_m, above_m = psum_hosts(
+                            dist, *stacked)
+                        per_reg = []
+                        for i, reg in enumerate(c_regs):
+                            ctrl_dense, pr_payload = (c_accs[i][name][3],
+                                                      c_accs[i][name][4])
+                            span_lo, _ = _accum_span(reg, params)
+                            per_reg.append((
+                                region_stats_from_accumulators(
+                                    reg, span_lo, cov_m[i], valid_m[i],
+                                    above_m[i], ctrl_dense, stat_type),
+                                pr_payload))
+                    for reg_stats, pr_payload in per_reg:
+                        if reg_stats is not None and name in stats_files:
+                            stats_files[name]._write_stat_block(reg_stats)
+                        if pr_payload is not None and name in pr_files:
+                            (_, block, lookup, chrm, strand,
+                             start) = pr_payload
+                            pr_files[name]._write_per_read_block(
+                                block, lookup, chrm, strand, start)
         else:
-            for reg, results in zip(regions,
-                                    pool.map(run_region_single, regions)):
-                for name, reg_stats, pr_payload in results:
-                    stats_files[name]._write_stat_block(reg_stats)
-                    if pr_payload is not None and name in pr_files:
-                        _, block, lookup, chrm, strand, start = pr_payload
-                        pr_files[name]._write_per_read_block(
-                            block, lookup, chrm, strand, start)
-                if verbose:
-                    print("  processed %s:%s:%d" % (reg.chrm, reg.strand,
-                                                    reg.start))
+            # real process workers (reference: tombo/tombo_stats.py:4400
+            # region worker processes): the per-read/site python loops
+            # are GIL-bound, so a thread pool caps at ~1 core.  Spawned
+            # processes (never fork — the parent may hold a live device
+            # client) receive the shared state once via the initializer;
+            # the device lane and small runs keep threads (the device
+            # does the heavy math / spawn startup would dominate).
+            # Writers stay HERE, in region order — results are identical
+            # regardless of worker count or kind (reference guarantee:
+            # docs/modified_base_detection.rst:151-153).
+            procs_env = os.environ.get("TOMBO_TPU_DETECT_PROCS", "auto")
+            if procs_env == "auto":
+                # spawn startup (fresh interpreter + imports per worker)
+                # costs seconds; only amortize it on runs with real
+                # compute.  ~20 Mb of mapped bases ≈ tens of seconds of
+                # host-lane testing.
+                total_bases = sum(
+                    r.end - r.start
+                    for cs_reads in reads_index.reads_index.values()
+                    for r in cs_reads)
+                procs_worth = total_bases >= 20_000_000
+            else:
+                procs_worth = procs_env == "1"
+            use_procs = (not device_ok and num_processes > 1 and
+                         len(regions) >= 2 * num_processes and procs_worth)
+            if use_procs:
+                import multiprocessing as mp
+                from concurrent.futures import ProcessPoolExecutor
+                ppool = ProcessPoolExecutor(
+                    max_workers=num_processes,
+                    mp_context=mp.get_context("spawn"),
+                    initializer=_proc_init,
+                    initargs=(reads_index, ctrl_reads_index, fasta,
+                              std_ref, alt_items, params, bool(pr_files),
+                              is_level))
+                result_iter = ppool.map(
+                    _proc_run_region,
+                    [(r.chrm, r.strand, r.start, r.end) for r in regions],
+                    chunksize=4)
+            else:
+                ppool = None
+                result_iter = pool.map(run_region_single, regions)
+            try:
+                for reg, results in zip(regions, result_iter):
+                    for name, reg_stats, pr_payload in results:
+                        stats_files[name]._write_stat_block(reg_stats)
+                        if pr_payload is not None and name in pr_files:
+                            (_, block, lookup, chrm, strand,
+                             start) = pr_payload
+                            pr_files[name]._write_per_read_block(
+                                block, lookup, chrm, strand, start)
+                    if verbose:
+                        print("  processed %s:%s:%d" % (
+                            reg.chrm, reg.strand, reg.start))
+            finally:
+                if ppool is not None:
+                    ppool.shutdown()
 
     for sf in stats_files.values():
         if sf.is_empty:
