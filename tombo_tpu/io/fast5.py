@@ -176,12 +176,15 @@ def write_new_fast5_group(fast5_fn_or_fp, corr_grp_slot: str,
         norm_means = ref_impl.new_means(rsqgl_res.raw_signal, rsqgl_res.segs)
         norm_stds = np.full(norm_means.shape[0], np.nan)
 
-    event_data = np.array(
-        list(zip(norm_means, norm_stds, rsqgl_res.segs[:-1],
-                 np.diff(rsqgl_res.segs),
-                 [b.encode() for b in rsqgl_res.genome_seq])),
-        dtype=[("norm_mean", "f8"), ("norm_stdev", "f8"),
-               ("start", "u4"), ("length", "u4"), ("base", "S1")])
+    event_data = np.empty(norm_means.shape[0], dtype=[
+        ("norm_mean", "f8"), ("norm_stdev", "f8"),
+        ("start", "u4"), ("length", "u4"), ("base", "S1")])
+    event_data["norm_mean"] = norm_means
+    event_data["norm_stdev"] = norm_stds
+    event_data["start"] = rsqgl_res.segs[:-1]
+    event_data["length"] = np.diff(rsqgl_res.segs)
+    event_data["base"] = np.frombuffer(
+        rsqgl_res.genome_seq.encode("ascii"), dtype="S1")
 
     do_close = False
     if isinstance(fast5_fn_or_fp, h5py.File):

@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -198,38 +200,120 @@ def _u32_to_ordered_i32(u):
         u ^ jnp.uint32(0x80000000), jnp.int32)
 
 
+def _ordered_i32_to_u32(i):
+    """Inverse of :func:`_u32_to_ordered_i32`."""
+    return lax.bitcast_convert_type(i, jnp.uint32) ^ jnp.uint32(0x80000000)
+
+
+def _rank_select_single(count_fn, B, uint, n_bits, k, n_piv):
+    """Exact single order-statistic selection over unsigned key space
+    (the one-rank specialization of :func:`_dual_rank_select`: half the
+    pivot lanes per count pass)."""
+    one = jnp.ones((), uint)
+    grid = jnp.arange(n_piv, dtype=uint)[None, :]
+
+    def body(_, carry):
+        lo, hi = carry
+        w = hi - lo
+        step = w // n_piv + one
+        p = jnp.minimum(lo[:, None] + step[:, None] * grid, hi[:, None])
+        c = count_fn(p)
+        admit = c >= (k + 1)[:, None].astype(c.dtype)
+        top = ~jnp.zeros((), uint)
+        hi = jnp.minimum(hi, jnp.min(jnp.where(admit, p, top), axis=1))
+        lo = jnp.maximum(lo, jnp.max(
+            jnp.where(admit, jnp.zeros((), uint), p + one), axis=1))
+        return lo, hi
+
+    zero = jnp.zeros((B,), uint)
+    top = ~zero - one      # sentinel-exclusive start (see _dual_rank_select)
+    _, hi = lax.fori_loop(0, _select_rounds(n_bits, n_piv), body,
+                          (zero, top))
+    return hi
+
+
+_TRI_CACHE: dict = {}
+
+
+def tri_indices(N: int):
+    """Cached upper-triangle (i, j) index vectors for an N-point read:
+    compacting pair keys to N(N-1)/2 entries halves both the HBM key
+    buffer and the per-round compare compute vs the full N^2 square.
+
+    Returns DEVICE arrays built eagerly — call OUTSIDE any jit trace and
+    pass the result in as arguments (baking multi-MB index constants into
+    the HLO slows compilation pathologically, and caching arrays created
+    during a trace leaks tracers)."""
+    out = _TRI_CACHE.get(N)
+    if out is None:
+        i, j = np.triu_indices(N, 1)
+        out = (jnp.asarray(i.astype(np.int32)),
+               jnp.asarray(j.astype(np.int32)))
+        _TRI_CACHE[N] = out
+    return out
+
+
 def pairwise_slope_median_pallas(ev, mod, n_pts, max_slope,
                                  interpret: bool = False,
-                                 n_piv: int = 7):
-    """f32 exact pairwise-slope median with Pallas streaming counts:
-    keys materialized once by XLA, then each selection round is ONE
-    bandwidth-bound pass over them (vs the XLA variant whose broadcast
-    compare does not fuse into a single read).  ``n_piv`` pivots per
-    rank per round trades compute per key against pass count; 7 (11
-    rounds, 16 padded compare lanes) measured fastest on v5e."""
+                                 n_piv: int = 8, tri=None):
+    """f32 exact pairwise-slope median with Pallas streaming counts.
+
+    Three cost levers over the earlier square/dual design (330 ms ->
+    target <100 ms at B=512, N=1024 on v5e):
+
+    * keys are materialized ONCE in compact upper-triangle form
+      (N(N-1)/2 entries, not the N^2 square) — half the HBM key buffer,
+      half the compare compute per round;
+    * selection runs for the UPPER middle order statistic only
+      (~11 rounds x 8 padded pivot lanes at ``n_piv=8``), halving the
+      pivot lanes per pass vs dual-rank selection;
+    * the LOWER middle order statistic is derived exactly from one fused
+      count/max pass: the two middle ranks are adjacent (k_lo = k_hi-1
+      for an even pair count), so with c_lt = #{keys < v_hi}, the
+      (k_hi-1)-th smallest equals v_hi unless c_lt == k_hi, in which
+      case it is the largest key strictly below v_hi."""
     dtype = ev.dtype
     assert dtype == jnp.float32, "pallas slope selection is f32-only"
     B, N = ev.shape
     m, k_lo, k_hi = _pair_ranks(n_pts)
 
-    iot = jnp.arange(N, dtype=jnp.int32)
-    pair_valid = ((iot[None, :, None] < iot[None, None, :]) &
-                  (iot[None, None, :] < n_pts[:, None, None]))
-    de = ev[:, :, None] - ev[:, None, :]
-    dm = mod[:, :, None] - mod[:, None, :]
+    if tri is not None:
+        ii, jj = tri
+    elif isinstance(ev, jax.core.Tracer):
+        # called under an outer trace without explicit indices: embed
+        # them as constants (correct but compile-slow) rather than
+        # caching trace-local arrays (a tracer leak)
+        i_np, j_np = np.triu_indices(N, 1)
+        ii = jnp.asarray(i_np.astype(np.int32))
+        jj = jnp.asarray(j_np.astype(np.int32))
+    else:
+        ii, jj = tri_indices(N)
+    de = jnp.take(ev, ii, axis=1) - jnp.take(ev, jj, axis=1)
+    dm = jnp.take(mod, ii, axis=1) - jnp.take(mod, jj, axis=1)
     s = jnp.where(de == 0, jnp.asarray(max_slope, dtype), dm / de)
-    keys = jnp.where(pair_valid, _float_to_key(s),
-                     ~jnp.zeros((), jnp.uint32))
-    keys_i32 = _u32_to_ordered_i32(keys.reshape(B, N * N))
+    valid = jj[None, :] < n_pts.astype(jnp.int32)[:, None]
+    keys = jnp.where(valid, _float_to_key(s), ~jnp.zeros((), jnp.uint32))
+    keys_i32 = _u32_to_ordered_i32(keys)
 
     def count_le(pivots_u32):
         return _count_le_pallas(
             keys_i32, _u32_to_ordered_i32(pivots_u32), interpret)
 
-    hi1, hi2 = _dual_rank_select(count_le, B, jnp.uint32, 32, k_lo, k_hi,
-                                 n_piv=n_piv)
-    v_lo = _key_to_float(hi1, dtype).astype(dtype)
-    v_hi = _key_to_float(hi2, dtype).astype(dtype)
+    hi_key = _rank_select_single(count_le, B, jnp.uint32, 32, k_hi, n_piv)
+    # derive the (k_hi-1)-th order statistic: invalid pairs carry the
+    # all-ones sentinel (> every selectable key), so they never enter
+    # c_lt or max_below
+    vh_i32 = _u32_to_ordered_i32(hi_key)
+    lt = keys_i32 < vh_i32[:, None]
+    # pair counts fit int32 by construction: the fit path caps reads at
+    # MAX_POINTS_FOR_THEIL_SEN=1000 points (m <= ~5e5)
+    c_lt = jnp.sum(lt, axis=1, dtype=jnp.int32)
+    max_below = jnp.max(
+        jnp.where(lt, keys_i32, jnp.int32(-2 ** 31)), axis=1)
+    lo_key = jnp.where(c_lt == k_hi.astype(jnp.int32),
+                       _ordered_i32_to_u32(max_below), hi_key)
+    v_hi = _key_to_float(hi_key, dtype).astype(dtype)
+    v_lo = _key_to_float(lo_key, dtype).astype(dtype)
     med = jnp.where(m % 2 == 1, v_hi, (v_lo + v_hi) / 2)
     return jnp.where(m > 0, med, jnp.zeros((), dtype))
 
@@ -336,7 +420,7 @@ def pairwise_slope_median_recompute(ev, mod, n_pts, max_slope):
 
 
 def theil_sen_device(ev, mod, n_pts, max_slope=1000.0, block=0,
-                     engine: str = "auto"):
+                     engine: str = "auto", tri=None):
     """Batched Theil-Sen fit on device: (slopes, intercepts), matching
     the host estimator (native theil_sen_batch / reference
     tombo/tombo_stats.py:413-419): slope = median pairwise slope,
@@ -356,7 +440,8 @@ def theil_sen_device(ev, mod, n_pts, max_slope=1000.0, block=0,
         except Exception:  # noqa: BLE001
             engine = "xla"
     if engine == "pallas":
-        slope = pairwise_slope_median_pallas(ev, mod, n_pts, max_slope)
+        slope = pairwise_slope_median_pallas(ev, mod, n_pts, max_slope,
+                                             tri=tri)
         inter = masked_median_sorted(mod - slope[:, None] * ev, n_pts)
         return slope, inter
     if block and ev.shape[0] > block:

@@ -43,6 +43,7 @@ from ..errors import TomboTpuError
 from ..ops import dp as dpo
 from ..ops import normalize as nrm
 from ..ops import ref_impl
+from ..ops import rescale as rescale_ops
 from ..ops import segment as seg
 from ..ops import select as sel
 from ..seq import encode_seq
@@ -374,6 +375,47 @@ class _ReadState:
         return self.raw_d8
 
 
+_GROUP_RATIO = 2.0      # max signal-length spread within a device group
+_MIN_GROUP = 24         # don't cut groups smaller than this
+
+
+def _length_groups(live: list) -> list:
+    """Split a batch into signal-length groups before any device work.
+
+    Every device shape scales with the batch MAX (signal samples, bases,
+    events), so one far-tail read pads every read's device program: a
+    single 30 kb read in a median-2.7 kb batch inflates the DP cell count
+    ~12x for everyone (measured 644 -> 20 reads/s on the mixed-length
+    bench).  Grouping bounds within-group length spread at _GROUP_RATIO
+    (padding waste <= 2x on every axis) while keeping groups >=
+    _MIN_GROUP reads so fixed per-call costs stay amortized; each group
+    runs the whole pass pipeline with its own tight shape buckets.
+    Rescale passes sort by the device-resident raw source first so the
+    in-place row-gather reuse (one shared padded matrix per group) keeps
+    working."""
+    if len(live) < 2 * _MIN_GROUP:
+        return [live] if live else []
+    order = sorted(live, key=lambda s: (
+        id(s.raw_dev[0]) if s.raw_dev is not None else 0,
+        s.raw.shape[0]))
+    groups, start = [], 0
+    base = order[0].raw.shape[0]
+    src = order[0].raw_dev
+    for i, s in enumerate(order):
+        new_src = (s.raw_dev is None) != (src is None) or (
+            s.raw_dev is not None and src is not None and
+            s.raw_dev[0] is not src[0])
+        if (i - start >= _MIN_GROUP and
+                (s.raw.shape[0] > base * _GROUP_RATIO or new_src)):
+            groups.append(order[start:i])
+            start, base = i, s.raw.shape[0]
+        elif new_src:
+            base = s.raw.shape[0]
+        src = s.raw_dev
+    groups.append(order[start:])
+    return groups
+
+
 @functools.partial(jax.jit, static_argnames=(
     "outlier_thresh", "w", "min_base_obs", "max_cpts"))
 def _stage1_dna(raw, sig_lens, has_sv, sv_shift, sv_scale,
@@ -561,7 +603,7 @@ def _ts_sample_idx(n: int, max_n: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("do_fit", "sampled",
                                              "shift_thresh", "scale_thresh"))
-def _stage_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens, samp,
+def _stage_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens, samp, tri,
                do_fit: bool, sampled: bool, shift_thresh: float,
                scale_thresh: float):
     """Device rescale fit, fused with the DP program: event means over
@@ -590,7 +632,8 @@ def _stage_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens, samp,
         # blocked selection: bounds the pair-key buffer and is ~wire-free;
         # the fused recompute variant is far slower at production batch
         # sizes (the 32 selection rounds re-divide 5e8 pairs each)
-        slope, inter = rescale.theil_sen_device(ev, mod, n_pts, block=64)
+        slope, inter = rescale.theil_sen_device(ev, mod, n_pts, block=64,
+                                                tri=tri)
         fit_ok = slope != 0
         safe = jnp.where(fit_ok, slope, 1.0)
         scale_corr = (1.0 / safe).astype(dt)
@@ -750,9 +793,9 @@ _TS_BLOCK = 64
 
 
 @jax.jit
-def _theil_sen_jit(ev, mod, n_pts):
+def _theil_sen_jit(ev, mod, n_pts, tri):
     from ..ops import rescale
-    return rescale.theil_sen_device(ev, mod, n_pts)
+    return rescale.theil_sen_device(ev, mod, n_pts, tri=tri)
 
 
 def _theil_sen_device_blocks(ev, mod, n_pts):
@@ -769,10 +812,11 @@ def _theil_sen_device_blocks(ev, mod, n_pts):
     evp[:B] = ev
     modp[:B] = mod
     npts[:B] = n_pts
+    tri = rescale_ops.tri_indices(N)
     handles = [
         _theil_sen_jit(jnp.asarray(evp[b0:b0 + _TS_BLOCK]),
                        jnp.asarray(modp[b0:b0 + _TS_BLOCK]),
-                       jnp.asarray(npts[b0:b0 + _TS_BLOCK]))
+                       jnp.asarray(npts[b0:b0 + _TS_BLOCK]), tri)
         for b0 in range(0, Bp, _TS_BLOCK)]
     slopes = np.concatenate([np.asarray(h[0], np.float64)
                              for h in handles])[:B]
@@ -1608,21 +1652,27 @@ class BatchedResquiggler:
              has_del_j) = _stage_finalize(
                 ctx["cpts"], rows_j, clips_j, segs_j, seq_lens_j,
                 dp_args[1], n_rows=L_max)
-            # opt-in: the fused device fit frees the host entirely but
-            # costs ~140 ms/batch of device time (blocked Theil-Sen
-            # selection); on hosts whose threaded native fit overlaps
-            # under the batch pipeline (4+ cores) the host lane is faster,
-            # so device fitting is off unless TOMBO_TPU_DEV_FIT=1
+            # fused device fit (default on): event means + exact
+            # Theil-Sen + score + changed mask ride the DP device program,
+            # freeing the host finalize hot path.  The triangle-compacted
+            # single-rank selection costs ~97 ms/batch at B=512 on v5e
+            # (vs ~1 ms/read for the threaded host fit on a 4-core host);
+            # measured end-to-end: 644 -> 784 reads/s.
+            # TOMBO_TPU_DEV_FIT=0 restores the host Theil-Sen lane.
             use_dev_fit = (
                 self.dtype != jnp.float64 and self.mesh is None and
                 ctx.get("norm") is not None and
-                os.environ.get("TOMBO_TPU_DEV_FIT", "0") == "1")
+                os.environ.get("TOMBO_TPU_DEV_FIT", "1") == "1")
             if use_dev_fit:
                 # fused rescale fit: event means + Theil-Sen + score +
                 # changed mask on device (host lane kept for deletion-fix
                 # reads and the f64 oracle mode)
                 max_n = config.MAX_POINTS_FOR_THEIL_SEN
-                sampled = L_max > max_n
+                # subsample only when some read actually exceeds the cap
+                # (reference: tombo/tombo_stats.py:398-401); L_max alone
+                # over-triggers (bucketed 1024 > 1000 for ~1000-base
+                # reads) and costs a (B, 1000) int32 upload per batch
+                sampled = any(s.ref_means.shape[0] > max_n for s in live)
                 if sampled:
                     samp_np = np.zeros((B, max_n), np.int32)
                     for i, s in enumerate(live):
@@ -1634,9 +1684,12 @@ class BatchedResquiggler:
                     samp_j = self._up(samp_np, B_pad)
                 else:
                     samp_j = jnp.zeros((1, 1), jnp.int32)
+                # pair-index vectors enter as runtime args (device-cached):
+                # baked-in multi-MB HLO constants slow compilation badly
+                tri_j = rescale_ops.tri_indices(max_n if sampled else L_max)
                 (shc_j, scc_j, fscore_j, fchanged_j, fok_j) = _stage_fit(
                     ctx["norm"], rows_j, rsrtr_j, seq_segs_j, dp_args[2],
-                    dp_args[3], seq_lens_j, samp_j,
+                    dp_args[3], seq_lens_j, samp_j, tri_j,
                     do_fit=not self.skip_seq_scaling, sampled=sampled,
                     shift_thresh=float(config.SHIFT_CHANGE_THRESH),
                     scale_thresh=float(config.SCALE_CHANGE_THRESH))
@@ -1961,14 +2014,20 @@ class BatchedResquiggler:
     # ------------------------------------------------------------ run API
     def _run_pass(self, states: List[_ReadState],
                   will_retry: bool = False):
+        for s in states:
+            if s.error is None:
+                s.n_ev = s.num_events - 1
+        live = [s for s in states if s.error is None]
+        for group in _length_groups(live):
+            self._run_pass_group(group, will_retry)
+
+    def _run_pass_group(self, states: List[_ReadState],
+                        will_retry: bool = False):
         # planning first (expected levels need only the mapped sequence);
         # segmentation + start discovery then fuse into one device call.
         # RNA stall removal can shrink the event count below the adaptive
         # minimum after the fact; those reads are re-routed to the static
         # fallback inside _segment_batch.
-        for s in states:
-            if s.error is None:
-                s.n_ev = s.num_events - 1
         self._plan_reads(states)
         ctx = self._segment_batch(states)
         if ctx is not None:

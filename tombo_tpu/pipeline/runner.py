@@ -67,6 +67,10 @@ class RunConfig:
     # tombo/_option_parsers.py:83-85,371-374)
     failed_reads_fn: Optional[str] = None
     num_most_common_errors: int = 0
+    # FAST5 writeback worker processes (sharded by path, so no two
+    # processes touch one file).  None = auto: 2 processes when the run
+    # is large enough to amortize their spawn cost, else inline.
+    num_write_procs: Optional[int] = None
 
 
 @dataclass
@@ -78,6 +82,90 @@ class RunSummary:
     def as_dict(self):
         return dict(n_success=self.n_success, n_failed=self.n_failed,
                     failure_modes=dict(self.failure_modes))
+
+
+# --------------------------------------------------------------------------
+# Sharded FAST5 writeback processes.  Writing thousands of small HDF5
+# groups is GIL + h5py-lock bound and sat serially on the batch-consume
+# loop; dedicating processes to it keeps the pipeline's critical path free
+# (reference analog: the dedicated writer processes of
+# tombo/resquiggle.py:1828 and tombo/tombo_stats.py:4448).  Jobs shard by
+# path CRC so no two processes ever open the same file.
+
+def _writer_proc_main(q, err_q, ack_q):
+    from ..io import fast5 as _f5
+    while True:
+        job = q.get()
+        if job is None:
+            break
+        if job[0] == 1:                    # flush barrier: echo the token
+            ack_q.put(job[1])
+            continue
+        _, fn, res, cg, csd, rna, rp = job
+        try:
+            _f5.write_new_fast5_group(fn, cg, res, "median", csd, rna=rna,
+                                      resolved_params=rp)
+        except Exception:  # noqa: BLE001 — reported via err_q
+            err_q.put((fn, res.align_info.subgroup))
+
+
+class _ShardedWriters:
+    def __init__(self, n: int):
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")    # fork with live h5py/jax threads
+        self.qs = [ctx.Queue(maxsize=512) for _ in range(n)]
+        self.err_q = ctx.Queue()
+        self.ack_q = ctx.Queue()
+        self.procs = [
+            ctx.Process(target=_writer_proc_main,
+                        args=(qq, self.err_q, self.ack_q), daemon=True)
+            for qq in self.qs]
+        for p in self.procs:
+            p.start()
+        self._token = 0
+
+    def alive(self) -> bool:
+        return all(p.is_alive() for p in self.procs)
+
+    def submit(self, fn: str, res, corrected_group: str, compute_sd: bool,
+               rna: bool, resolved_params):
+        import zlib
+        shard = zlib.crc32(fn.encode()) % len(self.qs)
+        self.qs[shard].put((0, fn, res, corrected_group, compute_sd, rna,
+                            resolved_params))
+
+    def flush(self) -> List[Tuple[str, str]]:
+        """Barrier: wait until every submitted write completed; return
+        and clear the accumulated (fn, subgroup) write failures."""
+        self._token += 1
+        for qq in self.qs:
+            qq.put((1, self._token))
+        seen = 0
+        while seen < len(self.qs):
+            if self.ack_q.get() == self._token:
+                seen += 1
+        errs = []
+        while True:
+            try:
+                errs.append(self.err_q.get_nowait())
+            except Exception:  # noqa: BLE001 — queue.Empty
+                break
+        return errs
+
+
+_WRITE_POOL: Optional[_ShardedWriters] = None
+
+
+def _get_write_pool(n: int) -> Optional[_ShardedWriters]:
+    """Process-wide writer pool (spawn cost ~seconds, paid once)."""
+    global _WRITE_POOL
+    if _WRITE_POOL is None or len(_WRITE_POOL.qs) != n \
+            or not _WRITE_POOL.alive():
+        try:
+            _WRITE_POOL = _ShardedWriters(n)
+        except Exception:  # noqa: BLE001 — no mp support: inline writes
+            _WRITE_POOL = None
+    return _WRITE_POOL
 
 
 def _load_and_map_one(fast5_fn: str, aligner, std_ref,
@@ -206,6 +294,16 @@ def resquiggle_all_reads(
         # (FAST5 file, basecall subgroup), matching the reference's
         # all-subgroup iteration (reference: tombo/resquiggle.py:1612-1656).
         def map_worker(fn):
+            from .batch import STAGE_TIMINGS, _profiling
+            import time as _t
+            _t0 = _t.perf_counter()
+            try:
+                return _map_worker_inner(fn)
+            finally:
+                if _profiling():
+                    STAGE_TIMINGS["io_map"] += _t.perf_counter() - _t0
+
+        def _map_worker_inner(fn):
             try:
                 if not rc.dry_run:
                     f5io.prep_fast5(fn, rc.corrected_group, rc.overwrite,
@@ -268,6 +366,16 @@ def resquiggle_all_reads(
             while window:
                 yield from drain(1)
 
+        # --- writer processes: auto-on for runs large enough to amortize
+        # their one-time spawn cost; inline writeback otherwise
+        n_wp = rc.num_write_procs
+        if n_wp is None:
+            n_wp = 2 if len(all_fns) * len(rc.basecall_subgroups) >= 512 \
+                else 0
+        writers = (_get_write_pool(n_wp)
+                   if n_wp > 0 and not rc.dry_run else None)
+        pending_adds: List[tuple] = []   # deferred index adds (async writes)
+
         # --- device-batched resquiggle + writeback
         bar = None
         if rc.progress:
@@ -299,10 +407,21 @@ def resquiggle_all_reads(
                     continue
                 try:
                     if not rc.dry_run:
-                        f5io.write_new_fast5_group(
-                            fn, rc.corrected_group, res, "median",
-                            rc.compute_sd, rna=seq_samp_type.rev_sig,
-                            resolved_params=resolved_json)
+                        if writers is not None:
+                            writers.submit(
+                                fn, res, rc.corrected_group, rc.compute_sd,
+                                seq_samp_type.rev_sig, resolved_json)
+                        else:
+                            import time as _t
+                            _t0 = _t.perf_counter()
+                            f5io.write_new_fast5_group(
+                                fn, rc.corrected_group, res, "median",
+                                rc.compute_sd, rna=seq_samp_type.rev_sig,
+                                resolved_params=resolved_json)
+                            from .batch import STAGE_TIMINGS, _profiling
+                            if _profiling():
+                                STAGE_TIMINGS["writeback"] += (
+                                    _t.perf_counter() - _t0)
                 except Exception as e:
                     record_failure(fn, "FAST5 write error")
                     continue
@@ -320,16 +439,40 @@ def resquiggle_all_reads(
                             np.percentile(base_lens, pctl) > thresh
                             for pctl, thresh in rc.obs_filter)
                     mapped_end = res.genome_loc.start + len(res.segs) - 1
-                    reads_index.add_read_data(
-                        res.genome_loc.chrom, res.genome_loc.strand,
-                        ReadData(
-                            res.genome_loc.start, mapped_end, is_filtered,
-                            res.read_start_rel_to_raw,
-                            res.genome_loc.strand, fn,
-                            rc.corrected_group + "/" +
-                            res.align_info.subgroup,
-                            seq_samp_type.rev_sig, res.sig_match_score,
-                            res.mean_q_score, res.align_info.read_id))
+                    rd = ReadData(
+                        res.genome_loc.start, mapped_end, is_filtered,
+                        res.read_start_rel_to_raw,
+                        res.genome_loc.strand, fn,
+                        rc.corrected_group + "/" +
+                        res.align_info.subgroup,
+                        seq_samp_type.rev_sig, res.sig_match_score,
+                        res.mean_q_score, res.align_info.read_id)
+                    if writers is not None:
+                        # index adds wait for write confirmation (flush)
+                        pending_adds.append(
+                            ((fn, res.align_info.subgroup),
+                             res.genome_loc.chrom, res.genome_loc.strand,
+                             rd))
+                    else:
+                        reads_index.add_read_data(
+                            res.genome_loc.chrom, res.genome_loc.strand,
+                            rd)
+
+        if writers is not None:
+            import time as _t
+            _t0 = _t.perf_counter()
+            werrs = writers.flush()
+            from .batch import STAGE_TIMINGS, _profiling
+            if _profiling():
+                STAGE_TIMINGS["writeback"] += _t.perf_counter() - _t0
+            failed_keys = set(werrs)
+            for wfn, wsub in werrs:
+                record_failure(wfn, "FAST5 write error")
+                _write_status(wfn, rc, wsub, "FAST5 write error")
+                summary.n_success -= 1
+            for key, chrm, strand, rd in pending_adds:
+                if key not in failed_keys and reads_index is not None:
+                    reads_index.add_read_data(chrm, strand, rd)
 
         map_pool.shutdown(wait=True)
         if bar is not None:
