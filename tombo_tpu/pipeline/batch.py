@@ -576,13 +576,13 @@ def _stage_finalize(cpts, rows, clips, segs_dp, seq_lens, ev_lens,
     base_valid = iot_L1[:, :L] < seq_lens[:, None]
     has_del = jnp.any((d == 0) & base_valid, axis=1)
     # wire format: seq_segs[0] is always 0 (rsrtr subtracted) and rows
-    # are non-decreasing, so per-base int16 deltas reconstruct the table
-    # exactly; rows with any segment > 32767 samples (multi-second
-    # stalls) raise seg_over and are refetched in full from seq_segs,
-    # which stays device-resident
-    seg_over = jnp.any(d > 32767, axis=1)
-    seg_d16 = d.astype(jnp.int16)
-    return seq_segs, seg_d16, seg_over, rsrtr, has_del
+    # are non-decreasing, so per-base uint8 deltas reconstruct the table
+    # exactly; rows with any segment > 255 samples (rare long dwells /
+    # stalls at the ~7-sample DNA median) raise seg_over and are
+    # refetched in full from seq_segs, which stays device-resident
+    seg_over = jnp.any(d > 255, axis=1)
+    seg_d8 = d.astype(jnp.uint8)
+    return seq_segs, seg_d8, seg_over, rsrtr, has_del
 
 
 _TS_SAMPLE_CACHE: dict = {}
@@ -792,6 +792,65 @@ def _stage_a_dna(raw, sig_lens, has_sv, sv_shift, sv_scale, sv_lower,
 _TS_BLOCK = 64
 
 
+def _build_masked_plans_batch(live, p, mask_bases=None):
+    """Batched ``pipeline.resquiggle.build_masked_start_plan``: the
+    start-masked static band plan for every read in one set of matrix ops
+    (bit-identical to the per-read numpy version, including np.linspace's
+    ``r*step + start`` evaluation and endpoint fixup; reference semantics:
+    tombo/resquiggle.py:607-677).
+
+    Returns (pstarts (B, P_max), pvalid (B,), pend (B, P_max),
+    start_rows (B,), P_max); callers must already have routed away reads
+    with ``n_events - mapped_start_offset < bandwidth``."""
+    from .resquiggle import MASK_BASES
+    if mask_bases is None:
+        mask_bases = MASK_BASES
+    B = len(live)
+    half_bw = p.bandwidth // 2
+    n_ev = np.array([s.n_ev - s.events_start_clip for s in live], np.int64)
+    mso = np.array([s.mapped_start_offset for s in live], np.int64)
+    epb = np.array([s.events_per_base for s in live], np.float64)
+    bes_pos = np.where(half_bw <= mso, 0, mso - half_bw)
+
+    T = np.maximum(np.maximum(half_bw, mask_bases),
+                   ((half_bw + 1) / epb).astype(np.int64)) + 1
+    T_max = int(T.max())
+    r = np.arange(T_max, dtype=np.float64)[None, :]
+    # np.linspace(start, start + T*epb, T): y = r*step + start, y[-1]=stop
+    delta = T * epb
+    step = delta / (T - 1)
+    y = r * step[:, None] + bes_pos[:, None].astype(np.float64)
+    rows = np.arange(B)
+    y[rows, T - 1] = bes_pos + delta
+    bes = y.astype(np.int64)
+
+    in_T = np.arange(T_max)[None, :] < T[:, None]
+    first_hit = np.argmax((bes >= mso[:, None]) & in_T, axis=1)
+    P = np.maximum(mask_bases, first_hit + 2)
+    P_max = _round_up(int(P.max()), 64)
+
+    # mask_start_pos = linspace(mso+1, bes[mask_bases-1]+bw, mask_bases)
+    m_start = (mso + 1).astype(np.float64)
+    m_stop = (bes[:, mask_bases - 1] + p.bandwidth).astype(np.float64)
+    m_step = (m_stop - m_start) / (mask_bases - 1)
+    rm_ = np.arange(mask_bases, dtype=np.float64)[None, :]
+    msp = rm_ * m_step[:, None] + m_start[:, None]
+    msp[:, -1] = m_stop
+    msp = msp.astype(np.int64)
+
+    if P_max > bes.shape[1]:
+        bes = np.pad(bes, ((0, 0), (0, P_max - bes.shape[1])))
+    pstarts = bes[:, :P_max].copy()
+    colP = np.arange(P_max)[None, :]
+    pad_col = colP >= P[:, None]
+    # pad prefix rows with the last start (rows >= start_rows unused)
+    np.copyto(pstarts, bes[rows, P - 1][:, None], where=pad_col)
+    pend = np.broadcast_to(n_ev[:, None], (B, P_max)).copy()
+    pend[:, :mask_bases] = np.minimum(msp, n_ev[:, None])
+    np.copyto(pend, n_ev[:, None], where=pad_col)
+    return pstarts, mso, pend, P, P_max
+
+
 @jax.jit
 def _theil_sen_jit(ev, mod, n_pts, tri):
     from ..ops import rescale
@@ -863,6 +922,26 @@ class BatchedResquiggler:
             from ..parallel.mesh import batch_sharding
             self._bsh = batch_sharding(mesh)
         self._levels_dev = None
+        # observed deletion-window counters for the device-fit gate
+        # (fit results are discarded for has_del reads; see
+        # _dp_and_finalize)
+        self._del_seen = 0
+        self._del_total = 0
+
+    def _fit_mostly_wasted(self) -> bool:
+        """True once the observed has_del rate says the device fit's
+        output would be discarded for most reads (the host lane re-fits
+        after the raw-signal deletion fix).  Unknown (cold start) =
+        False: the first batches probe with the fit on."""
+        return (self._del_total >= 64 and
+                self._del_seen * 2 > self._del_total)
+
+    def _note_del_rate(self, has_del: np.ndarray):
+        self._del_total += int(has_del.shape[0])
+        self._del_seen += int(np.count_nonzero(has_del))
+        if self._del_total > 1 << 16:       # keep the window recent
+            self._del_total //= 2
+            self._del_seen //= 2
 
     def _levels_tab(self):
         """Device copy of the k-mer model table (means, sds) with a
@@ -1361,29 +1440,64 @@ class BatchedResquiggler:
 
     @_timed_stage("plan")
     def _plan_reads(self, states: List[_ReadState]):
-        """Expected levels + start discovery routing."""
+        """Expected levels + start discovery routing.
+
+        K-mer codes, packed bases and level rows for the whole batch are
+        derived in a handful of matrix ops (one (B, Lmax) code matrix;
+        the per-read python loop over ~1k-element arrays was a measured
+        hot spot of the host critical path)."""
         p = self.params
+        std_ref = self.std_ref
+        k = std_ref.kmer_width
+        dnstrm = k - std_ref.central_pos - 1
+        fresh = [s for s in states
+                 if s.error is None and s.ref_codes is None]
+        if fresh:
+            enc = [encode_seq(s.map_res.genome_seq) for s in fresh]
+            lens = np.array([e.shape[0] for e in enc], np.int64)
+            W = int(lens.max())
+            bases = np.zeros((len(fresh), W), np.int8)
+            for i, e in enumerate(enc):
+                bases[i, :e.shape[0]] = e
+            n_codes = lens - k + 1
+            nW = W - k + 1
+            codes_m = np.zeros((len(fresh), nW), np.int64)
+            valid_m = np.ones((len(fresh), nW), bool)
+            for j in range(k):
+                win = bases[:, j:j + nW]
+                codes_m = codes_m * 4 + np.maximum(win, 0)
+                valid_m &= win >= 0
+            col = np.arange(nW)[None, :]
+            in_len = col < n_codes[:, None]
+            bad_read = np.any(~valid_m & in_len, axis=1)
+            codes_m[~valid_m] = -1
+            means_m = std_ref.means[np.maximum(codes_m, 0)]
+            sds_m = std_ref.sds[np.maximum(codes_m, 0)]
+            # batched 2-bit base packing (zero-fill past each read's end,
+            # matching _pack_bases)
+            W4 = _round_up(W, 4)
+            b4 = np.zeros((len(fresh), W4), np.uint8)
+            np.copyto(b4[:, :W], bases, casting="unsafe",
+                      where=np.arange(W)[None, :] < lens[:, None])
+            b4 = b4.reshape(len(fresh), -1, 4)
+            packed_m = (b4[:, :, 0] | (b4[:, :, 1] << 2) |
+                        (b4[:, :, 2] << 4) | (b4[:, :, 3] << 6))
+            for i, s in enumerate(fresh):
+                if bad_read[i] or n_codes[i] <= 0:
+                    s.error = ("Invalid sequence encountered from genome "
+                               "sequence.")
+                    continue
+                n = n_codes[i]
+                s.ref_codes = codes_m[i, :n]
+                s.packed_bases = packed_m[i, :_round_up(int(lens[i]), 4)
+                                          // 4]
+                s.ref_means = means_m[i, :n]
+                s.ref_sds = sds_m[i, :n]
+                s.genome_seq_trim = s.map_res.genome_seq[
+                    std_ref.central_pos:-dnstrm]
         for s in states:
             if s.error is not None:
                 continue
-            std_ref = self.std_ref
-            dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
-            if s.ref_codes is None:
-                # rescale passes reuse the first pass's plan: the mapped
-                # sequence never changes, so codes/levels/packed bases are
-                # cached on the read state
-                try:
-                    codes = std_ref.get_kmer_codes(s.map_res.genome_seq)
-                except TomboTpuError as e:
-                    s.error = str(e)
-                    continue
-                s.ref_codes = codes
-                s.packed_bases = _pack_bases(
-                    encode_seq(s.map_res.genome_seq).astype(np.uint8))
-                s.ref_means = std_ref.means[codes]
-                s.ref_sds = std_ref.sds[codes]
-                s.genome_seq_trim = s.map_res.genome_seq[
-                    std_ref.central_pos:-dnstrm]
             r_means = s.ref_means
             if len(s.genome_seq_trim) != r_means.shape[0]:
                 s.error = "Discordant reference and sequence lengths."
@@ -1483,16 +1597,12 @@ class BatchedResquiggler:
                     s.events_start_clip < p.bandwidth):
                 s.use_static = True
                 continue
-            try:
-                starts, valid_start, row_end = rsq.build_masked_start_plan(
-                    s.n_ev - s.events_start_clip,
-                    s.mapped_start_offset, p, s.events_per_base)
-            except TomboTpuError as e:
-                s.error = str(e)
+            if (s.n_ev - s.events_start_clip - s.mapped_start_offset <
+                    p.bandwidth):
+                # the only failure mode of build_masked_start_plan
+                s.error = ("Read sequence to signal matching starts too "
+                           "far into events for full adaptive assignment")
                 continue
-            s.prefix_starts = starts
-            s.prefix_valid_start = valid_start
-            s.prefix_end = row_end
             live.append(s)
         if not live:
             return
@@ -1515,7 +1625,6 @@ class BatchedResquiggler:
         p = self.params
         bw = p.bandwidth
         L_max = _pow2_bucket(max(s.ref_means.shape[0] for s in live), 256)
-        P_max = _round_up(max(s.prefix_starts.shape[0] for s in live), 64)
         E_max = _pow2_bucket(
             max(s.n_ev - s.events_start_clip for s in live) + bw, 256)
         B = len(live)
@@ -1523,8 +1632,12 @@ class BatchedResquiggler:
 
         rows = np.array([s.dev_row for s in live], np.int32)
         clips = np.array([s.events_start_clip for s in live], np.int64)
-        n_events = np.zeros(B, np.int64)
-        seq_lens = np.zeros(B, np.int64)
+        n_events = np.array([s.n_ev - s.events_start_clip for s in live],
+                            np.int64)
+        seq_lens = np.array([s.ref_means.shape[0] for s in live], np.int64)
+        # start-masked band plans for the whole batch in one matrix pass
+        pstarts64, pvalid, pend64, start_rows, P_max = \
+            _build_masked_plans_batch(live, p)
         # band-plan wire format: pend values are event indices < n_events
         # (uint16 when every read's event count fits; int32 fallback for
         # ultra-long reads); pstarts are small signed offsets (they can be
@@ -1533,28 +1646,14 @@ class BatchedResquiggler:
         # Prefix rows >= start_rows[i] are never consumed by any DP engine
         # (is_prefix = r < start_rows), so pad fill values only need to be
         # in-range.
-        max_nev = max(s.n_ev - s.events_start_clip for s in live)
-        ps_lo = min(int(s.prefix_starts.min()) for s in live)
-        ps_hi = max(int(s.prefix_starts.max()) for s in live)
+        max_nev = int(n_events.max())
+        ps_lo = int(pstarts64.min())
+        ps_hi = int(pstarts64.max())
         ps_dt = (np.int16 if -2 ** 15 <= ps_lo and ps_hi < 2 ** 15
                  else np.int32)
         pe_dt = np.uint16 if max_nev < 2 ** 16 else np.int32
-        pstarts = np.zeros((B, P_max), ps_dt)
-        pvalid = np.zeros(B, np.int64)
-        pend = np.zeros((B, P_max), pe_dt)
-        start_rows = np.zeros(B, np.int64)
-        for i, s in enumerate(live):
-            n_events[i] = s.n_ev - s.events_start_clip
-            L = s.ref_means.shape[0]
-            seq_lens[i] = L
-            P = s.prefix_starts.shape[0]
-            pstarts[i, :P] = s.prefix_starts
-            # pad prefix rows with the last start (rows >= start_rows unused)
-            pstarts[i, P:] = s.prefix_starts[-1]
-            pvalid[i] = s.prefix_valid_start
-            pend[i, :P] = np.minimum(s.prefix_end, n_events[i])
-            pend[i, P:] = n_events[i]
-            start_rows[i] = P
+        pstarts = pstarts64.astype(ps_dt)
+        pend = pend64.astype(pe_dt)
 
         # event means gathered + left-clipped on device from stage 1
         rows_j = self._up(rows, B_pad)
@@ -1648,21 +1747,26 @@ class BatchedResquiggler:
             # (B, L) int16 segment deltas and per-read scalars come back
             # (the int32 table is reconstructed by exact host cumsum;
             # rare overflow rows refetch from the device-resident table)
-            (seq_segs_j, seg_d16_j, seg_over_j, rsrtr_j,
+            (seq_segs_j, seg_d8_j, seg_over_j, rsrtr_j,
              has_del_j) = _stage_finalize(
                 ctx["cpts"], rows_j, clips_j, segs_j, seq_lens_j,
                 dp_args[1], n_rows=L_max)
-            # fused device fit (default on): event means + exact
-            # Theil-Sen + score + changed mask ride the DP device program,
-            # freeing the host finalize hot path.  The triangle-compacted
-            # single-rank selection costs ~97 ms/batch at B=512 on v5e
-            # (vs ~1 ms/read for the threaded host fit on a 4-core host);
-            # measured end-to-end: 644 -> 784 reads/s.
-            # TOMBO_TPU_DEV_FIT=0 restores the host Theil-Sen lane.
+            # fused device fit: event means + exact Theil-Sen + score +
+            # changed mask ride the DP device program, freeing the host
+            # finalize hot path — but its result is CONSUMED only by reads
+            # without zero-length segments (the reference fits AFTER the
+            # raw-signal deletion fix, reference: tombo/resquiggle.py:
+            # 1168-1195, so has_del reads must use the host lane).  On
+            # real nanopore dwell distributions nearly every read has a
+            # deletion window, making the ~60 ms/batch selection pure
+            # waste; the gate tracks the observed has_del rate and skips
+            # the fit once it is majority-del (TOMBO_TPU_DEV_FIT=0/1
+            # forces it off/on).
+            fit_env = os.environ.get("TOMBO_TPU_DEV_FIT", "")
             use_dev_fit = (
-                self.dtype != jnp.float64 and self.mesh is None and
-                ctx.get("norm") is not None and
-                os.environ.get("TOMBO_TPU_DEV_FIT", "1") == "1")
+                self.dtype != jnp.float64 and
+                ctx.get("norm") is not None and fit_env != "0" and
+                (fit_env == "1" or not self._fit_mostly_wasted()))
             if use_dev_fit:
                 # fused rescale fit: event means + Theil-Sen + score +
                 # changed mask on device (host lane kept for deletion-fix
@@ -1693,16 +1797,17 @@ class BatchedResquiggler:
                     do_fit=not self.skip_seq_scaling, sampled=sampled,
                     shift_thresh=float(config.SHIFT_CHANGE_THRESH),
                     scale_thresh=float(config.SCALE_CHANGE_THRESH))
-                (band_err, bound_err, seg_d16, seg_over, rsrtr_np, has_del,
+                (band_err, bound_err, seg_d8, seg_over, rsrtr_np, has_del,
                  f_shc, f_scc, f_score, f_changed, f_ok) = _fetch(
-                    band_err, bound_err, seg_d16_j, seg_over_j, rsrtr_j,
+                    band_err, bound_err, seg_d8_j, seg_over_j, rsrtr_j,
                     has_del_j, shc_j, scc_j, fscore_j, fchanged_j, fok_j)
             else:
-                (band_err, bound_err, seg_d16, seg_over, rsrtr_np,
-                 has_del) = _fetch(band_err, bound_err, seg_d16_j,
+                (band_err, bound_err, seg_d8, seg_over, rsrtr_np,
+                 has_del) = _fetch(band_err, bound_err, seg_d8_j,
                                    seg_over_j, rsrtr_j, has_del_j)
+            self._note_del_rate(has_del[:B])
             seq_segs_np = np.zeros((B, L_max + 1), np.int64)
-            np.cumsum(seg_d16[:B].astype(np.int64), axis=1,
+            np.cumsum(seg_d8[:B].astype(np.int64), axis=1,
                       out=seq_segs_np[:, 1:])
             for i in np.flatnonzero(seg_over[:B]):
                 seq_segs_np[i] = _fetch_row(seq_segs_j[i]).astype(np.int64)
