@@ -48,6 +48,8 @@ class MappyAligner:
                 "mappy is not installed; use ExactAligner or provide "
                 "pre-computed mappings")
         self._mappy = mappy
+        self.reference_fn = reference_fn
+        self.preset = preset
         self.aligner = mappy.Aligner(reference_fn, preset=preset)
         if not self.aligner:
             raise TomboTpuError("Failed to load reference with minimap2")

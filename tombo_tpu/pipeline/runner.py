@@ -327,13 +327,29 @@ def resquiggle_all_reads(
                                   "Unexpected error: " + repr(e)))
             return units
 
-        # --- streaming pipeline: mapping threads feed device batches;
-        # two batches are in flight so one batch's host stages overlap
-        # the other's device waits (reference analog: the pipelined
-        # I/O-thread / DP-process pairs, tombo/resquiggle.py:1417-1421)
+        # --- streaming pipeline: the ingest stage feeds device batches.
+        # h5py serializes all HDF5 calls behind one process-global lock,
+        # so the parallel lane is a spawned PROCESS pool (pipeline/
+        # ingest.py; ~4x the per-read ingest throughput of threads);
+        # threads remain the fallback for small runs, unpicklable
+        # aligners, or missing mp support (reference analog: the
+        # N-process x M-thread fan-out, tombo/resquiggle.py:1859-1948).
         from concurrent.futures import ThreadPoolExecutor
-        map_pool = ThreadPoolExecutor(max_workers=rc.num_io_threads)
-        map_iter = map_pool.map(map_worker, all_fns)
+        map_pool = None
+        ingest_pool = None
+        n_units = len(all_fns) * len(rc.basecall_subgroups)
+        if n_units >= int(os.environ.get("TOMBO_TPU_INGEST_MIN", "256")):
+            from .ingest import get_ingest_pool
+            n_ing = int(os.environ.get(
+                "TOMBO_TPU_INGEST_PROCS",
+                str(max(2, min(6, (os.cpu_count() or 4) - 2)))))
+            ingest_pool = get_ingest_pool(
+                n_ing, aligner, std_ref, seq_samp_type, rsqgl_params, rc)
+        if ingest_pool is not None:
+            map_iter = ingest_pool.run(all_fns)
+        else:
+            map_pool = ThreadPoolExecutor(max_workers=rc.num_io_threads)
+            map_iter = map_pool.map(map_worker, all_fns)
 
         chunks: List[List[Tuple[str, ResquiggleResults]]] = []
 
@@ -370,8 +386,7 @@ def resquiggle_all_reads(
         # their one-time spawn cost; inline writeback otherwise
         n_wp = rc.num_write_procs
         if n_wp is None:
-            n_wp = 2 if len(all_fns) * len(rc.basecall_subgroups) >= 512 \
-                else 0
+            n_wp = 4 if n_units >= 256 else 0
         writers = (_get_write_pool(n_wp)
                    if n_wp > 0 and not rc.dry_run else None)
         pending_adds: List[tuple] = []   # deferred index adds (async writes)
@@ -474,7 +489,8 @@ def resquiggle_all_reads(
                 if key not in failed_keys and reads_index is not None:
                     reads_index.add_read_data(chrm, strand, rd)
 
-        map_pool.shutdown(wait=True)
+        if map_pool is not None:
+            map_pool.shutdown(wait=True)
         if bar is not None:
             bar.close()
         import os as _os
