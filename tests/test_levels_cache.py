@@ -63,8 +63,10 @@ def test_sidecar_builds_and_serves_without_hdf5(resquiggled, monkeypatch):
     tmp, fasta, model, index, fast5_dir = resquiggled
     rg.clear_levels_cache()
     fn1 = _detect(tmp, fasta, model, index, "cold")
-    caches = glob.glob(os.path.join(fast5_dir, ".*.tombo.levels"))
-    assert caches, "no sidecar written during the cold run"
+    # resquiggle itself now builds writer-shard sidecars (.w*), so
+    # the cold detection run may already be a full cache hit
+    caches = glob.glob(os.path.join(fast5_dir, ".*.tombo.levels*"))
+    assert caches, "no sidecar present after the cold run"
 
     def _no_h5(r_data):
         raise AssertionError("HDF5 touched on a warm run: %s" % r_data.fn)
@@ -86,7 +88,7 @@ def test_estimate_builds_and_uses_sidecar(resquiggled, monkeypatch,
     cold run and is served entirely from it (no HDF5) on a warm run."""
     from tombo_tpu.stats import estimate as est
     tmp, fasta, model, index, fast5_dir = resquiggled
-    for fn in glob.glob(os.path.join(fast5_dir, ".*.tombo.levels")):
+    for fn in glob.glob(os.path.join(fast5_dir, ".*.tombo.levels*")):
         os.unlink(fn)
     rg.clear_levels_cache()
 

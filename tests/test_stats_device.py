@@ -265,3 +265,102 @@ def test_device_level_stats_match_host(resquiggled, tmp_path, monkeypatch):
                                            equal_nan=True)
             else:
                 np.testing.assert_array_equal(b1[name], b0[name])
+
+
+@pytest.mark.parametrize("stat_type", ["de_novo", "sample_compare"])
+def test_packed_batch_matches_per_region(resquiggled, stat_type):
+    """One packed multi-region dispatch == per-region device calls ==
+    host lane, including with a tiny sub-span width (reads crossing
+    many sub-span boundaries)."""
+    import os
+
+    from tombo_tpu import config
+    from tombo_tpu.errors import TomboTpuError
+    from tombo_tpu.stats.files import SAMP_COMP_TXT
+
+    tmp, fasta, model, index = resquiggled
+    th = (config.DE_NOVO_THRESH if stat_type == "de_novo"
+          else config.SAMP_COMP_THRESH)[config.DNA_SAMP_TYPE]
+    params = dt.TestParams(
+        stat_type=stat_type, single_read_thresh=th[1], lower_thresh=th[0],
+        region_size=1000)
+    jobs, hosts = [], []
+    for reg in _regions(index, params):
+        reg.add_reads(index)
+        ctrl_reg = None
+        if stat_type == SAMP_COMP_TXT:
+            ctrl_reg = dt.RegionData(
+                reg.chrm, reg.strand, reg.start, reg.end).add_reads(index)
+        try:
+            hosts.append(dt.compute_reg_stats(
+                reg, params, ctrl_reg, fasta, model, None,
+                emit_per_read=False))
+        except TomboTpuError:
+            hosts.append(None)
+        try:
+            jobs.append(dt._device_region_job(reg, params, ctrl_reg,
+                                              fasta, model))
+        except TomboTpuError:
+            jobs.append(None)
+    os.environ["TOMBO_TPU_STATS_SUBSPAN"] = "256"   # force many sub-spans
+    try:
+        packed = dt.compute_reg_stats_device_batch(jobs, params)
+    finally:
+        del os.environ["TOMBO_TPU_STATS_SUBSPAN"]
+    n_checked = 0
+    for host, dres in zip(hosts, packed):
+        if host is None or not dres:
+            continue
+        (h_name, h_stats, _), = host
+        (d_name, d_stats, _), = dres
+        assert h_name == d_name
+        np.testing.assert_array_equal(d_stats.reg_poss, h_stats.reg_poss)
+        np.testing.assert_array_equal(d_stats.reg_cov, h_stats.reg_cov)
+        np.testing.assert_array_equal(d_stats.valid_cov, h_stats.valid_cov)
+        np.testing.assert_allclose(d_stats.reg_frac_standard_base,
+                                   h_stats.reg_frac_standard_base,
+                                   rtol=1e-12, equal_nan=True)
+        n_checked += 1
+    assert n_checked >= 2
+
+
+def test_device_lane_serves_per_read_stats(resquiggled, tmp_path,
+                                           monkeypatch):
+    """--per-read-statistics-basename no longer forfeits the device
+    lane: test_significance with the device lane forced on writes
+    per-read blocks matching the host lane's values."""
+    import os
+
+    from tombo_tpu import config
+    from tombo_tpu.stats.files import PerReadStats
+
+    tmp, fasta, model, index = resquiggled
+    th = config.DE_NOVO_THRESH[config.DNA_SAMP_TYPE]
+    params = dt.TestParams(stat_type="de_novo", single_read_thresh=th[1],
+                           lower_thresh=th[0], region_size=1000)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("TOMBO_TPU_STATS_DEVICE", flag)
+        fn = os.path.join(str(tmp_path), "m%s.tombo.stats" % flag)
+        prfn = os.path.join(str(tmp_path), "m%s.tombo.per_read_stats" % flag)
+        dt.test_significance(index, params, fn, fasta=fasta, std_ref=model,
+                             per_read_bn=prfn, num_processes=2)
+        pr = PerReadStats(prfn)
+        blocks = {}
+        for chrm, strand, start, block_stats, lookup in \
+                pr.iter_per_read_blocks():
+            poss = block_stats["pos"]
+            stats = block_stats["stat"]
+            ids = np.array([lookup[r] for r in block_stats["read_id"]])
+            order = np.lexsort((ids, stats, poss))
+            blocks[(chrm, strand, start)] = (poss[order], stats[order],
+                                             ids[order])
+        pr.close()
+        outs[flag] = blocks
+    assert outs["0"] and set(outs["0"]) == set(outs["1"])
+    for key in outs["0"]:
+        p0, s0, i0 = outs["0"][key]
+        p1, s1, i1 = outs["1"][key]
+        np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, rtol=1e-12)

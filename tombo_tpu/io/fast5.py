@@ -235,6 +235,7 @@ def write_new_fast5_group(fast5_fn_or_fp, corr_grp_slot: str,
     finally:
         if do_close:
             fast5_data.close()
+    return norm_means
 
 
 def get_single_slot_read_centric(fast5_fn_or_fp, slot_name: str,

@@ -92,19 +92,53 @@ class RunSummary:
 # tombo/resquiggle.py:1828 and tombo/tombo_stats.py:4448).  Jobs shard by
 # path CRC so no two processes ever open the same file.
 
-def _writer_proc_main(q, err_q, ack_q):
+def _writer_proc_main(q, err_q, ack_q, shard_tag):
+    import os as _os
     from ..io import fast5 as _f5
+    from ..stats import levels_cache as _lc
+    builders = {}
+
+    def sidecar_add(fn, res, cg, norm_means):
+        """Append the just-written read to the directory's levels
+        sidecar shard, so first-run detection never re-opens FAST5s
+        (round-4 task: cold-run detection io_frac; each writer process
+        owns one `.w<i>` shard so no two writers share a file)."""
+        group = cg + "/" + res.align_info.subgroup
+        dirpath = _os.path.dirname(fn) or "."
+        b = builders.get((dirpath, group), False)
+        if b is False:
+            path = _lc.cache_fn(dirpath, group) + ".w%s" % shard_tag
+            try:
+                b = _lc.LevelsCacheBuilder(path)
+            except OSError:
+                b = None
+            builders[(dirpath, group)] = b
+        if b is None:
+            return
+        st = _os.stat(fn)
+        rid = res.align_info.read_id if res.align_info else ""
+        b.add(fn, group, rid, st.st_mtime_ns, st.st_size, norm_means,
+              res.genome_seq, replace=True)
+
     while True:
         job = q.get()
         if job is None:
             break
         if job[0] == 1:                    # flush barrier: echo the token
+            for b in builders.values():
+                if b is not None:
+                    b.flush()
             ack_q.put(job[1])
             continue
-        _, fn, res, cg, csd, rna, rp = job
+        _, fn, res, cg, csd, rna, rp, sidecar = job
         try:
-            _f5.write_new_fast5_group(fn, cg, res, "median", csd, rna=rna,
-                                      resolved_params=rp)
+            norm_means = _f5.write_new_fast5_group(
+                fn, cg, res, "median", csd, rna=rna, resolved_params=rp)
+            if sidecar and _lc.enabled():
+                try:
+                    sidecar_add(fn, res, cg, norm_means)
+                except Exception:  # noqa: BLE001 — cache is best-effort
+                    pass
         except Exception:  # noqa: BLE001 — reported via err_q
             err_q.put((fn, res.align_info.subgroup))
 
@@ -118,8 +152,9 @@ class _ShardedWriters:
         self.ack_q = ctx.Queue()
         self.procs = [
             ctx.Process(target=_writer_proc_main,
-                        args=(qq, self.err_q, self.ack_q), daemon=True)
-            for qq in self.qs]
+                        args=(qq, self.err_q, self.ack_q, str(i)),
+                        daemon=True)
+            for i, qq in enumerate(self.qs)]
         for p in self.procs:
             p.start()
         self._token = 0
@@ -128,11 +163,11 @@ class _ShardedWriters:
         return all(p.is_alive() for p in self.procs)
 
     def submit(self, fn: str, res, corrected_group: str, compute_sd: bool,
-               rna: bool, resolved_params):
+               rna: bool, resolved_params, sidecar: bool = True):
         import zlib
         shard = zlib.crc32(fn.encode()) % len(self.qs)
         self.qs[shard].put((0, fn, res, corrected_group, compute_sd, rna,
-                            resolved_params))
+                            resolved_params, sidecar))
 
     def flush(self) -> List[Tuple[str, str]]:
         """Barrier: wait until every submitted write completed; return
@@ -151,6 +186,40 @@ class _ShardedWriters:
             except Exception:  # noqa: BLE001 — queue.Empty
                 break
         return errs
+
+
+_INLINE_BUILDERS: dict = {}
+
+
+def _sidecar_add_inline(fn: str, res, cg: str, norm_means):
+    """Inline-writeback sidecar append (shard tag 'm': never collides
+    with the writer processes' numeric shards)."""
+    from ..stats import levels_cache as _lc
+    if not _lc.enabled():
+        return
+    try:
+        group = cg + "/" + res.align_info.subgroup
+        dirpath = os.path.dirname(fn) or "."
+        b = _INLINE_BUILDERS.get((dirpath, group), False)
+        if b is False:
+            b = _lc.LevelsCacheBuilder(
+                _lc.cache_fn(dirpath, group) + ".wm")
+            _INLINE_BUILDERS[(dirpath, group)] = b
+        st = os.stat(fn)
+        rid = res.align_info.read_id if res.align_info else ""
+        b.add(fn, group, rid, st.st_mtime_ns, st.st_size, norm_means,
+              res.genome_seq, replace=True)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
+def _flush_inline_builders():
+    for b in _INLINE_BUILDERS.values():
+        if b is not None:
+            try:
+                b.flush()
+            except Exception:  # noqa: BLE001
+                pass
 
 
 _WRITE_POOL: Optional[_ShardedWriters] = None
@@ -422,17 +491,25 @@ def resquiggle_all_reads(
                     continue
                 try:
                     if not rc.dry_run:
+                        # sidecar building: single-host only (the cache
+                        # lives beside possibly-shared data)
+                        sidecar_on = rc.dist is None or rc.dist.n_hosts <= 1
                         if writers is not None:
                             writers.submit(
                                 fn, res, rc.corrected_group, rc.compute_sd,
-                                seq_samp_type.rev_sig, resolved_json)
+                                seq_samp_type.rev_sig, resolved_json,
+                                sidecar=sidecar_on)
                         else:
                             import time as _t
                             _t0 = _t.perf_counter()
-                            f5io.write_new_fast5_group(
+                            norm_means = f5io.write_new_fast5_group(
                                 fn, rc.corrected_group, res, "median",
                                 rc.compute_sd, rna=seq_samp_type.rev_sig,
                                 resolved_params=resolved_json)
+                            if sidecar_on:
+                                _sidecar_add_inline(
+                                    fn, res, rc.corrected_group,
+                                    norm_means)
                             from .batch import STAGE_TIMINGS, _profiling
                             if _profiling():
                                 STAGE_TIMINGS["writeback"] += (
@@ -491,6 +568,7 @@ def resquiggle_all_reads(
 
         if map_pool is not None:
             map_pool.shutdown(wait=True)
+        _flush_inline_builders()
         if bar is not None:
             bar.close()
         import os as _os

@@ -599,22 +599,15 @@ def _span_exp_levels(reg_data: RegionData, fasta, std_ref: KmerModel,
         reg_seq, reg_data.strand == "-")
 
 
-def compute_reg_stats_device(reg_data: RegionData, params: TestParams,
-                             ctrl_reg_data: Optional[RegionData], fasta,
-                             std_ref: Optional[KmerModel]):
-    """Device (TPU) lane for the de_novo / sample_compare per-read tests:
-    one fused jitted call per region computes every read's z -> p ->
-    Fisher window and reduces the dense per-site accumulators on device
-    (stats/device.py; host equivalent: ``compute_reg_stats``).
-
-    Returns the same [(name, RegionStats, None)] shape as the host lane
-    (no per-read payloads — per-read statistics files use the host
-    lane)."""
-    from . import device as dev
+def _device_region_job(reg_data: RegionData, params: TestParams,
+                       ctrl_reg_data: Optional[RegionData], fasta,
+                       std_ref: Optional[KmerModel]):
+    """Prepare one region's packed-lane inputs (expected levels, read
+    levels, clipping bounds); raises TomboTpuError exactly where the
+    host lane would skip the region."""
     stat_type = params.stat_type
     span_lo, span_n = _accum_span(reg_data, params)
     fm = params.fm_offset
-
     ctrl_cov_dense = None
     if stat_type == SAMP_COMP_TXT:
         ctrl_means, ctrl_sds, ctrl_cov = get_reads_ref(
@@ -650,32 +643,98 @@ def compute_reg_stats_device(reg_data: RegionData, params: TestParams,
     else:
         raise TomboTpuError(
             "Device stats lane supports de_novo and sample_compare only")
-
-    block = dev.build_read_block(
-        reg_data.load_levels(), span_lo, span_n, place_lo, place_hi,
-        begin_lag, end_lag, b_pad=16)
-    if block is None:
+    levels = reg_data.load_levels()
+    if not levels:
         raise TomboTpuError("Reads contain no statistics in this region.")
-    r_means, _, emit = block
-    # z-scores exist only on each read's lag-trimmed emission extent —
-    # the host lane trims the means BEFORE testing, so Fisher windows
-    # never see values beyond it (reference: tombo/tombo_stats.py:3846)
+    return dict(reg=reg_data, span_lo=span_lo, span_n=span_n,
+                ref_means=ref_means, ref_sds=ref_sds, levels=levels,
+                place_lo=place_lo, place_hi=place_hi,
+                begin_lag=begin_lag, end_lag=end_lag,
+                clamp_after=clamp_after, ctrl_cov_dense=ctrl_cov_dense)
+
+
+def compute_reg_stats_device_batch(jobs, params: TestParams,
+                                   emit_per_read: bool = False):
+    """Run MANY prepared region jobs through ONE packed device dispatch
+    (stats/device.py ``PackedRegionBatch``); returns one result list per
+    job, shaped like ``compute_reg_stats`` output.
+
+    Per-read statistic streams come from the same dispatch (the p-value
+    matrix rides back with the counts), so requesting
+    ``--per-read-statistics-basename`` keeps the device lane active; the
+    streamed values are computed in the device float width (f32 unless
+    jax x64 is enabled)."""
+    from . import device as dev
+    stat_type = params.stat_type
+    fm = params.fm_offset
     mode = "two_way" if params.lower_thresh is not None else "plain"
-    import jax.numpy as jnp
-    cov, valid_cov, above = (np.asarray(x, np.int64) for x in
-                             dev.model_test_and_accumulate(
-        jnp.asarray(r_means), jnp.asarray(ref_means),
-        jnp.asarray(ref_sds), jnp.asarray(emit), jnp.asarray(emit),
-        fm, clamp_after,
-        float(params.single_read_thresh),
+    packer = dev.PackedRegionBatch(fm)
+    for j, job in enumerate(jobs):
+        if job is None:
+            continue
+        packer.add_region(j, job["span_lo"], job["span_n"],
+                          job["ref_means"], job["ref_sds"], job["levels"],
+                          job["place_lo"], job["place_hi"],
+                          job["begin_lag"], job["end_lag"])
+    clamp_after = next((j["clamp_after"] for j in jobs if j is not None),
+                       True)
+    counts, pvals = packer.dispatch(
+        fm, clamp_after, float(params.single_read_thresh),
         float(params.lower_thresh
-              if params.lower_thresh is not None else -1e30), mode))
-    reg_stats = region_stats_from_accumulators(
-        reg_data, span_lo, cov, valid_cov, above, ctrl_cov_dense,
-        stat_type)
-    if reg_stats is None:
+              if params.lower_thresh is not None else -1e30),
+        mode, want_pvals=emit_per_read)
+    out = []
+    for j, job in enumerate(jobs):
+        if job is None or counts is None:
+            out.append([])
+            continue
+        cov, valid_cov, above = packer.unpack_region(
+            j, job["span_lo"], job["span_n"], counts)
+        reg_stats = region_stats_from_accumulators(
+            job["reg"], job["span_lo"], cov, valid_cov, above,
+            job["ctrl_cov_dense"], stat_type)
+        if reg_stats is None:
+            out.append([])
+            continue
+        pr_payload = None
+        if emit_per_read and pvals is not None:
+            streams = packer.read_streams(j, pvals)
+            if streams:
+                stats_l, locs_l, ids_l = [], [], []
+                for ridx in sorted(streams):
+                    poss, st = streams[ridx]
+                    if st.shape[0] == 0:
+                        continue
+                    stats_l.append(st)
+                    locs_l.append(poss)
+                    ids_l.append((job["levels"][ridx].read_id,
+                                  st.shape[0]))
+                if stats_l:
+                    try:
+                        _, pr_payload = collate_reg_stats(
+                            stats_l, locs_l, ids_l, True, job["reg"],
+                            params.single_read_thresh,
+                            params.lower_thresh, stat_type, stat_type,
+                            None)
+                    except TomboTpuError:
+                        pr_payload = None
+        out.append([(stat_type, reg_stats, pr_payload)])
+    return out
+
+
+def compute_reg_stats_device(reg_data: RegionData, params: TestParams,
+                             ctrl_reg_data: Optional[RegionData], fasta,
+                             std_ref: Optional[KmerModel]):
+    """Device (TPU) lane for the de_novo / sample_compare per-read tests
+    over ONE region (host equivalent: ``compute_reg_stats``); production
+    runs batch many regions per dispatch via
+    ``compute_reg_stats_device_batch``."""
+    job = _device_region_job(reg_data, params, ctrl_reg_data, fasta,
+                             std_ref)
+    (res,) = compute_reg_stats_device_batch([job], params)
+    if not res:
         raise TomboTpuError("No valid positions in this region.")
-    return [(stat_type, reg_stats, None)]
+    return res
 
 
 def compute_reg_stats(reg_data: RegionData, params: TestParams,
@@ -954,10 +1013,10 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
     for pf in pr_files.values():
         pf.set_resolved_params(resolved_json)
 
-    # the device lane serves the per-site reductions; the host lane is
-    # required when per-read statistic streams must be written, and for
-    # the alt-model motif path
-    device_ok = (use_device_stats() and not pr_files and
+    # the device lane serves the per-site reductions AND the per-read
+    # statistic streams (the p-value matrix rides back with the counts);
+    # only the alt-model motif path still requires the host lane
+    device_ok = (use_device_stats() and
                  stat_type in (DE_NOVO_TXT, SAMP_COMP_TXT))
 
     def run_region_single(reg: RegionData):
@@ -1076,6 +1135,64 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
             # Writers stay HERE, in region order — results are identical
             # regardless of worker count or kind (reference guarantee:
             # docs/modified_base_detection.rst:151-153).
+            if device_ok and not is_level:
+                # packed multi-region device lane: one dispatch per
+                # ~10^6 site-observations (region prep — index lookups +
+                # level loads — runs on the thread pool; writes stay
+                # here in region order)
+                budget = int(os.environ.get(
+                    "TOMBO_TPU_STATS_CHUNK_OBS", "1500000"))
+
+                def prep_one(reg):
+                    reg.add_reads(reads_index)
+                    ctrl_reg = None
+                    if ctrl_reads_index is not None:
+                        ctrl_reg = RegionData(
+                            reg.chrm, reg.strand, reg.start,
+                            reg.end).add_reads(ctrl_reads_index)
+                    try:
+                        return _device_region_job(reg, params, ctrl_reg,
+                                                  fasta, std_ref)
+                    except TomboTpuError:
+                        return None
+
+                i = 0
+                while i < len(regions):
+                    c_regs = []
+                    obs = 0
+                    while i < len(regions) and (not c_regs or
+                                                (obs < budget and
+                                                 len(c_regs) < 64)):
+                        reg = regions[i]
+                        i += 1
+                        reg.add_reads(reads_index)
+                        obs += sum(min(r.end, reg.end) -
+                                   max(r.start, reg.start)
+                                   for r in reg.reads)
+                        c_regs.append(reg)
+                    jobs = list(pool.map(prep_one, c_regs))
+                    results_per_reg = compute_reg_stats_device_batch(
+                        jobs, params, emit_per_read=bool(pr_files))
+                    for reg, results in zip(c_regs, results_per_reg):
+                        for name, reg_stats, pr_payload in results:
+                            stats_files[name]._write_stat_block(reg_stats)
+                            if pr_payload is not None and name in pr_files:
+                                (_, block, lookup, chrm, strand,
+                                 start) = pr_payload
+                                pr_files[name]._write_per_read_block(
+                                    block, lookup, chrm, strand, start)
+                        if verbose:
+                            print("  processed %s:%s:%d" % (
+                                reg.chrm, reg.strand, reg.start))
+                for sf in stats_files.values():
+                    if sf.is_empty:
+                        raise TomboTpuError(
+                            "No genomic positions contain "
+                            "--minimum-test-reads.")
+                    sf.close()
+                for prf in pr_files.values():
+                    prf.close()
+                return stats_fn
             procs_env = os.environ.get("TOMBO_TPU_DETECT_PROCS", "auto")
             if procs_env == "auto":
                 # spawn startup (fresh interpreter + imports per worker)

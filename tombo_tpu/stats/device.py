@@ -124,6 +124,243 @@ def model_test_and_accumulate(r_means, ref_means, ref_sds, valid,
 
 
 # ---------------------------------------------------------------------------
+# packed multi-region lane
+# ---------------------------------------------------------------------------
+# One device dispatch per ~10^6 site-observations instead of one per
+# region: reads from MANY regions ride as rows of a single (B, W_sub)
+# matrix.  Regions are chopped into fixed-width SUB-SPAN columns (core
+# width + fm margins), each (read, sub-span) overlap becomes one row
+# tagged with its sub-span id, and the per-site reductions happen as a
+# one-hot matmul over the id — an MXU contraction, no scatter.  This
+# replaces the dense (B, region_span) layout whose ~80% padding (2 kb
+# reads in 10 kb regions) made per-region dispatches upload-bound and
+# slower than host numpy (round-3 verdict: compute_device_vs_host 0.12).
+
+def _round_dn(x: int, m: int) -> int:
+    return (x // m) * m
+
+
+def _pow2_at_least(x: int, lo: int) -> int:
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fm_offset", "clamp_after", "mode", "single_read_thresh",
+    "lower_thresh", "want_pvals"))
+def packed_test_and_accumulate(r_means, zv_lo, zv_hi, em_lo, em_hi, sid,
+                               ref_means, ref_sds,
+                               fm_offset: int, clamp_after: bool,
+                               single_read_thresh: float,
+                               lower_thresh: float, mode: str,
+                               want_pvals: bool):
+    """Fused packed-row test + per-(sub-span, site) reduction.
+
+    r_means: (B, W) NaN-padded rows; zv_lo/zv_hi bound each row's
+    z-score extent (the read's lag-trimmed testing extent — the host
+    lane trims means BEFORE testing, so Fisher windows never see values
+    beyond it; reference: tombo/tombo_stats.py:3846); em_lo/em_hi bound
+    the columns whose statistics this row CONTRIBUTES (its sub-span
+    core, so sites land in exactly one sub-span); sid: (B,) sub-span id;
+    ref_means/ref_sds: (S, W) per-sub-span expected levels.  Returns
+    (S, W, 3) int16 (coverage, valid coverage, above-threshold) counts
+    plus the (B, W) p-value matrix (for per-read statistics files) when
+    ``want_pvals``.  Math identical to :func:`model_test_pvals` +
+    :func:`site_accumulate` (cross-checked by tests/test_stats_device)."""
+    dt = _f()
+    S = ref_means.shape[0]
+    W = r_means.shape[1]
+    sid = sid.astype(jnp.int32)
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    zvalid = (col >= zv_lo.astype(jnp.int32)[:, None]) & \
+             (col < zv_hi.astype(jnp.int32)[:, None])
+    emit = (col >= em_lo.astype(jnp.int32)[:, None]) & \
+           (col < em_hi.astype(jnp.int32)[:, None])
+    rm = jnp.take(ref_means, sid, axis=0).astype(dt)
+    rs = jnp.take(ref_sds, sid, axis=0).astype(dt)
+    z = jnp.abs((r_means.astype(dt) - rm) / rs)
+    z = jnp.where(zvalid, z, jnp.asarray(jnp.nan, dt))
+    p = 2.0 * ndtr(-z)
+    if fm_offset > 0:
+        width = 2 * fm_offset + 1
+        logp = jnp.log(jnp.maximum(p, SMALLEST_PVAL))
+        s = _window_logp_sum(logp, fm_offset)
+        p = gammaincc(jnp.asarray(float(width), dt), -s)
+    if clamp_after:
+        p = jnp.maximum(p, SMALLEST_PVAL)
+    ok = emit & ~jnp.isnan(p)
+    if mode == "two_way":
+        is_valid = ok & ((p <= lower_thresh) | (p >= single_read_thresh))
+    elif mode == "alt":
+        is_valid = ok & (jnp.abs(p) >= single_read_thresh)
+    else:
+        is_valid = ok
+    above = ok & (p >= single_read_thresh)
+    masks = jnp.stack([ok, is_valid, above], axis=-1).astype(jnp.float32)
+    B, W = r_means.shape
+    oh = (sid[:, None] == jnp.arange(S, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)                      # (B, S)
+    counts = jnp.einsum("bs,bwc->swc", oh, masks,
+                        preferred_element_type=jnp.float32)
+    out_p = p if want_pvals else jnp.zeros((1, 1), dt)
+    return counts.astype(jnp.int16), out_p
+
+
+class PackedRegionBatch:
+    """Host-side packer: region jobs -> device inputs -> per-region
+    dense accumulators (and per-read stat streams)."""
+
+    def __init__(self, fm_offset: int, core: Optional[int] = None):
+        import os
+        self.fm = fm_offset
+        self.core = core or int(os.environ.get(
+            "TOMBO_TPU_STATS_SUBSPAN", "4096"))
+        self.W = self.core + 2 * self.fm
+        self.rows = []          # (means_slice, emit_lo, emit_hi, sid)
+        self.row_meta = []      # (job_idx, read_idx, col0_abs)
+        self.subs = []          # (job_idx, c_lo, c_hi, ref_m, ref_s)
+
+    def add_region(self, job_idx: int, span_lo: int, span_n: int,
+                   ref_means: np.ndarray, ref_sds: np.ndarray,
+                   levels, place_lo: int, place_hi: int,
+                   begin_lag: int, end_lag: int):
+        """Chop one region's span into sub-spans and emit packed rows.
+        ``ref_means/ref_sds`` are (span_n,) genome-oriented arrays;
+        ``levels`` the region's ReadLevels."""
+        fm, core = self.fm, self.core
+        # per-read trimmed extents + emission bounds (the host lane's
+        # clipping semantics, reference: tombo/tombo_stats.py:3783-3846)
+        reads = []
+        for ridx, rl in enumerate(levels):
+            r = rl.r_data
+            m = rl.means
+            if r.strand == "-":
+                m = m[::-1]
+            g_lo = max(r.start, span_lo, place_lo)
+            g_hi = min(r.end, span_lo + span_n, place_hi)
+            if g_hi <= g_lo:
+                continue
+            c_lo_r = max(r.start, place_lo)
+            c_hi_r = min(r.end, place_hi)
+            e_lo = max(g_lo, c_lo_r + begin_lag)
+            e_hi = min(g_hi, c_hi_r - end_lag)
+            if e_hi <= e_lo:
+                continue
+            reads.append((ridx, r.start, g_lo, g_hi, e_lo, e_hi, m))
+        n_sub = -(-span_n // core)
+        for j in range(n_sub):
+            c_lo = span_lo + j * core
+            c_hi = min(c_lo + core, span_lo + span_n)
+            sid = len(self.subs)
+            col0 = c_lo - fm
+            rm = np.full(self.W, np.nan)
+            rs = np.full(self.W, np.nan)
+            lo = max(col0, span_lo)
+            hi = min(col0 + self.W, span_lo + span_n)
+            if hi > lo:
+                rm[lo - col0:hi - col0] = ref_means[lo - span_lo:
+                                                    hi - span_lo]
+                rs[lo - col0:hi - col0] = ref_sds[lo - span_lo:
+                                                  hi - span_lo]
+            self.subs.append((job_idx, c_lo, c_hi, rm, rs))
+            for ridx, r_start, g_lo, g_hi, e_lo, e_hi, m in reads:
+                m_lo = max(g_lo, col0)
+                m_hi = min(g_hi, col0 + self.W)
+                em_lo = max(e_lo, c_lo)
+                em_hi = min(e_hi, c_hi)
+                zv_lo = max(e_lo, col0)
+                zv_hi = min(e_hi, col0 + self.W)
+                if em_hi <= em_lo or m_hi <= m_lo:
+                    continue
+                self.rows.append((m[m_lo - r_start:m_hi - r_start],
+                                  m_lo - col0, zv_lo - col0, zv_hi - col0,
+                                  em_lo - col0, em_hi - col0, sid))
+                self.row_meta.append((job_idx, ridx, col0))
+
+    def site_obs(self) -> int:
+        return sum(r[0].shape[0] for r in self.rows)
+
+    def dispatch(self, fm_offset, clamp_after, single_read_thresh,
+                 lower_thresh, mode, want_pvals):
+        """Upload, run, fetch.  Returns (counts (S, W, 3) int64,
+        pvals (B, W) or None)."""
+        B = len(self.rows)
+        S = len(self.subs)
+        if B == 0:
+            return None, None
+        Bp = _pow2_at_least(B, 128)
+        Sp = _round_up(S, 8)
+        dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+        means = np.full((Bp, self.W), np.nan, dt)
+        zv_lo = np.zeros(Bp, np.int32)
+        zv_hi = np.zeros(Bp, np.int32)
+        em_lo = np.zeros(Bp, np.int32)
+        em_hi = np.zeros(Bp, np.int32)
+        sid = np.zeros(Bp, np.int32)
+        for i, (m, m_off, zl, zh, el, eh, s) in enumerate(self.rows):
+            means[i, m_off:m_off + m.shape[0]] = m
+            zv_lo[i], zv_hi[i], em_lo[i], em_hi[i], sid[i] = \
+                zl, zh, el, eh, s
+        ref_m = np.full((Sp, self.W), np.nan, dt)
+        ref_s = np.full((Sp, self.W), np.nan, dt)
+        for s, (_, _, _, rm, rs) in enumerate(self.subs):
+            ref_m[s] = rm
+            ref_s[s] = rs
+        counts, pv = packed_test_and_accumulate(
+            jnp.asarray(means), jnp.asarray(zv_lo), jnp.asarray(zv_hi),
+            jnp.asarray(em_lo), jnp.asarray(em_hi), jnp.asarray(sid),
+            jnp.asarray(ref_m), jnp.asarray(ref_s),
+            fm_offset, clamp_after, float(single_read_thresh),
+            float(lower_thresh), mode, want_pvals)
+        if want_pvals:
+            pv.copy_to_host_async()
+        counts_np = np.asarray(counts).astype(np.int64)[:S]
+        pv_np = np.asarray(pv)[:B] if want_pvals else None
+        return counts_np, pv_np
+
+    def unpack_region(self, job_idx: int, span_lo: int, span_n: int,
+                      counts: np.ndarray):
+        """Per-region dense (cov, valid, above) accumulators from the
+        fetched sub-span counts."""
+        cov = np.zeros(span_n, np.int64)
+        valid = np.zeros(span_n, np.int64)
+        above = np.zeros(span_n, np.int64)
+        fm = self.fm
+        for s, (j, c_lo, c_hi, _, _) in enumerate(self.subs):
+            if j != job_idx:
+                continue
+            n = c_hi - c_lo
+            sl = slice(c_lo - span_lo, c_hi - span_lo)
+            cov[sl] = counts[s, fm:fm + n, 0]
+            valid[sl] = counts[s, fm:fm + n, 1]
+            above[sl] = counts[s, fm:fm + n, 2]
+        return cov, valid, above
+
+    def read_streams(self, job_idx: int, pvals: np.ndarray):
+        """Per-read (positions, stats) streams for one region from the
+        fetched p-value matrix (per-read statistics files).  Returns
+        {read_idx: (poss, stats)} with positions ascending."""
+        out = {}
+        for i, (j, ridx, col0) in enumerate(self.row_meta):
+            if j != job_idx:
+                continue
+            _, _, _, _, e_lo, e_hi, _ = self.rows[i]
+            p_row = pvals[i, e_lo:e_hi]
+            keep = ~np.isnan(p_row)
+            poss = np.arange(col0 + e_lo, col0 + e_hi)[keep]
+            st = p_row[keep].astype(np.float64)
+            if ridx in out:
+                p0, s0 = out[ridx]
+                out[ridx] = (np.concatenate([p0, poss]),
+                             np.concatenate([s0, st]))
+            else:
+                out[ridx] = (poss, st)
+        return out
+
+
+# ---------------------------------------------------------------------------
 # group (level) tests (reference: tombo/tombo_stats.py:4236-4334)
 # ---------------------------------------------------------------------------
 

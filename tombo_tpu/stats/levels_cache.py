@@ -52,6 +52,18 @@ def cache_fn(dirpath: str, corr_group: str) -> str:
                         % (base, corr_group.replace("/", ".")))
 
 
+def shard_paths(path: str):
+    """The sidecar file plus any writer-shard siblings (``.w<i>`` files
+    appended by the resquiggle writeback processes — each process owns
+    one shard so no two writers ever share a file)."""
+    import glob
+    out = []
+    if os.path.exists(path):
+        out.append(path)
+    out.extend(sorted(glob.glob(path + ".w*")))
+    return out
+
+
 def _pack_record(fn_base: str, group: str, read_id: str, mtime_ns: int,
                  size: int, means: np.ndarray, seq: str) -> bytes:
     fn_b = fn_base.encode()
@@ -89,18 +101,31 @@ def _scan(path: str):
 
 
 class LevelsCache:
-    """Offset-indexed reader over one sidecar file."""
+    """Offset-indexed reader over a sidecar file and its writer shards.
+
+    A record's key may appear in several files (e.g. a re-resquiggle
+    appended a fresh shard record); all candidates are indexed and the
+    (mtime_ns, size) staleness check picks the live one."""
 
     def __init__(self, path: str):
         self.path = path
-        self._idx: Dict[Tuple[str, str], Tuple[int, int, int]] = {}
+        self.paths = shard_paths(path) or [path]
+        # key -> list of (file_idx, offset, mtime_ns, size)
+        self._idx: Dict[Tuple[str, str], list] = {}
         self.valid_end = len(MAGIC)
-        for key, off, mtime_ns, size in _scan(path):
-            if key is None:
-                self.valid_end = off
-            else:
-                self._idx[key] = (off, mtime_ns, size)
-        self._fp = open(path, "rb")
+        self._fps = []
+        for fi, p in enumerate(self.paths):
+            if not os.path.exists(p):
+                self._fps.append(None)
+                continue
+            for key, off, mtime_ns, size in _scan(p):
+                if key is None:
+                    if p == path:
+                        self.valid_end = off
+                else:
+                    self._idx.setdefault(key, []).append(
+                        (fi, off, mtime_ns, size))
+            self._fps.append(open(p, "rb"))
         self._lock = threading.Lock()
 
     def __len__(self):
@@ -110,23 +135,30 @@ class LevelsCache:
             ) -> Optional[Tuple[np.ndarray, str, str]]:
         """(means, seq, read_id) if a record matches the source FAST5's
         current (mtime_ns, size); None on miss or stale entry."""
-        ent = self._idx.get((os.path.basename(fn), group))
-        if ent is None or (ent[1], ent[2]) != (mtime_ns, size):
+        ents = self._idx.get((os.path.basename(fn), group))
+        if ents is None:
             return None
-        off = ent[0]
+        hit = next(((fi, off) for fi, off, mt, sz in reversed(ents)
+                    if (mt, sz) == (mtime_ns, size)), None)
+        if hit is None:
+            return None
+        fi, off = hit
+        fp = self._fps[fi]
         with self._lock:
-            self._fp.seek(off + _HDR.size)
-            meta = self._fp.read(_META.size)
+            fp.seek(off + _HDR.size)
+            meta = fp.read(_META.size)
             fnlen, gplen, idlen, _mt, _sz, n = _META.unpack(meta)
-            self._fp.seek(fnlen + gplen, io.SEEK_CUR)
-            read_id = self._fp.read(idlen).decode()
-            means = np.frombuffer(self._fp.read(8 * n), np.float64)
-            (slen,) = struct.unpack("<I", self._fp.read(4))
-            seq = self._fp.read(slen).decode()
+            fp.seek(fnlen + gplen, io.SEEK_CUR)
+            read_id = fp.read(idlen).decode()
+            means = np.frombuffer(fp.read(8 * n), np.float64)
+            (slen,) = struct.unpack("<I", fp.read(4))
+            seq = fp.read(slen).decode()
         return means, seq, read_id
 
     def close(self):
-        self._fp.close()
+        for fp in self._fps:
+            if fp is not None:
+                fp.close()
 
 
 class LevelsCacheBuilder:
@@ -151,16 +183,25 @@ class LevelsCacheBuilder:
         self.n_added = 0
 
     def add(self, fn: str, group: str, read_id: str, mtime_ns: int,
-            size: int, means: np.ndarray, seq: str):
+            size: int, means: np.ndarray, seq: str,
+            replace: bool = False):
+        """Append one record.  ``replace=True`` (resquiggle writeback:
+        the FAST5 was just rewritten) appends even when the key is
+        already present — the scanner keeps the LAST record per key and
+        the staleness check retires the old one anyway."""
         key = (os.path.basename(fn), group)
         rec = _pack_record(key[0], group, read_id, mtime_ns, size,
                            means, seq)
         with self._lock:
-            if key in self._have:
+            if key in self._have and not replace:
                 return
             self._have.add(key)
             self._fp.write(rec)
             self.n_added += 1
+
+    def flush(self):
+        with self._lock:
+            self._fp.flush()
 
     def finalize(self):
         with self._lock:
@@ -191,7 +232,7 @@ def lookup(fn: str, corr_group: str, mtime_ns: int, size: int):
         if rd is False:
             path = cache_fn(dirpath, corr_group)
             try:
-                rd = LevelsCache(path) if os.path.exists(path) else None
+                rd = LevelsCache(path) if shard_paths(path) else None
             except (OSError, struct.error):
                 rd = None
             _readers[key] = rd
