@@ -183,3 +183,155 @@ def patch_c_helper(**fns):
                 setattr(mod, name, old)
 
     return ctx()
+
+
+# ===========================================================================
+# REFERENCE-DERIVED TEST ORACLES (transcriptions, test-only)
+# ===========================================================================
+# The functions below are faithful line-by-line numpy transcriptions of the
+# reference's compiled band DP kernels, kept ONLY so the A/B tests can
+# assert that this repo's from-spec implementations reproduce the exact
+# semantics (argmax tie policy via `>` comparisons, monotone band clamp,
+# band-overrun errors, winsorize/mask fill order):
+#   c_argmax / c_process_band        /root/reference/tombo/_c_dynamic_programming.pyx:186-236
+#   c_banded_forward_pass            pyx:240-279
+#   c_banded_traceback               pyx:281-311
+#   c_adaptive_banded_forward_pass   pyx:314-412
+# They are NOT product code and are never imported by tombo_tpu.
+
+def ref_c_argmax(vals):
+    max_val = vals[0]
+    max_pos = 0
+    for pos in range(1, vals.shape[0]):
+        if vals[pos] > max_val:
+            max_val = vals[pos]
+            max_pos = pos
+    return max_pos
+
+
+def ref_c_process_band(fwd_pass, fwd_pass_tb, shifted_z_scores, stay_pen,
+                       skip_pen, bandwidth, band_starts_diff, seq_pos):
+    for band_pos in range(1, bandwidth):
+        pos_z_score = shifted_z_scores[band_pos]
+        prev_b_pos = band_pos + band_starts_diff
+        max_score = fwd_pass[seq_pos + 1, band_pos - 1] - stay_pen \
+            + pos_z_score
+        max_from = 0
+        if prev_b_pos - 1 < bandwidth:
+            diag_score = fwd_pass[seq_pos, prev_b_pos - 1] + pos_z_score
+            if diag_score > max_score:
+                max_score = diag_score
+                max_from = 2
+            if prev_b_pos < bandwidth:
+                skip_score = fwd_pass[seq_pos, prev_b_pos] - skip_pen
+                if skip_score > max_score:
+                    max_score = skip_score
+                    max_from = 1
+        fwd_pass[seq_pos + 1, band_pos] = max_score
+        fwd_pass_tb[seq_pos + 1, band_pos] = max_from
+
+
+def ref_c_banded_forward_pass(shifted_z_scores, event_starts, skip_pen,
+                              stay_pen):
+    n_bases, bandwidth = shifted_z_scores.shape
+    fwd_pass = np.empty((n_bases + 1, bandwidth))
+    fwd_pass_tb = np.empty((n_bases + 1, bandwidth), dtype=np.int64)
+    fwd_pass[0, :] = 0.0
+    # the reference leaves tb row 0 uninitialized (np.empty) and never
+    # reads it; zero it here so A/B comparisons are deterministic
+    fwd_pass_tb[0, :] = 0
+    for seq_pos in range(n_bases):
+        if seq_pos == 0 or event_starts[seq_pos] == event_starts[seq_pos - 1]:
+            fwd_pass[seq_pos + 1, 0] = fwd_pass[seq_pos, 0] - skip_pen
+            fwd_pass_tb[seq_pos + 1, 0] = 1
+        else:
+            fwd_pass[seq_pos + 1, 0] = (
+                fwd_pass[seq_pos, event_starts[seq_pos] -
+                         event_starts[seq_pos - 1] - 1] +
+                shifted_z_scores[seq_pos, 0])
+            fwd_pass_tb[seq_pos + 1, 0] = 2
+        band_starts_diff = (event_starts[seq_pos] - event_starts[seq_pos - 1]
+                            if seq_pos > 0 else 0)
+        ref_c_process_band(fwd_pass, fwd_pass_tb,
+                           shifted_z_scores[seq_pos, :], stay_pen,
+                           skip_pen, bandwidth, band_starts_diff, seq_pos)
+    return fwd_pass, fwd_pass_tb
+
+
+def ref_c_banded_traceback(fwd_pass_tb, event_starts, band_pos,
+                           band_boundary_thresh=-1):
+    n_bases = fwd_pass_tb.shape[0] - 1
+    bandwidth = fwd_pass_tb.shape[1]
+    seq_poss = np.empty(n_bases + 1, dtype=np.int64)
+    curr_event_pos = band_pos + event_starts[n_bases - 1]
+    seq_poss[n_bases] = curr_event_pos + 1
+    for curr_seq_pos in range(n_bases, 0, -1):
+        band_pos = curr_event_pos - event_starts[curr_seq_pos - 1]
+        while fwd_pass_tb[curr_seq_pos, band_pos] == 0:
+            band_pos -= 1
+        if fwd_pass_tb[curr_seq_pos, band_pos] == 2:
+            band_pos -= 1
+        if (band_boundary_thresh >= 0 and
+                min(band_pos, bandwidth - band_pos - 1) <
+                band_boundary_thresh):
+            raise NotImplementedError(
+                'Read event to sequence alignment extends beyond bandwidth')
+        curr_event_pos = event_starts[curr_seq_pos - 1] + band_pos
+        seq_poss[curr_seq_pos - 1] = curr_event_pos + 1
+    return seq_poss
+
+
+def ref_c_adaptive_banded_forward_pass(
+        fwd_pass, fwd_pass_tb, event_starts, event_means, r_ref_means,
+        r_ref_sds, z_shift, skip_pen, stay_pen, start_seq_pos,
+        mask_fill_z_score, do_winsorize_z, max_half_z_score,
+        return_z_scores=False):
+    n_bases = fwd_pass.shape[0] - 1
+    bandwidth = fwd_pass.shape[1]
+    half_bandwidth = bandwidth // 2
+    n_events = event_means.shape[0]
+    shifted_z_scores = np.empty(bandwidth)
+    all_z = (np.empty((n_bases - start_seq_pos, bandwidth))
+             if return_z_scores else None)
+    for seq_pos in range(start_seq_pos, n_bases):
+        prev_band_start = event_starts[seq_pos - 1]
+        curr_band_start = prev_band_start + ref_c_argmax(
+            fwd_pass[seq_pos]) - half_bandwidth + 1
+        if curr_band_start < prev_band_start:
+            curr_band_start = prev_band_start
+        if curr_band_start >= n_events:
+            if seq_pos < n_bases - 2:
+                raise NotImplementedError(
+                    'Adaptive signal to seqeunce alignment extended '
+                    'beyond raw signal')
+            curr_band_start = n_events - 1
+        event_starts[seq_pos] = curr_band_start
+        ref_mean = r_ref_means[seq_pos]
+        ref_sd = r_ref_sds[seq_pos]
+        band_hi = min(curr_band_start + bandwidth, n_events)
+        for event_pos in range(curr_band_start, band_hi):
+            pos_z_score = (event_means[event_pos] - ref_mean) / ref_sd
+            if pos_z_score < 0:
+                pos_z_score = -pos_z_score
+            if do_winsorize_z:
+                pos_z_score = min(pos_z_score, max_half_z_score)
+            shifted_z_scores[event_pos - curr_band_start] = \
+                z_shift - pos_z_score
+        for event_pos in range(n_events - curr_band_start, bandwidth):
+            shifted_z_scores[event_pos] = mask_fill_z_score
+        if return_z_scores:
+            all_z[seq_pos - start_seq_pos, :] = shifted_z_scores
+        if curr_band_start == prev_band_start:
+            fwd_pass[seq_pos + 1, 0] = fwd_pass[seq_pos, 0] - skip_pen
+            fwd_pass_tb[seq_pos + 1, 0] = 1
+        else:
+            fwd_pass[seq_pos + 1, 0] = fwd_pass[
+                seq_pos, curr_band_start - prev_band_start - 1] + \
+                shifted_z_scores[0]
+            fwd_pass_tb[seq_pos + 1, 0] = 2
+        ref_c_process_band(fwd_pass, fwd_pass_tb, shifted_z_scores,
+                           stay_pen, skip_pen, bandwidth,
+                           curr_band_start - prev_band_start, seq_pos)
+    if return_z_scores:
+        return all_z
+    return None

@@ -2170,13 +2170,34 @@ class BatchedResquiggler:
         fix, Theil-Sen, assembly) run concurrently — the TPU-side analog
         of the reference's pipelined I/O-thread / DP-process design
         (reference: tombo/resquiggle.py:1417-1421)."""
+        import collections
         import functools
         from concurrent.futures import ThreadPoolExecutor
         run = functools.partial(self.resquiggle_batch,
                                 max_scaling_iters=max_scaling_iters)
+        # LAZY submission (executor.map would drain the whole input
+        # iterator up front, serializing host ingest against the device):
+        # keep exactly pipeline_depth batches in flight, pulling the next
+        # batch from the (possibly streaming) iterator as results retire
+        it = iter(batches)
         with jax_trace_ctx():
             with ThreadPoolExecutor(max_workers=pipeline_depth) as pool:
-                yield from pool.map(run, batches)
+                dq = collections.deque()
+                drained = False
+                while not drained and len(dq) < pipeline_depth:
+                    try:
+                        dq.append(pool.submit(run, next(it)))
+                    except StopIteration:
+                        drained = True
+                while dq:
+                    fut = dq.popleft()
+                    out = fut.result()
+                    if not drained:
+                        try:
+                            dq.append(pool.submit(run, next(it)))
+                        except StopIteration:
+                            drained = True
+                    yield out
 
     def resquiggle_batch(self, map_results: Sequence[ResquiggleResults],
                          max_scaling_iters: int = config.MAX_SCALING_ITERS

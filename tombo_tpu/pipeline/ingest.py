@@ -55,8 +55,56 @@ def _worker_main(in_q, out_q, spec, std_ref, seq_samp_type, rsqgl_params,
     from . import resquiggle as rsq
     from . import runner as rn
 
+    import h5py
+
+    from .. import config as _config
+    from .._version import TOMBO_TPU_VERSION
+
     aligner = build_aligner(spec)
     rc = rn.RunConfig(**rc_fields)
+    is_rna = seq_samp_type.name == _config.RNA_SAMP_TYPE
+
+    def prep_and_read(fn):
+        """prep_fast5 + raw + per-subgroup Fastq in ONE r+ open (the
+        separate open-per-step of the thread lane tripled the per-file
+        HDF5 open cost; semantics identical to io/fast5.py
+        ``prep_fast5``/``get_raw_signal``/``get_read_seq``)."""
+        if not rc.dry_run and not os.access(fn, os.W_OK):
+            raise TomboTpuError("FAST5 file is not writable")
+        try:
+            fp = h5py.File(fn, "r" if rc.dry_run else "r+")
+        except Exception:
+            raise TomboTpuError("Error opening or writing to fast5 file")
+        with fp:
+            try:
+                analyses_grp = fp["/Analyses"]
+            except KeyError:
+                raise TomboTpuError(
+                    "Base calls not found in FAST5 (see `preprocess`)")
+            if rc.basecall_group not in analyses_grp:
+                raise TomboTpuError(
+                    "Base calls not found in FAST5 (see `preprocess`)")
+            if not rc.dry_run:
+                if rc.corrected_group in analyses_grp:
+                    if not rc.overwrite:
+                        raise TomboTpuError(
+                            "Tombo data exists in [--corrected-group] and "
+                            "[--overwrite] is not set")
+                    del analyses_grp[rc.corrected_group]
+                new_grp = analyses_grp.create_group(rc.corrected_group)
+                new_grp.attrs["tombo_version"] = TOMBO_TPU_VERSION
+                new_grp.attrs["basecall_group"] = rc.basecall_group
+            raw = f5io.get_raw_signal(fp)
+            seqs = []
+            for subgrp in rc.basecall_subgroups:
+                try:
+                    seqs.append(f5io.get_read_seq(
+                        fp, rc.basecall_group, subgrp, is_rna,
+                        rc.q_score_thresh))
+                except TomboTpuError as e:
+                    seqs.append(e)
+        return raw, seqs
+
     while True:
         job = in_q.get()
         if job is None:
@@ -65,9 +113,7 @@ def _worker_main(in_q, out_q, spec, std_ref, seq_samp_type, rsqgl_params,
         units = []
         for fn in fns:
             try:
-                if not rc.dry_run:
-                    f5io.prep_fast5(fn, rc.corrected_group, rc.overwrite,
-                                    rc.basecall_group)
+                raw, seqs = prep_and_read(fn)
             except TomboTpuError as e:
                 units.append((fn, rc.basecall_subgroups[0], None, str(e)))
                 continue
@@ -75,21 +121,40 @@ def _worker_main(in_q, out_q, spec, std_ref, seq_samp_type, rsqgl_params,
                 units.append((fn, rc.basecall_subgroups[0], None,
                               "Unexpected error: " + repr(e)))
                 continue
-            for subgrp in rc.basecall_subgroups:
+            if not (rc.signal_length_range is None or
+                    rc.signal_length_range[0] < raw.shape[0] <
+                    rc.signal_length_range[1]):
+                units.extend(
+                    (fn, sg, None,
+                     "Raw signal not within --signal-length-range")
+                    for sg in rc.basecall_subgroups)
+                continue
+            for subgrp, seq_data in zip(rc.basecall_subgroups, seqs):
                 try:
-                    mr = rn._load_and_map_one(
-                        fn, aligner, std_ref, seq_samp_type, rc,
-                        rsqgl_params, subgrp)
+                    if isinstance(seq_data, TomboTpuError):
+                        raise seq_data
+                    from ..seq import invalid_seq
+                    mr = rsq.map_read(seq_data, aligner, std_ref,
+                                      seq_samp_type, subgrp,
+                                      rc.sequence_length_range)
+                    if invalid_seq(mr.genome_seq):
+                        raise TomboTpuError(
+                            "Reference mapping contains non-canonical "
+                            "bases")
+                    mr = mr.replace(
+                        raw_signal=raw.astype(np.float64))
+                    mr = rsq.adjust_map_res(mr, seq_samp_type,
+                                            rsqgl_params)
                     # wire compaction: FAST5 raw is int16 DAC values; the
                     # batched lane consumes int16 natively and re-derives
                     # float64 (RNA signal flips preserve integrality)
-                    raw = mr.raw_signal
-                    if raw is not None and raw.dtype != np.int16 and \
-                            raw.size and np.abs(raw).max() < 2 ** 15 and \
-                            np.all(raw == np.trunc(raw)):
+                    rs = mr.raw_signal
+                    if rs is not None and rs.dtype != np.int16 and \
+                            rs.size and np.abs(rs).max() < 2 ** 15 and \
+                            np.all(rs == np.trunc(rs)):
                         mr = mr.replace(
                             raw_signal=np.ascontiguousarray(
-                                raw.astype(np.int16)))
+                                rs.astype(np.int16)))
                     units.append((fn, subgrp, mr, None))
                 except TomboTpuError as e:
                     units.append((fn, subgrp, None, str(e)))

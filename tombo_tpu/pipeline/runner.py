@@ -426,7 +426,10 @@ def resquiggle_all_reads(
             # length-bucket within a sliding window of a few batches so
             # padded device shapes stay tight on mixed-length datasets
             window: List[Tuple[str, ResquiggleResults]] = []
-            window_cap = rc.batch_size * 4
+            # 2 batches of look-ahead: enough spread for length
+            # bucketing without serializing ingest against the device
+            # on short runs
+            window_cap = rc.batch_size * 2
 
             def drain(n_batches):
                 window.sort(key=lambda t: t[1].raw_signal.shape[0])
