@@ -1001,6 +1001,130 @@ int del_fix_one(const double* norm, int64_t norm_len, const double* means,
 
 extern "C" {
 
+// Fused batch finalize for the f32 production lane, threaded across
+// reads: normalize the mapped raw slice (exact same double ops as the
+// python host lane: (x - shift)/scale then clip), run the raw-signal
+// deletion fix where flagged, compute per-base event means (sequential
+// cumulative-sum difference, bitwise-equal to ops/ref_impl.new_means),
+// Theil-Sen fit (theil_sen_one, ts_mode as theil_sen_batch* variants;
+// -1 skips the fit), and apply the fitted rescale to the normalized
+// signal ((x - shift_corr)/scale_corr, same two ops as python).
+// Outputs: norm_out (rescaled normalized mapped slice, raw layout),
+// ev_out (PRE-rescale per-base means, lvl layout; callers derive the
+// signal-match score from these to keep numpy reduction semantics),
+// slopes/inters, and per-read status (del_fix_one codes; 100 = fit
+// produced slope 0).  has_del: 1 = run fix, 0 = skip, -1 = detect here.
+void finalize_batch(const double* raw, const int64_t* raw_off,
+                    const double* shift, const double* scale,
+                    const double* lower, const double* upper,
+                    const double* means, const double* sds,
+                    const int64_t* lvl_off, int64_t* segs,
+                    const int64_t* segs_off, const int32_t* has_del,
+                    const int32_t* ts_samp, const int64_t* samp_off,
+                    int64_t n_reads, int64_t raw_min_obs, int winsorize,
+                    double max_half_z, int64_t del_fix_window,
+                    int64_t max_del_fix_window, double extra_sig_factor,
+                    int64_t max_raw_cpts, double max_slope, int ts_mode,
+                    double* norm_out, double* ev_out, double* out_slopes,
+                    double* out_inters, int32_t* status,
+                    int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, n_reads);
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    thread_local std::vector<double> cs;
+    thread_local std::vector<double> ev_s, mod_s;
+    for (;;) {
+      const int64_t r = next.fetch_add(1);
+      if (r >= n_reads) return;
+      const int64_t S = raw_off[r + 1] - raw_off[r];
+      const int64_t L = lvl_off[r + 1] - lvl_off[r];
+      const double* rr = raw + raw_off[r];
+      double* nn = norm_out + raw_off[r];
+      const double sh = shift[r], sc = scale[r];
+      const double lo = lower[r], hi = upper[r];
+      const bool clip = std::isfinite(lo) && std::isfinite(hi);
+      for (int64_t i = 0; i < S; ++i) {
+        double v = (rr[i] - sh) / sc;
+        if (clip) v = std::min(std::max(v, lo), hi);
+        nn[i] = v;
+      }
+      int64_t* rsegs = segs + segs_off[r];
+      status[r] = 0;
+      bool need_fix = has_del[r] == 1;
+      if (has_del[r] < 0) {
+        need_fix = false;
+        for (int64_t i = 0; i < L && !need_fix; ++i)
+          need_fix = rsegs[i + 1] == rsegs[i];
+      }
+      if (need_fix) {
+        status[r] = static_cast<int32_t>(del_fix_one(
+            nn, S, means + lvl_off[r], sds + lvl_off[r], L, rsegs,
+            raw_min_obs, winsorize, max_half_z, del_fix_window,
+            max_del_fix_window, extra_sig_factor, max_raw_cpts));
+        if (status[r] != 0) continue;
+      }
+      // per-base means: cumulative-sum difference, sequential order
+      if (static_cast<int64_t>(cs.size()) < S + 1)
+        cs.resize(static_cast<size_t>(S + 1));
+      cs[0] = 0.0;
+      double acc = 0.0;
+      for (int64_t i = 0; i < S; ++i) {
+        acc += nn[i];
+        cs[static_cast<size_t>(i + 1)] = acc;
+      }
+      double* ev = ev_out + lvl_off[r];
+      for (int64_t i = 0; i < L; ++i) {
+        const int64_t a = rsegs[i], b = rsegs[i + 1];
+        ev[i] = (cs[static_cast<size_t>(b)] - cs[static_cast<size_t>(a)]) /
+                static_cast<double>(b - a);
+      }
+      if (ts_mode < 0) {
+        out_slopes[r] = 1.0;
+        out_inters[r] = 0.0;
+        continue;
+      }
+      const int64_t k = samp_off[r + 1] - samp_off[r];
+      const double* fit_ev = ev;
+      const double* fit_mod = means + lvl_off[r];
+      int64_t fit_n = L;
+      if (k > 0) {
+        if (static_cast<int64_t>(ev_s.size()) < k) {
+          ev_s.resize(static_cast<size_t>(k));
+          mod_s.resize(static_cast<size_t>(k));
+        }
+        const int32_t* si = ts_samp + samp_off[r];
+        for (int64_t i = 0; i < k; ++i) {
+          ev_s[static_cast<size_t>(i)] = ev[si[i]];
+          mod_s[static_cast<size_t>(i)] = means[lvl_off[r] + si[i]];
+        }
+        fit_ev = ev_s.data();
+        fit_mod = mod_s.data();
+        fit_n = k;
+      }
+      double slope, inter;
+      theil_sen_one(fit_ev, fit_mod, fit_n, max_slope, &slope, &inter,
+                    ts_mode);
+      out_slopes[r] = slope;
+      out_inters[r] = inter;
+      if (slope == 0.0) {
+        status[r] = 100;
+        continue;
+      }
+      const double scale_corr = 1.0 / slope;
+      const double shift_corr = -inter / slope;
+      for (int64_t i = 0; i < S; ++i)
+        nn[i] = (nn[i] - shift_corr) / scale_corr;
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
 // Full deletion fix over a batch of reads, threaded across reads.
 // Concatenated layout: read r has normalized signal
 // norm[norm_off[r]:norm_off[r+1]], seq_len = lvl_off[r+1]-lvl_off[r]

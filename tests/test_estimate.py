@@ -135,3 +135,27 @@ def test_estimate_alt_kde(dataset, tmp_path):
         std_dens_fn=std_dens_fn)
     np.testing.assert_allclose(np.nan_to_num(alt2.means),
                                np.nan_to_num(alt_ref.means))
+
+
+def test_process_workers_match_threads(dataset, monkeypatch):
+    """Spawn-worker k-mer level extraction == thread-pool extraction."""
+    tmp, fasta, model6, index = dataset
+
+    def run():
+        out = est.extract_kmer_levels(
+            index, fasta, region_size=1000, cov_thresh=1,
+            upstrm_bases=1, dnstrm_bases=1, cs_cov_thresh=None,
+            num_processes=2)
+        merged = {}
+        for reg_levels in out:
+            for km, vals in reg_levels.items():
+                merged.setdefault(km, []).extend(vals)
+        return merged
+
+    monkeypatch.setenv("TOMBO_TPU_EST_PROCS", "0")
+    thr = run()
+    monkeypatch.setenv("TOMBO_TPU_EST_PROCS", "1")
+    proc = run()
+    assert set(thr) == set(proc)
+    for km in thr:
+        assert sorted(thr[km]) == sorted(proc[km])

@@ -87,6 +87,21 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64]
+        lib.finalize_batch.restype = None
+        lib.finalize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64]
         lib.del_fix_batch.restype = None
         lib.del_fix_batch.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
@@ -400,6 +415,86 @@ DEL_FIX_ERRORS = {
     6: "New segments start with negative index",
     7: "New segments end past raw signal values",
 }
+
+
+FIT_FAILED_STATUS = 100
+
+
+def finalize_batch(jobs, params, ts_mode: int, max_slope: float = 1000.0,
+                   n_threads: int = 0):
+    """Fused finalize for a batch of reads in ONE threaded native call:
+    normalize the mapped raw slice, deletion-fix where flagged, per-base
+    event means, Theil-Sen fit and rescale application (same double ops
+    as the python host lane; see csrc ``finalize_batch``).
+
+    ``jobs``: list of (raw_slice f64[S], shift, scale, lower, upper,
+    ref_means f64[L], ref_sds f64[L], segs i64[L+1], has_del int,
+    ts_samp i32[k] or None).  ``ts_mode``: -1 skip fit, 0 exact f64,
+    1 f32 pair buffer, 2 fast selection.  Returns (segs_list, ev_list
+    (pre-rescale per-base means), norm_list (rescaled normalized
+    slices), slopes, inters, status) or None when the native library is
+    unavailable."""
+    lib = get_lib()
+    if lib is None or not jobs:
+        return None
+    R = len(jobs)
+    raw_off = np.zeros(R + 1, np.int64)
+    lvl_off = np.zeros(R + 1, np.int64)
+    segs_off = np.zeros(R + 1, np.int64)
+    samp_off = np.zeros(R + 1, np.int64)
+    for r, j in enumerate(jobs):
+        raw_off[r + 1] = raw_off[r] + j[0].shape[0]
+        lvl_off[r + 1] = lvl_off[r] + j[5].shape[0]
+        segs_off[r + 1] = segs_off[r] + j[7].shape[0]
+        samp_off[r + 1] = samp_off[r] + (
+            0 if j[9] is None else j[9].shape[0])
+    raw_c = np.concatenate([np.ascontiguousarray(j[0], np.float64)
+                            for j in jobs])
+    means_c = np.concatenate([np.ascontiguousarray(j[5], np.float64)
+                              for j in jobs])
+    sds_c = np.concatenate([np.ascontiguousarray(j[6], np.float64)
+                            for j in jobs])
+    segs_c = np.concatenate([np.ascontiguousarray(j[7], np.int64)
+                             for j in jobs])
+    shift = np.array([j[1] for j in jobs], np.float64)
+    scale = np.array([j[2] for j in jobs], np.float64)
+    lower = np.array([np.nan if j[3] is None else j[3] for j in jobs])
+    upper = np.array([np.nan if j[4] is None else j[4] for j in jobs])
+    has_del = np.array([j[8] for j in jobs], np.int32)
+    if samp_off[-1] > 0:
+        ts_samp = np.concatenate(
+            [np.ascontiguousarray(j[9], np.int32) for j in jobs
+             if j[9] is not None])
+    else:
+        ts_samp = np.zeros(1, np.int32)
+    norm_out = np.empty(int(raw_off[-1]), np.float64)
+    ev_out = np.empty(int(lvl_off[-1]), np.float64)
+    slopes = np.zeros(R, np.float64)
+    inters = np.zeros(R, np.float64)
+    status = np.zeros(R, np.int32)
+    mhz = params.max_half_z_score
+    from ..config import (DEL_FIX_WINDOW, EXTRA_SIG_FACTOR,
+                          MAX_DEL_FIX_WINDOW, MAX_RAW_CPTS)
+    lib.finalize_batch(
+        _as_c(raw_c, ctypes.c_double), _as_c(raw_off, ctypes.c_int64),
+        _as_c(shift, ctypes.c_double), _as_c(scale, ctypes.c_double),
+        _as_c(lower, ctypes.c_double), _as_c(upper, ctypes.c_double),
+        _as_c(means_c, ctypes.c_double), _as_c(sds_c, ctypes.c_double),
+        _as_c(lvl_off, ctypes.c_int64), _as_c(segs_c, ctypes.c_int64),
+        _as_c(segs_off, ctypes.c_int64), _as_c(has_del, ctypes.c_int32),
+        _as_c(ts_samp, ctypes.c_int32), _as_c(samp_off, ctypes.c_int64),
+        R, params.raw_min_obs_per_base, 0 if mhz is None else 1,
+        0.0 if mhz is None else float(mhz), DEL_FIX_WINDOW,
+        MAX_DEL_FIX_WINDOW, EXTRA_SIG_FACTOR,
+        -1 if MAX_RAW_CPTS is None else MAX_RAW_CPTS,
+        float(max_slope), int(ts_mode),
+        _as_c(norm_out, ctypes.c_double), _as_c(ev_out, ctypes.c_double),
+        _as_c(slopes, ctypes.c_double), _as_c(inters, ctypes.c_double),
+        _as_c(status, ctypes.c_int32), n_threads)
+    segs_list = [segs_c[segs_off[r]:segs_off[r + 1]] for r in range(R)]
+    ev_list = [ev_out[lvl_off[r]:lvl_off[r + 1]] for r in range(R)]
+    norm_list = [norm_out[raw_off[r]:raw_off[r + 1]] for r in range(R)]
+    return segs_list, ev_list, norm_list, slopes, inters, status
 
 
 def del_fix_batch(jobs, params, n_threads: int = 0):

@@ -1885,7 +1885,23 @@ class BatchedResquiggler:
         normalized-signal materialization (their result is re-computed
         next pass anyway)."""
         from ..types import DpResults
-        from ..native import DEL_FIX_ERRORS, del_fix_batch, theil_sen_batch
+        from .. import native as native_mod
+        from ..native import (DEL_FIX_ERRORS, FIT_FAILED_STATUS,
+                              del_fix_batch, finalize_batch,
+                              theil_sen_batch)
+
+        # fused native finalize (f32 production lane): normalize + del
+        # fix + event means + Theil-Sen + rescale application run in ONE
+        # threaded C++ call (csrc ``finalize_batch``), leaving python
+        # with scalar bookkeeping only.  The per-read python
+        # normalize/means/assign loop was the largest host cost of the
+        # whole lane (~0.6 ms/read).  The f64 oracle mode keeps the
+        # python path below, op for op.
+        use_native_fin = (
+            self.dtype != jnp.float64 and
+            os.environ.get("TOMBO_TPU_NATIVE_FINALIZE", "1") == "1" and
+            native_mod.get_lib() is not None and
+            hasattr(native_mod.get_lib(), "finalize_batch"))
 
         # pass A: deletion fix.  The device finalize already flagged reads
         # with zero-length segments (has_del); clean reads skip the fix
@@ -1896,6 +1912,7 @@ class BatchedResquiggler:
         pending = []
         del_jobs = []
         dev_fitted = []
+        native_reads = []
         for s in states:
             if s.error is not None or s.result is not None:
                 continue
@@ -1912,6 +1929,12 @@ class BatchedResquiggler:
                 s._segs = s.dp_segs
                 s._norm_signal = None
                 dev_fitted.append(s)
+                continue
+            if use_native_fin:
+                s._dp_res = DpResults(
+                    s.dp_rsrtr, s.dp_segs, s.ref_means, s.ref_sds,
+                    s.genome_seq_trim)
+                native_reads.append(s)
                 continue
             try:
                 dp_res = DpResults(
@@ -1961,6 +1984,52 @@ class BatchedResquiggler:
                         s.error = DEL_FIX_ERRORS.get(
                             int(st), "deletion fix failed")
             pending = [s for s in pending if s.error is None]
+
+        if native_reads:
+            max_n = config.MAX_POINTS_FOR_THEIL_SEN
+            jobs = []
+            for s in native_reads:
+                sv = s.scale_values
+                rsrtr = s.dp_rsrtr
+                raw_slice = s.raw[rsrtr:rsrtr + int(s.dp_segs[-1])]
+                L = s.ref_means.shape[0]
+                samp = _ts_sample_idx(L, max_n) if L > max_n else None
+                hd = (1 if s.has_del else
+                      (0 if s.has_del is False else -1))
+                jobs.append((raw_slice, sv.shift, sv.scale, sv.lower_lim,
+                             sv.upper_lim, s._dp_res.ref_means,
+                             s._dp_res.ref_sds, np.array(s.dp_segs),
+                             hd, samp))
+            ts_mode = -1 if skip_seq_scaling else 1
+            nat = finalize_batch(jobs, self.params, ts_mode)
+            (segs_l, ev_l, norm_l, slopes, inters, statuses) = nat
+            for i, s in enumerate(native_reads):
+                st = int(statuses[i])
+                if st == FIT_FAILED_STATUS:
+                    s.error = ("Read failed sequence-based signal "
+                               "re-scaling parameter estimation.")
+                    continue
+                if st != 0:
+                    s.error = DEL_FIX_ERRORS.get(st, "deletion fix failed")
+                    continue
+                s._segs = segs_l[i]
+                s._norm_signal = norm_l[i]
+                s._ev_means_pre = ev_l[i]
+                if skip_seq_scaling:
+                    s._norm_params_changed = False
+                    continue
+                slope, inter = float(slopes[i]), float(inters[i])
+                scale_corr = 1.0 / slope
+                shift_corr = -inter / slope
+                sv = s.scale_values
+                s.scale_values = sv.replace(
+                    shift=sv.shift + shift_corr * sv.scale,
+                    scale=sv.scale * scale_corr,
+                    outlier_thresh=self.outlier_thresh)
+                s._score_corr = (shift_corr, scale_corr)
+                s._norm_params_changed = (
+                    abs(shift_corr) > config.SHIFT_CHANGE_THRESH or
+                    abs(scale_corr - 1) > config.SCALE_CHANGE_THRESH)
 
         # pass B: batched Theil-Sen rescale.  On the f32 production lane
         # the exact bitwise-selection fit runs on device (ops/rescale.py)
@@ -2045,7 +2114,7 @@ class BatchedResquiggler:
             s._norm_params_changed = changed
 
         # pass C: score + assemble results
-        for s in pending + dev_fitted:
+        for s in pending + native_reads + dev_fitted:
             if s.error is not None:
                 continue
             try:

@@ -167,16 +167,82 @@ def get_region_kmer_levels(reg_data: RegionData, fasta, cov_thresh,
     return reg_kmer_levels
 
 
+# spawn-worker state for process-parallel k-mer level extraction (the
+# reference fans the same tabulation out across processes,
+# reference: tombo/tombo_stats.py:1361-1452; the per-site python loops
+# are GIL-bound so a thread pool caps at ~1 core)
+_EST_PROC_STATE: dict = {}
+
+
+def _est_proc_init(reads_index, fasta, cov_thresh, upstrm_bases,
+                   dnstrm_bases, cs_cov_thresh, est_mean, region_size,
+                   motif, valid_poss):
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["TOMBO_TPU_LEVELS_SIDECAR"] = "0"
+    _EST_PROC_STATE.update(
+        reads_index=reads_index, fasta=fasta, cov_thresh=cov_thresh,
+        upstrm_bases=upstrm_bases, dnstrm_bases=dnstrm_bases,
+        cs_cov_thresh=cs_cov_thresh, est_mean=est_mean,
+        region_size=region_size, motif=motif, valid_poss=valid_poss)
+
+
+def _est_proc_run(reg_desc):
+    s = _EST_PROC_STATE
+    chrm, strand, start, end = reg_desc
+    reg = RegionData(chrm, strand, start, end).add_reads(s["reads_index"])
+    try:
+        return get_region_kmer_levels(
+            reg, s["fasta"], s["cov_thresh"], s["upstrm_bases"],
+            s["dnstrm_bases"], s["cs_cov_thresh"], s["est_mean"],
+            s["region_size"], s["motif"], s["valid_poss"],
+            np.random.default_rng(0))
+    except TomboTpuError:
+        return None
+
+
 def extract_kmer_levels(reads_index, fasta, region_size, cov_thresh,
                         upstrm_bases, dnstrm_bases, cs_cov_thresh,
                         est_mean=False, num_processes=4, motif=None,
                         valid_poss=None, rng=None):
-    """(reference: tombo/tombo_stats.py:1361-1452)."""
+    """(reference: tombo/tombo_stats.py:1361-1452).
+
+    Large runs fan regions out over spawned worker processes (the
+    per-site tabulation loops are GIL-bound); small runs keep the
+    thread pool (spawn startup would dominate)."""
+    import os
     regions = [RegionData(chrm, strand, start, start + region_size)
                for chrm, strand, start in reads_index.iter_cov_regs(
                    cov_thresh, region_size)]
     for reg in regions:
         reg.add_reads(reads_index)
+
+    procs_env = os.environ.get("TOMBO_TPU_EST_PROCS", "auto")
+    if procs_env == "auto":
+        total_bases = sum(r.end - r.start
+                          for reg in regions for r in reg.reads)
+        procs_worth = total_bases >= 20_000_000
+    else:
+        procs_worth = procs_env == "1"
+    if (procs_worth and num_processes > 1 and
+            len(regions) >= 2 * num_processes):
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        ppool = ProcessPoolExecutor(
+            max_workers=num_processes,
+            mp_context=mp.get_context("spawn"),
+            initializer=_est_proc_init,
+            initargs=(reads_index, fasta, cov_thresh, upstrm_bases,
+                      dnstrm_bases, cs_cov_thresh, est_mean, region_size,
+                      motif, valid_poss))
+        try:
+            out = list(ppool.map(
+                _est_proc_run,
+                [(r.chrm, r.strand, r.start, r.end) for r in regions],
+                chunksize=2))
+        finally:
+            ppool.shutdown()
+        return [r for r in out if r is not None]
 
     def one(reg):
         return get_region_kmer_levels(
