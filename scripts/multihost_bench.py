@@ -8,7 +8,7 @@ multi-host resquiggle + de_novo detection flow on one shared synthetic
 dataset, asserts the merged statistics are IDENTICAL for every host
 count (the reference's process-count-invariance guarantee extended
 across hosts; reference: docs/modified_base_detection.rst:151-153), and
-writes ``MULTIHOST_r03.json`` at the repo root.
+writes ``MULTIHOST_r04.json`` at the repo root.
 
 Usage: python scripts/multihost_bench.py [n_reads] [read_len]
 """
@@ -114,7 +114,7 @@ def main():
             tn = result["hosts_%d" % n][phase]
             result["eff_%s_%dhosts" % (phase[:3], n)] = round(
                 t1 / (n * tn), 3)
-    with open(os.path.join(REPO, "MULTIHOST_r03.json"), "w") as fp:
+    with open(os.path.join(REPO, "MULTIHOST_r04.json"), "w") as fp:
         json.dump(result, fp, indent=1)
     print(json.dumps(result))
 

@@ -364,3 +364,48 @@ def test_device_lane_serves_per_read_stats(resquiggled, tmp_path,
         np.testing.assert_array_equal(p0, p1)
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_allclose(s0, s1, rtol=1e-12)
+
+
+def test_alt_device_lane_matches_host(resquiggled, tmp_path, monkeypatch):
+    """ALT scaled-LLR via the fused device kernel == host lane
+    (stats files block by block, plus per-read blocks)."""
+    import os
+
+    from tombo_tpu import config
+    from tombo_tpu.io.model_io import load_alt_refs
+    from tombo_tpu.stats.files import ModelStats
+
+    tmp, fasta, model, index = resquiggled
+    alt_refs = load_alt_refs(["5mC"], config.DNA_SAMP_TYPE)
+    assert alt_refs
+    th = config.LLR_THRESH[config.DNA_SAMP_TYPE]
+    params = dt.TestParams(stat_type="model_compare",
+                           single_read_thresh=th[1],
+                           lower_thresh=th[0], region_size=1000)
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("TOMBO_TPU_STATS_DEVICE", flag)
+        fn = os.path.join(str(tmp_path), "alt%s.tombo.stats" % flag)
+        dt.test_significance(index, params, fn, fasta=fasta, std_ref=model,
+                             alt_refs=alt_refs, num_processes=2)
+        produced = [f for f in os.listdir(str(tmp_path))
+                    if f.startswith("alt%s" % flag)]
+        assert produced
+        st = ModelStats(os.path.join(str(tmp_path), produced[0]))
+        chrm = fasta.iter_chrms()[0]
+        blocks = {}
+        for strand in "+-":
+            a = st.get_reg_stats(chrm, strand, 0, 10 ** 9)
+            blocks[strand] = None if a is None else np.sort(a, order="pos")
+        st.close()
+        outs[flag] = blocks
+    for strand in "+-":
+        a, b = outs["0"][strand], outs["1"][strand]
+        if a is None:
+            assert b is None
+            continue
+        np.testing.assert_array_equal(a["pos"], b["pos"])
+        np.testing.assert_array_equal(a["cov"], b["cov"])
+        np.testing.assert_array_equal(a["valid_cov"], b["valid_cov"])
+        np.testing.assert_allclose(a["frac"], b["frac"], rtol=1e-9,
+                                   equal_nan=True)

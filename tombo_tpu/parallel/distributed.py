@@ -105,12 +105,21 @@ def psum_hosts(ctx: DistContext, *arrays):
 
     Every host receives the identical totals (allgather over the fixed
     process order, then a local sum — deterministic float reduction
-    order).  Single-host: returns the inputs unchanged."""
+    order).  Single-host: returns the inputs unchanged.
+
+    Integer count arrays ride the wire as int32 (per-host site counts
+    are bounded by per-host coverage, far below 2^31; the width must be
+    chosen identically on every host, so no data-dependent narrowing)
+    and sum in int64 — half the bytes per detection collective."""
     if ctx.n_hosts <= 1:
         return arrays
     from jax.experimental import multihost_utils
     out = []
     for a in arrays:
-        g = multihost_utils.process_allgather(np.asarray(a))
-        out.append(np.sum(np.asarray(g), axis=0))
+        a = np.asarray(a)
+        int_in = np.issubdtype(a.dtype, np.integer)
+        wire = a.astype(np.int32) if int_in else a
+        g = multihost_utils.process_allgather(wire)
+        out.append(np.sum(np.asarray(g), axis=0,
+                          dtype=np.int64 if int_in else None))
     return tuple(out)

@@ -272,6 +272,58 @@ def _trim_seq_and_means(seq, means, r_start, reg_start, reg_end, strand,
     return kmer_codes, means, r_start, motif_search_seq
 
 
+def alt_model_read_windows(rl: ReadLevels, std_ref: KmerModel,
+                           alt_refs: Sequence[Tuple[str, AltModel]],
+                           reg_data: RegionData):
+    """Host prep half of the alt-model test: trim, motif search and
+    stacked (hits, k) window gathers per alt model.  Returns
+    {alt_name: (poss, means_w, ref_means_w, alt_means_w, alt_sds_w,
+    const_var)}; the LLR math runs either in numpy
+    (``compute_alt_model_read_stats``) or fused on device
+    (``stats.device.alt_llhr``)."""
+    r_data = rl.r_data
+    reg_start, reg_end = reg_data.start, reg_data.end
+    max_motif_bb = max(a.motif.mod_pos - 1 for _, a in alt_refs)
+    max_motif_ab = max(a.motif.motif_len - a.motif.mod_pos
+                       for _, a in alt_refs)
+    if rl.means is None or rl.seq is None:
+        raise TomboTpuError("Read does not contain valid re-squiggled data.")
+    kmer_codes, r_means, r_start, motif_search_seq = _trim_seq_and_means(
+        rl.seq, rl.means, r_data.start, reg_start, reg_end, r_data.strand,
+        std_ref.kmer_width, std_ref.central_pos, max_motif_bb, max_motif_ab)
+    k = std_ref.kmer_width
+    testable_len = r_means.shape[0] - k + 1
+    r_ref_means, _r_sds = std_ref.get_exp_levels_from_kmer_codes(kmer_codes)
+    r_ref_vars = np.square(_r_sds)
+
+    out = {}
+    for alt_name, alt_ref in alt_refs:
+        search_seq = motif_search_seq[
+            max_motif_bb - (alt_ref.motif.mod_pos - 1):]
+        ab_clip = max_motif_ab - (alt_ref.motif.motif_len -
+                                  alt_ref.motif.mod_pos)
+        if ab_clip > 0:
+            search_seq = search_seq[:-ab_clip]
+        hits = [m.start() for m in
+                alt_ref.motif.motif_pat.finditer(search_seq)]
+        if not hits:
+            out[alt_name] = None
+            continue
+        hits = np.array(hits, np.int64)
+        if r_data.strand == "+":
+            poss = r_start + hits
+        else:
+            poss = r_start + testable_len - hits - 1
+        win = hits[:, None] + np.arange(k)[None, :]
+        means_w = r_means[win]
+        ref_means_w = r_ref_means[win]
+        alt_means_w, alt_sds_w = alt_ref.get_exp_levels_from_kmer_codes(
+            kmer_codes[win])
+        out[alt_name] = (poss, means_w, ref_means_w, alt_means_w,
+                         alt_sds_w, r_ref_vars[hits])
+    return out, rl.read_id
+
+
 def compute_alt_model_read_stats(rl: ReadLevels, std_ref: KmerModel,
                                  alt_refs: Sequence[Tuple[str, AltModel]],
                                  use_standard_llhr, reg_data: RegionData):
@@ -722,6 +774,100 @@ def compute_reg_stats_device_batch(jobs, params: TestParams,
     return out
 
 
+def _alt_device_region_job(reg_data: RegionData, params: TestParams,
+                           std_ref: KmerModel, alt_items):
+    """Host prep for the ALT device lane: per-read motif-hit window
+    stacks (positions, signal/expected/alt level windows, constant
+    variances) for every alt model."""
+    levels = reg_data.load_levels(with_seq=True)
+    per_alt = {name: [] for name, _ in alt_items}
+    for rl in levels:
+        try:
+            wins, read_id = alt_model_read_windows(rl, std_ref, alt_items,
+                                                   reg_data)
+        except TomboTpuError:
+            continue
+        for name, w in wins.items():
+            if w is not None:
+                per_alt[name].append((read_id, w))
+    if all(len(v) == 0 for v in per_alt.values()):
+        raise TomboTpuError("Reads contain no statistics in this region.")
+    return dict(reg=reg_data, per_alt=per_alt)
+
+
+def compute_alt_stats_device_batch(jobs, params: TestParams, alt_items,
+                                   emit_per_read: bool = False):
+    """ALT scaled-LLR testing for MANY prepared regions in one device
+    dispatch per alt model (stats/device.py ``alt_llhr``): window stacks
+    concatenate across (region, read), the fused kernel computes every
+    hit's ratio, and per-site fraction accumulators build on host from
+    the sparse (pos, llhr) streams.  Output shape matches
+    ``compute_reg_stats``."""
+    from . import device as dev
+    import jax.numpy as jnp
+    out_per_job = [[] for _ in jobs]
+    for name, _alt in alt_items:
+        chunks = []       # (job_idx, read_id, poss, slice into H axis)
+        means_l, ref_l, alt_l, cv_l = [], [], [], []
+        h0 = 0
+        for j, job in enumerate(jobs):
+            if job is None:
+                continue
+            for read_id, (poss, mw, rw, aw, _asd, cv) in \
+                    job["per_alt"][name]:
+                H = poss.shape[0]
+                chunks.append((j, read_id, poss, slice(h0, h0 + H)))
+                means_l.append(mw)
+                ref_l.append(rw)
+                alt_l.append(aw)
+                cv_l.append(cv)
+                h0 += H
+        if h0 == 0:
+            continue
+        k = means_l[0].shape[1]
+        Hp = dev._pow2_at_least(h0, 256)
+        mw = np.zeros((Hp, k)); rw = np.zeros((Hp, k))
+        aw = np.zeros((Hp, k)); cv = np.ones(Hp)
+        mw[:h0] = np.concatenate(means_l)
+        rw[:h0] = np.concatenate(ref_l)
+        aw[:h0] = np.concatenate(alt_l)
+        cv[:h0] = np.concatenate(cv_l)
+        llhrs = np.asarray(dev.alt_llhr(
+            jnp.asarray(mw), jnp.asarray(rw), jnp.asarray(aw),
+            jnp.asarray(cv), bool(params.use_standard_llhr),
+            float(config.OCLLHR_SCALE), float(config.OCLLHR_HEIGHT),
+            float(config.OCLLHR_POWER)), np.float64)[:h0]
+        # regroup per region and aggregate exactly as the host lane
+        per_job: dict = {}
+        for j, read_id, poss, sl in chunks:
+            per_job.setdefault(j, []).append((read_id, poss, llhrs[sl]))
+        for j, reads in per_job.items():
+            reg = jobs[j]["reg"]
+            span_lo, span_n = _accum_span(reg, params)
+            stats_l = [st for _, _, st in reads]
+            locs_l = [p for _, p, _ in reads]
+            ids_l = [(rid, st.shape[0]) for rid, _, st in reads]
+            cov, valid, above = site_accumulators(
+                stats_l, locs_l, span_lo, span_n,
+                params.single_read_thresh, params.lower_thresh,
+                ALT_MODEL_TXT)
+            reg_stats = region_stats_from_accumulators(
+                reg, span_lo, cov, valid, above, None, ALT_MODEL_TXT)
+            if reg_stats is None:
+                continue
+            pr_payload = None
+            if emit_per_read:
+                try:
+                    _, pr_payload = collate_reg_stats(
+                        stats_l, locs_l, ids_l, True, reg,
+                        params.single_read_thresh, params.lower_thresh,
+                        ALT_MODEL_TXT, name, None)
+                except TomboTpuError:
+                    pr_payload = None
+            out_per_job[j].append((name, reg_stats, pr_payload))
+    return out_per_job
+
+
 def compute_reg_stats_device(reg_data: RegionData, params: TestParams,
                              ctrl_reg_data: Optional[RegionData], fasta,
                              std_ref: Optional[KmerModel]):
@@ -1015,9 +1161,9 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
 
     # the device lane serves the per-site reductions AND the per-read
     # statistic streams (the p-value matrix rides back with the counts);
-    # only the alt-model motif path still requires the host lane
+    # ALT runs its scaled-LLR windows through the fused device kernel
     device_ok = (use_device_stats() and
-                 stat_type in (DE_NOVO_TXT, SAMP_COMP_TXT))
+                 stat_type in (DE_NOVO_TXT, SAMP_COMP_TXT, ALT_MODEL_TXT))
 
     def run_region_single(reg: RegionData):
         reg.add_reads(reads_index)
@@ -1082,13 +1228,24 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
             # the cross-host sums happen here — BATCHED over region
             # chunks (regions share one dense span size), so a genome
             # costs O(regions / chunk) collective round trips instead of
-            # one per region
-            chunk = int(os.environ.get("TOMBO_TPU_PSUM_CHUNK", "64"))
-            for c0 in range(0, len(regions), chunk):
-                c_regs = regions[c0:c0 + chunk]
-                c_accs = list(pool.map(
-                    run_region_multi,
-                    list(enumerate(c_regs, start=c0))))
+            # one per region.  Double-buffered: while this (main) thread
+            # reduces + writes chunk c, the pool already computes chunk
+            # c+1 — the reduction never serializes against region
+            # compute (round-4 task 5: eff_det_4hosts 0.38 -> >=0.75)
+            chunk = int(os.environ.get("TOMBO_TPU_PSUM_CHUNK", "128"))
+            spans = [(c0, regions[c0:c0 + chunk])
+                     for c0 in range(0, len(regions), chunk)]
+
+            def submit_chunk(ci):
+                c0, c_regs = spans[ci]
+                return [pool.submit(run_region_multi, (c0 + i, reg))
+                        for i, reg in enumerate(c_regs)]
+
+            futs = submit_chunk(0) if spans else []
+            for ci in range(len(spans)):
+                _c0, c_regs = spans[ci]
+                c_accs = [f.result() for f in futs]
+                futs = submit_chunk(ci + 1) if ci + 1 < len(spans) else []
                 for name in stat_names:
                     if is_level:
                         stacked = [
@@ -1143,14 +1300,19 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
                 budget = int(os.environ.get(
                     "TOMBO_TPU_STATS_CHUNK_OBS", "1500000"))
 
+                is_alt = stat_type == ALT_MODEL_TXT
+
                 def prep_one(reg):
                     reg.add_reads(reads_index)
-                    ctrl_reg = None
-                    if ctrl_reads_index is not None:
-                        ctrl_reg = RegionData(
-                            reg.chrm, reg.strand, reg.start,
-                            reg.end).add_reads(ctrl_reads_index)
                     try:
+                        if is_alt:
+                            return _alt_device_region_job(
+                                reg, params, std_ref, alt_items)
+                        ctrl_reg = None
+                        if ctrl_reads_index is not None:
+                            ctrl_reg = RegionData(
+                                reg.chrm, reg.strand, reg.start,
+                                reg.end).add_reads(ctrl_reads_index)
                         return _device_region_job(reg, params, ctrl_reg,
                                                   fasta, std_ref)
                     except TomboTpuError:
@@ -1171,8 +1333,13 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
                                    for r in reg.reads)
                         c_regs.append(reg)
                     jobs = list(pool.map(prep_one, c_regs))
-                    results_per_reg = compute_reg_stats_device_batch(
-                        jobs, params, emit_per_read=bool(pr_files))
+                    if is_alt:
+                        results_per_reg = compute_alt_stats_device_batch(
+                            jobs, params, alt_items,
+                            emit_per_read=bool(pr_files))
+                    else:
+                        results_per_reg = compute_reg_stats_device_batch(
+                            jobs, params, emit_per_read=bool(pr_files))
                     for reg, results in zip(c_regs, results_per_reg):
                         for name, reg_stats, pr_payload in results:
                             stats_files[name]._write_stat_block(reg_stats)

@@ -361,6 +361,36 @@ class PackedRegionBatch:
 
 
 # ---------------------------------------------------------------------------
+# alt-model scaled log-likelihood ratios
+# (reference: tombo/_c_helper.pyx:313 c_calc_scaled_llh_ratio_const_var,
+#  :298 c_calc_llh_ratio_const_var; math documented in
+#  docs/modified_base_detection.rst:44-50)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("standard", "scale", "height",
+                                             "power"))
+def alt_llhr(means_w, ref_means_w, alt_means_w, const_var,
+             standard: bool, scale: float, height: float, power: float):
+    """Per-motif-hit (scaled) log-likelihood ratios over stacked (H, k)
+    windows — the reference's hottest compiled stats kernel, batched
+    across every hit of every read of a region chunk in one dispatch.
+    Host equivalent: the numpy branch of
+    ``stats.detect.compute_alt_model_read_stats``."""
+    dt = _f()
+    m = means_w.astype(dt)
+    ref = ref_means_w.astype(dt)
+    alt = alt_means_w.astype(dt)
+    cv = const_var.astype(dt)
+    if standard:
+        return (jnp.square(m - alt).sum(-1) -
+                jnp.square(m - ref).sum(-1)) / cv
+    scale_var = cv[:, None] * scale
+    coef = height * jnp.power(cv, power)
+    return (jnp.exp(-jnp.square(m - ref) / scale_var) -
+            jnp.exp(-jnp.square(m - alt) / scale_var)).sum(-1) * coef
+
+
+# ---------------------------------------------------------------------------
 # group (level) tests (reference: tombo/tombo_stats.py:4236-4334)
 # ---------------------------------------------------------------------------
 
