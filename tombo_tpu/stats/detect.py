@@ -628,6 +628,31 @@ def group_stats_from_dense(reg_data: RegionData, params: TestParams,
                       reg_data.strand, reg_data.start, cov[rel], ctrl[rel])
 
 
+def _span_exp_codes(reg_data: RegionData, fasta, std_ref: KmerModel,
+                    span_lo: int, span_n: int) -> np.ndarray:
+    """Per-span-position k-mer codes (-1 = invalid window) with the same
+    genome orientation as ``_span_exp_levels``; gathering the model
+    table by these codes reproduces its (means, sds) exactly (NaN at
+    invalid windows via the device table's sentinel row)."""
+    dnstrm = std_ref.kmer_width - std_ref.central_pos - 1
+    begin_lag = (std_ref.central_pos if reg_data.strand == "+" else dnstrm)
+    end_lag = dnstrm if reg_data.strand == "+" else std_ref.central_pos
+    seq_start = span_lo - begin_lag
+    seq_end = span_lo + span_n + end_lag
+    reg_seq = fasta.get_seq(reg_data.chrm, max(seq_start, 0), seq_end,
+                            error_end=False)
+    if seq_start < 0:
+        reg_seq = "N" * -seq_start + reg_seq
+    if len(reg_seq) < seq_end - seq_start:
+        reg_seq = reg_seq + "N" * (seq_end - seq_start - len(reg_seq))
+    if reg_data.strand == "-":
+        reg_seq = rev_comp(reg_seq)
+    codes = seq_to_kmer_codes(encode_seq(reg_seq), std_ref.kmer_width)
+    if reg_data.strand == "-":
+        codes = codes[::-1]
+    return codes
+
+
 def _span_exp_levels(reg_data: RegionData, fasta, std_ref: KmerModel,
                      span_lo: int, span_n: int):
     """Sequence-derived expected (mean, sd) per span position (the same
@@ -687,8 +712,19 @@ def _device_region_job(reg_data: RegionData, params: TestParams,
                      else dnstrm)
         end_lag = (dnstrm if reg_data.strand == "+"
                    else std_ref.central_pos)
-        ref_means, ref_sds = _span_exp_levels(
-            reg_data, fasta, std_ref, span_lo, span_n)
+        # sequence-derived refs ship as int16 k-mer codes; the packed
+        # kernel gathers (mean, sd) from the on-chip model table
+        # (TOMBO_TPU_STATS_CODES_WIRE=0 restores f32 level rows)
+        codes_wire = os.environ.get(
+            "TOMBO_TPU_STATS_CODES_WIRE", "1") == "1"
+        if codes_wire:
+            ref_means = ref_sds = None
+            ref_codes = _span_exp_codes(
+                reg_data, fasta, std_ref, span_lo, span_n)
+        else:
+            ref_codes = None
+            ref_means, ref_sds = _span_exp_levels(
+                reg_data, fasta, std_ref, span_lo, span_n)
         place_lo = reg_data.start - begin_lag - fm
         place_hi = reg_data.end + end_lag + fm
         clamp_after = True
@@ -700,6 +736,11 @@ def _device_region_job(reg_data: RegionData, params: TestParams,
         raise TomboTpuError("Reads contain no statistics in this region.")
     return dict(reg=reg_data, span_lo=span_lo, span_n=span_n,
                 ref_means=ref_means, ref_sds=ref_sds, levels=levels,
+                ref_codes=(ref_codes if stat_type == DE_NOVO_TXT
+                           else None),
+                table=((std_ref.means, std_ref.sds)
+                       if stat_type == DE_NOVO_TXT and
+                       ref_codes is not None else None),
                 place_lo=place_lo, place_hi=place_hi,
                 begin_lag=begin_lag, end_lag=end_lag,
                 clamp_after=clamp_after, ctrl_cov_dense=ctrl_cov_dense)
@@ -720,14 +761,17 @@ def compute_reg_stats_device_batch(jobs, params: TestParams,
     stat_type = params.stat_type
     fm = params.fm_offset
     mode = "two_way" if params.lower_thresh is not None else "plain"
-    packer = dev.PackedRegionBatch(fm)
+    table = next((j["table"] for j in jobs
+                  if j is not None and j.get("table") is not None), None)
+    packer = dev.PackedRegionBatch(fm, levels_table=table)
     for j, job in enumerate(jobs):
         if job is None:
             continue
         packer.add_region(j, job["span_lo"], job["span_n"],
                           job["ref_means"], job["ref_sds"], job["levels"],
                           job["place_lo"], job["place_hi"],
-                          job["begin_lag"], job["end_lag"])
+                          job["begin_lag"], job["end_lag"],
+                          ref_codes=job.get("ref_codes"))
     clamp_after = next((j["clamp_after"] for j in jobs if j is not None),
                        True)
     counts, pvals = packer.dispatch(

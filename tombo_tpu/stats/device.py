@@ -148,38 +148,70 @@ def _pow2_at_least(x: int, lo: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "fm_offset", "clamp_after", "mode", "single_read_thresh",
+    "W", "fm_offset", "clamp_after", "mode", "single_read_thresh",
     "lower_thresh", "want_pvals"))
-def packed_test_and_accumulate(r_means, zv_lo, zv_hi, em_lo, em_hi, sid,
-                               ref_means, ref_sds,
-                               fm_offset: int, clamp_after: bool,
+def packed_test_and_accumulate(flat, ivec, ref_means, ref_sds,
+                               W: int, fm_offset: int, clamp_after: bool,
                                single_read_thresh: float,
                                lower_thresh: float, mode: str,
                                want_pvals: bool):
     """Fused packed-row test + per-(sub-span, site) reduction.
 
-    r_means: (B, W) NaN-padded rows; zv_lo/zv_hi bound each row's
+    Rows arrive RAGGED: ``flat`` concatenates each row's real level
+    means (no padding crosses the link — a ~3x wire cut at typical
+    read-span/sub-span ratios); ``offs``/``m_off``/``m_len`` place row i's
+    slice at columns [m_off, m_off+m_len).  zv_lo/zv_hi bound each row's
     z-score extent (the read's lag-trimmed testing extent — the host
     lane trims means BEFORE testing, so Fisher windows never see values
     beyond it; reference: tombo/tombo_stats.py:3846); em_lo/em_hi bound
     the columns whose statistics this row CONTRIBUTES (its sub-span
     core, so sites land in exactly one sub-span); sid: (B,) sub-span id;
-    ref_means/ref_sds: (S, W) per-sub-span expected levels.  Returns
-    (S, W, 3) int16 (coverage, valid coverage, above-threshold) counts
-    plus the (B, W) p-value matrix (for per-read statistics files) when
-    ``want_pvals``.  Math identical to :func:`model_test_pvals` +
-    :func:`site_accumulate` (cross-checked by tests/test_stats_device)."""
+    ref_means/ref_sds: (S, W) per-sub-span expected levels.
+
+    Returns (counts_u8 (S, W, 3) uint8, over (S,) bool, counts32
+    (S, W, 3) int32, p (B, W)): callers fetch the uint8 counts (+
+    p-values when ``want_pvals``) and re-fetch rows of the
+    device-resident int32 counts only for the rare sub-spans whose
+    coverage overflows a byte.  Math identical to
+    :func:`model_test_pvals` + :func:`site_accumulate` (cross-checked
+    by tests/test_stats_device)."""
     dt = _f()
-    S = ref_means.shape[0]
-    W = r_means.shape[1]
+    S = (ref_means[0] if isinstance(ref_means, tuple)
+         else ref_means).shape[0]
+    # row metadata rides as ONE (8, B) int32 matrix: per-array H2D
+    # transfers each pay a fixed link overhead, dominating small-vector
+    # uploads through the tunneled device
+    offs, m_off, m_len, zv_lo, zv_hi, em_lo, em_hi, sid = (
+        ivec[i] for i in range(8))
     sid = sid.astype(jnp.int32)
     col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    m_off = m_off.astype(jnp.int32)[:, None]
+    valid_m = (col >= m_off) & (col < m_off + m_len.astype(jnp.int32)[:, None])
+    idx = offs.astype(jnp.int32)[:, None] + (col - m_off)
+    r_means = jnp.where(
+        valid_m,
+        jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1)),
+        jnp.asarray(jnp.nan, flat.dtype))
     zvalid = (col >= zv_lo.astype(jnp.int32)[:, None]) & \
              (col < zv_hi.astype(jnp.int32)[:, None])
     emit = (col >= em_lo.astype(jnp.int32)[:, None]) & \
            (col < em_hi.astype(jnp.int32)[:, None])
-    rm = jnp.take(ref_means, sid, axis=0).astype(dt)
-    rs = jnp.take(ref_sds, sid, axis=0).astype(dt)
+    if isinstance(ref_means, tuple):
+        # sequence-derived expected levels (de novo): (S, W) int16 k-mer
+        # codes + the on-chip model table with a NaN sentinel row — 4x
+        # less ref wire than two f32 level rows per sub-span.  Table
+        # gather happens at SUB-SPAN granularity (S x W positions), then
+        # rows broadcast to reads by a cheap row gather.
+        codes, mt, st = ref_means
+        S = codes.shape[0]
+        c = codes.astype(jnp.int32)
+        rm_sub = jnp.take(mt, c, axis=0).astype(dt)
+        rs_sub = jnp.take(st, c, axis=0).astype(dt)
+        rm = jnp.take(rm_sub, sid, axis=0)
+        rs = jnp.take(rs_sub, sid, axis=0)
+    else:
+        rm = jnp.take(ref_means, sid, axis=0).astype(dt)
+        rs = jnp.take(ref_sds, sid, axis=0).astype(dt)
     z = jnp.abs((r_means.astype(dt) - rm) / rs)
     z = jnp.where(zvalid, z, jnp.asarray(jnp.nan, dt))
     p = 2.0 * ndtr(-z)
@@ -199,20 +231,22 @@ def packed_test_and_accumulate(r_means, zv_lo, zv_hi, em_lo, em_hi, sid,
         is_valid = ok
     above = ok & (p >= single_read_thresh)
     masks = jnp.stack([ok, is_valid, above], axis=-1).astype(jnp.float32)
-    B, W = r_means.shape
     oh = (sid[:, None] == jnp.arange(S, dtype=jnp.int32)[None, :]
           ).astype(jnp.float32)                      # (B, S)
     counts = jnp.einsum("bs,bwc->swc", oh, masks,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32
+                        ).astype(jnp.int32)
+    over = jnp.any(counts > 255, axis=(1, 2))
     out_p = p if want_pvals else jnp.zeros((1, 1), dt)
-    return counts.astype(jnp.int16), out_p
+    return counts.astype(jnp.uint8), over, counts, out_p
 
 
 class PackedRegionBatch:
     """Host-side packer: region jobs -> device inputs -> per-region
     dense accumulators (and per-read stat streams)."""
 
-    def __init__(self, fm_offset: int, core: Optional[int] = None):
+    def __init__(self, fm_offset: int, core: Optional[int] = None,
+                 levels_table=None):
         import os
         self.fm = fm_offset
         self.core = core or int(os.environ.get(
@@ -221,13 +255,31 @@ class PackedRegionBatch:
         self.rows = []          # (means_slice, emit_lo, emit_hi, sid)
         self.row_meta = []      # (job_idx, read_idx, col0_abs)
         self.subs = []          # (job_idx, c_lo, c_hi, ref_m, ref_s)
+        # codes mode: (means, sds) model arrays; sub-spans then carry
+        # int16 k-mer code rows and the kernel gathers levels on-chip
+        # (4x less ref wire than two f32 level rows per sub-span)
+        self.table = levels_table
+        self._table_dev = None
+
+    def _dev_table(self):
+        if self._table_dev is None:
+            mt = np.append(np.asarray(self.table[0], np.float64), np.nan)
+            st = np.append(np.asarray(self.table[1], np.float64), np.nan)
+            dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+            self._table_dev = (jnp.asarray(mt.astype(dt)),
+                               jnp.asarray(st.astype(dt)))
+        return self._table_dev
 
     def add_region(self, job_idx: int, span_lo: int, span_n: int,
                    ref_means: np.ndarray, ref_sds: np.ndarray,
                    levels, place_lo: int, place_hi: int,
-                   begin_lag: int, end_lag: int):
+                   begin_lag: int, end_lag: int,
+                   ref_codes: Optional[np.ndarray] = None):
         """Chop one region's span into sub-spans and emit packed rows.
-        ``ref_means/ref_sds`` are (span_n,) genome-oriented arrays;
+        ``ref_means/ref_sds`` are (span_n,) genome-oriented arrays — or,
+        when the packer was built with a ``levels_table``, ``ref_codes``
+        is the (span_n,) per-position k-mer code array (-1 = invalid
+        window) and expected levels gather on-chip;
         ``levels`` the region's ReadLevels."""
         fm, core = self.fm, self.core
         # per-read trimmed extents + emission bounds (the host lane's
@@ -255,16 +307,25 @@ class PackedRegionBatch:
             c_hi = min(c_lo + core, span_lo + span_n)
             sid = len(self.subs)
             col0 = c_lo - fm
-            rm = np.full(self.W, np.nan)
-            rs = np.full(self.W, np.nan)
             lo = max(col0, span_lo)
             hi = min(col0 + self.W, span_lo + span_n)
-            if hi > lo:
-                rm[lo - col0:hi - col0] = ref_means[lo - span_lo:
-                                                    hi - span_lo]
-                rs[lo - col0:hi - col0] = ref_sds[lo - span_lo:
-                                                  hi - span_lo]
-            self.subs.append((job_idx, c_lo, c_hi, rm, rs))
+            if ref_codes is not None:
+                sent = self.table[0].shape[0]
+                crow = np.full(self.W, sent, np.int16)
+                if hi > lo:
+                    cs = ref_codes[lo - span_lo:hi - span_lo]
+                    crow[lo - col0:hi - col0] = np.where(
+                        cs >= 0, cs, sent).astype(np.int16)
+                self.subs.append((job_idx, c_lo, c_hi, crow, None))
+            else:
+                rm = np.full(self.W, np.nan)
+                rs = np.full(self.W, np.nan)
+                if hi > lo:
+                    rm[lo - col0:hi - col0] = ref_means[lo - span_lo:
+                                                        hi - span_lo]
+                    rs[lo - col0:hi - col0] = ref_sds[lo - span_lo:
+                                                      hi - span_lo]
+                self.subs.append((job_idx, c_lo, c_hi, rm, rs))
             for ridx, r_start, g_lo, g_hi, e_lo, e_hi, m in reads:
                 m_lo = max(g_lo, col0)
                 m_hi = min(g_hi, col0 + self.W)
@@ -283,41 +344,97 @@ class PackedRegionBatch:
         return sum(r[0].shape[0] for r in self.rows)
 
     def dispatch(self, fm_offset, clamp_after, single_read_thresh,
-                 lower_thresh, mode, want_pvals):
+                 lower_thresh, mode, want_pvals,
+                 rows_per_group: int = 512):
         """Upload, run, fetch.  Returns (counts (S, W, 3) int64,
-        pvals (B, W) or None)."""
+        pvals (B, W) or None).
+
+        Sub-spans split into GROUPS of ~``rows_per_group`` rows, each its
+        own kernel dispatch with async device->host copies: group g+1's
+        (ragged) upload rides the link while group g's counts stream
+        back, so a large region chunk approaches the upload-bound
+        ceiling instead of paying serial up+down per chunk."""
         B = len(self.rows)
         S = len(self.subs)
         if B == 0:
             return None, None
-        Bp = _pow2_at_least(B, 128)
-        Sp = _round_up(S, 8)
         dt = np.float64 if jax.config.jax_enable_x64 else np.float32
-        means = np.full((Bp, self.W), np.nan, dt)
-        zv_lo = np.zeros(Bp, np.int32)
-        zv_hi = np.zeros(Bp, np.int32)
-        em_lo = np.zeros(Bp, np.int32)
-        em_hi = np.zeros(Bp, np.int32)
-        sid = np.zeros(Bp, np.int32)
-        for i, (m, m_off, zl, zh, el, eh, s) in enumerate(self.rows):
-            means[i, m_off:m_off + m.shape[0]] = m
-            zv_lo[i], zv_hi[i], em_lo[i], em_hi[i], sid[i] = \
-                zl, zh, el, eh, s
-        ref_m = np.full((Sp, self.W), np.nan, dt)
-        ref_s = np.full((Sp, self.W), np.nan, dt)
-        for s, (_, _, _, rm, rs) in enumerate(self.subs):
-            ref_m[s] = rm
-            ref_s[s] = rs
-        counts, pv = packed_test_and_accumulate(
-            jnp.asarray(means), jnp.asarray(zv_lo), jnp.asarray(zv_hi),
-            jnp.asarray(em_lo), jnp.asarray(em_hi), jnp.asarray(sid),
-            jnp.asarray(ref_m), jnp.asarray(ref_s),
-            fm_offset, clamp_after, float(single_read_thresh),
-            float(lower_thresh), mode, want_pvals)
-        if want_pvals:
-            pv.copy_to_host_async()
-        counts_np = np.asarray(counts).astype(np.int64)[:S]
-        pv_np = np.asarray(pv)[:B] if want_pvals else None
+        # contiguous row ranges per sub-span (rows were appended in sid
+        # order), then sub-span groups bounded by row count
+        row_sid = np.array([r[6] for r in self.rows], np.int64)
+        sub_row_start = np.searchsorted(row_sid, np.arange(S + 1))
+        groups = []
+        g_s0 = 0
+        for s in range(1, S + 1):
+            if s == S or (sub_row_start[s] - sub_row_start[g_s0] >=
+                          rows_per_group):
+                groups.append((g_s0, s))
+                g_s0 = s
+        handles = []
+        for g_s0, g_s1 in groups:
+            r0, r1 = int(sub_row_start[g_s0]), int(sub_row_start[g_s1])
+            Bg = r1 - r0
+            Sg = g_s1 - g_s0
+            Bp = _pow2_at_least(max(Bg, 1), 128)
+            Sp = _round_up(Sg, 8)
+            total = sum(self.rows[i][0].shape[0] for i in range(r0, r1))
+            Fp = _pow2_at_least(max(total, 1), 1 << 12)
+            flat = np.zeros(Fp, dt)
+            ivec = np.zeros((8, Bp), np.int32)
+            (offs, m_off, m_len, zv_lo, zv_hi, em_lo, em_hi,
+             sid) = ivec
+            o = 0
+            for i in range(r0, r1):
+                m, mo, zl, zh, el, eh, s = self.rows[i]
+                j = i - r0
+                flat[o:o + m.shape[0]] = m
+                offs[j] = o
+                m_off[j] = mo
+                m_len[j] = m.shape[0]
+                o += m.shape[0]
+                zv_lo[j], zv_hi[j], em_lo[j], em_hi[j] = zl, zh, el, eh
+                sid[j] = s - g_s0
+            if self.table is not None:
+                sent = self.table[0].shape[0]
+                codes_m = np.full((Sp, self.W), sent, np.int16)
+                for s in range(g_s0, g_s1):
+                    codes_m[s - g_s0] = self.subs[s][3]
+                mt, st = self._dev_table()
+                ref_a = (jnp.asarray(codes_m), mt, st)
+                ref_b = jnp.zeros(1, dt)
+            else:
+                ref_m = np.full((Sp, self.W), np.nan, dt)
+                ref_s = np.full((Sp, self.W), np.nan, dt)
+                for s in range(g_s0, g_s1):
+                    ref_m[s - g_s0] = self.subs[s][3]
+                    ref_s[s - g_s0] = self.subs[s][4]
+                ref_a = jnp.asarray(ref_m)
+                ref_b = jnp.asarray(ref_s)
+            u8, over, counts32, pv = packed_test_and_accumulate(
+                jnp.asarray(flat), jnp.asarray(ivec), ref_a, ref_b,
+                self.W, fm_offset, clamp_after,
+                float(single_read_thresh), float(lower_thresh), mode,
+                want_pvals)
+            for a in ((u8, over, pv) if want_pvals else (u8, over)):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+            handles.append((g_s0, g_s1, r0, r1, u8, over, counts32, pv))
+
+        counts_np = np.zeros((S, self.W, 3), np.int64)
+        pv_np = (np.zeros((B, self.W),
+                          np.float64 if dt is np.float64 else np.float32)
+                 if want_pvals else None)
+        for g_s0, g_s1, r0, r1, u8, over, counts32, pv in handles:
+            Sg = g_s1 - g_s0
+            u8_np = np.asarray(u8)[:Sg]
+            over_np = np.asarray(over)[:Sg]
+            counts_np[g_s0:g_s1] = u8_np
+            for s in np.flatnonzero(over_np):
+                counts_np[g_s0 + s] = np.asarray(counts32[int(s)])
+            if want_pvals:
+                pv_np[r0:r1] = np.asarray(pv)[:r1 - r0]
         return counts_np, pv_np
 
     def unpack_region(self, job_idx: int, span_lo: int, span_n: int,
