@@ -80,8 +80,10 @@ RNA = "--rna" in sys.argv[1:]
 # batch so the host->device transfer per batch stays bounded
 BATCH_SIZE = int(os.environ.get("TOMBO_TPU_BENCH_BATCH",
                                 "256" if RNA else "512"))
+# enough timed batches that the 4-deep pipeline reaches steady state
+# (2 batches measured ~20% below the 6-batch rate)
 N_BATCHES = int(os.environ.get("TOMBO_TPU_BENCH_NBATCHES",
-                               str(max(2, 16384 // BATCH_SIZE // 16))))
+                               str(max(4, 16384 // BATCH_SIZE // 8))))
 N_CPU_READS = 32         # single-core native-baseline sample
 
 MIXED = "--mixed" in sys.argv[1:]
@@ -380,7 +382,7 @@ def main():
                                             "3"))):
         t0 = time.perf_counter()
         total = 0
-        for out in br.resquiggle_batches(batches):
+        for out in br.resquiggle_batches(batches, pipeline_depth=4):
             total += sum(1 for r, e in out if r is not None)
         dt = time.perf_counter() - t0
         rates.append(total / dt)
@@ -400,7 +402,7 @@ def main():
         pb.STAGE_TIMINGS.clear()
         pb.TRANSFER_BYTES.clear()
         t0 = time.perf_counter()
-        for out in br.resquiggle_batches(batches[:2]):
+        for out in br.resquiggle_batches(batches[:2], pipeline_depth=4):
             pass
         prof_wall = time.perf_counter() - t0
         stage_budget = {("stage_" + k): round(v, 3)
