@@ -18,6 +18,15 @@ import time
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ["TOMBO_TPU_LEVELS_SIDECAR"] = "0"   # no cross-run I/O caching
+# each emulated host owns ONE pinned core; XLA's Eigen pool otherwise
+# spawns hardware_concurrency() SPIN-WAITING workers per process, and at
+# 4 hosts those spinners steal whole cores from other hosts' real work
+# (measured 4-5x per-read slowdown).  One intra-op thread per host.
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_cpu_multi_thread_eigen=false "
+                           "intra_op_parallelism_threads=1").strip()
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 

@@ -1285,6 +1285,34 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
                 return [pool.submit(run_region_multi, (c0 + i, reg))
                         for i, reg in enumerate(c_regs)]
 
+            # stats-file writes are the leader's serial Amdahl term (gzip
+            # HDF5 blocks); a single writer thread drains them in order
+            # while the main thread reduces the next chunk, so write time
+            # overlaps collectives + compute instead of adding to them
+            import queue as _queue
+            import threading as _threading
+            wq: "_queue.Queue" = _queue.Queue(maxsize=64)
+            werr = []
+
+            def _writer():
+                while True:
+                    item = wq.get()
+                    if item is None:
+                        return
+                    kind, name, payload = item
+                    try:
+                        if kind == 0:
+                            stats_files[name]._write_stat_block(payload)
+                        else:
+                            block, lookup, chrm, strand, start = payload
+                            pr_files[name]._write_per_read_block(
+                                block, lookup, chrm, strand, start)
+                    except Exception as e:  # noqa: BLE001
+                        werr.append(e)
+
+            wthread = _threading.Thread(target=_writer, daemon=True)
+            wthread.start()
+
             futs = submit_chunk(0) if spans else []
             for ci in range(len(spans)):
                 _c0, c_regs = spans[ci]
@@ -1319,12 +1347,16 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
                                 pr_payload))
                     for reg_stats, pr_payload in per_reg:
                         if reg_stats is not None and name in stats_files:
-                            stats_files[name]._write_stat_block(reg_stats)
+                            wq.put((0, name, reg_stats))
                         if pr_payload is not None and name in pr_files:
                             (_, block, lookup, chrm, strand,
                              start) = pr_payload
-                            pr_files[name]._write_per_read_block(
-                                block, lookup, chrm, strand, start)
+                            wq.put((1, name, (block, lookup, chrm,
+                                              strand, start)))
+            wq.put(None)
+            wthread.join()
+            if werr:
+                raise werr[0]
         else:
             # real process workers (reference: tombo/tombo_stats.py:4400
             # region worker processes): the per-read/site python loops
