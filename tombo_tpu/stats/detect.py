@@ -1100,7 +1100,8 @@ def _proc_init(reads_index, ctrl_reads_index, fasta, std_ref, alt_items,
     # device or mutate the shared levels sidecar
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["TOMBO_TPU_STATS_DEVICE"] = "0"
-    os.environ["TOMBO_TPU_LEVELS_SIDECAR"] = "0"
+    # read the sidecar, never mutate it from a worker
+    os.environ["TOMBO_TPU_LEVELS_SIDECAR_WRITE"] = "0"
     _PROC_STATE.update(
         reads_index=reads_index, ctrl_reads_index=ctrl_reads_index,
         fasta=fasta, std_ref=std_ref, alt_items=alt_items, params=params,

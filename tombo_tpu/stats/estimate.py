@@ -179,7 +179,8 @@ def _est_proc_init(reads_index, fasta, cov_thresh, upstrm_bases,
                    motif, valid_poss):
     import os
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["TOMBO_TPU_LEVELS_SIDECAR"] = "0"
+    # read the sidecar, never mutate it from a worker
+    os.environ["TOMBO_TPU_LEVELS_SIDECAR_WRITE"] = "0"
     _EST_PROC_STATE.update(
         reads_index=reads_index, fasta=fasta, cov_thresh=cov_thresh,
         upstrm_bases=upstrm_bases, dnstrm_bases=dnstrm_bases,

@@ -46,6 +46,14 @@ def enabled() -> bool:
     return os.environ.get("TOMBO_TPU_LEVELS_SIDECAR", "1") == "1"
 
 
+def write_enabled() -> bool:
+    """Building can be disabled separately from reading: worker
+    processes must never mutate the shared sidecar but still benefit
+    from serving reads out of it."""
+    return (enabled() and
+            os.environ.get("TOMBO_TPU_LEVELS_SIDECAR_WRITE", "1") == "1")
+
+
 def cache_fn(dirpath: str, corr_group: str) -> str:
     base = os.path.basename(os.path.abspath(dirpath))
     return os.path.join(dirpath, ".%s.%s.tombo.levels"
@@ -245,7 +253,7 @@ def record(fn: str, corr_group: str, read_id: str, mtime_ns: int,
            size: int, means: np.ndarray, seq: str):
     """Opportunistically append a loaded read to the sidecar (no-op
     unless a building() context is active)."""
-    if not _building_active:
+    if not _building_active or not write_enabled():
         return
     dirpath = os.path.dirname(fn) or "."
     key = (dirpath, corr_group)
