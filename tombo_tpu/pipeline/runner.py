@@ -411,7 +411,7 @@ def resquiggle_all_reads(
             from .ingest import get_ingest_pool
             n_ing = int(os.environ.get(
                 "TOMBO_TPU_INGEST_PROCS",
-                str(max(2, min(6, (os.cpu_count() or 4) - 2)))))
+                str(max(2, min(6, (os.cpu_count() or 4) - 1)))))
             ingest_pool = get_ingest_pool(
                 n_ing, aligner, std_ref, seq_samp_type, rsqgl_params, rc)
         if ingest_pool is not None:
@@ -458,7 +458,7 @@ def resquiggle_all_reads(
         # their one-time spawn cost; inline writeback otherwise
         n_wp = rc.num_write_procs
         if n_wp is None:
-            n_wp = 4 if n_units >= 256 else 0
+            n_wp = 3 if n_units >= 256 else 0
         writers = (_get_write_pool(n_wp)
                    if n_wp > 0 and not rc.dry_run else None)
         pending_adds: List[tuple] = []   # deferred index adds (async writes)
