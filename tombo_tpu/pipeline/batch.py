@@ -1850,6 +1850,19 @@ class BatchedResquiggler:
     @_timed_stage("static")
     def _static_reads(self, states: List[_ReadState], ctx):
         """Short-read static-band fallback (host; rare)."""
+        need = [s for s in states
+                if s.error is None and s.use_static and
+                s.event_means is None and ctx is not None and
+                "em" in ctx]
+        if need:
+            # ONE gathered fetch for every static read's event means —
+            # a per-read row fetch costs a full link round trip each
+            # (mixed-length batches route ~10% of reads here)
+            rows = np.array([s.dev_row for s in need], np.int32)
+            (em_rows,) = _fetch(jnp.take(ctx["em"], jnp.asarray(rows),
+                                         axis=0))
+            for s, row in zip(need, em_rows):
+                s.event_means = row.astype(np.float64)[:s.n_ev]
         for s in states:
             if s.error is not None or not s.use_static:
                 continue
