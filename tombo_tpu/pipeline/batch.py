@@ -173,6 +173,18 @@ def _fetch(*arrs):
     return out
 
 
+def _fetch_packed_f32(*arrs):
+    """Fetch several per-read scalar vectors as ONE stacked (k, B) f32
+    device array: each separate device->host transfer pays a fixed link
+    overhead (several ms through the tunnel), which dominates tiny
+    fetches.  Exact for f32 values and integers < 2^24 (status codes,
+    event indices, flags); the f64 oracle lane keeps per-array
+    fetches."""
+    stacked = jnp.stack([a.astype(jnp.float32) for a in arrs])
+    (out,) = _fetch(stacked)
+    return tuple(out[i] for i in range(len(arrs)))
+
+
 def _fetch_row(a) -> np.ndarray:
     """Single-row on-demand fetch (rare paths: lazy cpts
     materialization, stall-overflow seg rows, static-fallback event
@@ -1327,10 +1339,18 @@ class BatchedResquiggler:
                 # the (B, max_cpts) changepoint matrix never leaves the
                 # device: the fused finalize reads ctx["cpts"] on-chip and
                 # rescale passes row-gather it in place
-                (status, shift, scale, lower, upper, start_s0, start_sN,
-                 start_score) = _fetch(
-                    status_j, shift, scale, lower, upper,
-                    start_segs_j[:, 0], start_segs_j[:, -1], start_score_j)
+                if self.dtype != jnp.float64:
+                    (status, shift, scale, lower, upper, start_s0,
+                     start_sN, start_score) = _fetch_packed_f32(
+                        status_j, shift, scale, lower, upper,
+                        start_segs_j[:, 0], start_segs_j[:, -1],
+                        start_score_j)
+                else:
+                    (status, shift, scale, lower, upper, start_s0,
+                     start_sN, start_score) = _fetch(
+                        status_j, shift, scale, lower, upper,
+                        start_segs_j[:, 0], start_segs_j[:, -1],
+                        start_score_j)
                 cpts_np = None
             else:
                 (cpts_np, status, shift, scale, lower, upper, start_s0,
@@ -1423,7 +1443,8 @@ class BatchedResquiggler:
             rm_sj,
             rs_sj,
             sp, self._pallas_in_jit())
-        start_s0, start_sN, start_score = _fetch(
+        # this path only runs on the f32 lane (see caller's dtype gate)
+        start_s0, start_sN, start_score = _fetch_packed_f32(
             start_segs_j[:, 0], start_segs_j[:, -1], start_score_j)
         for i, s in enumerate(live):
             s.n_ev = int(n_cpts[i]) - 1
@@ -1797,10 +1818,30 @@ class BatchedResquiggler:
                     do_fit=not self.skip_seq_scaling, sampled=sampled,
                     shift_thresh=float(config.SHIFT_CHANGE_THRESH),
                     scale_thresh=float(config.SCALE_CHANGE_THRESH))
-                (band_err, bound_err, seg_d8, seg_over, rsrtr_np, has_del,
-                 f_shc, f_scc, f_score, f_changed, f_ok) = _fetch(
-                    band_err, bound_err, seg_d8_j, seg_over_j, rsrtr_j,
-                    has_del_j, shc_j, scc_j, fscore_j, fchanged_j, fok_j)
+            pack_ok = (self.dtype != jnp.float64 and
+                       max(s.raw.shape[0] for s in live) < 2 ** 24)
+            if use_dev_fit:
+                if pack_ok:
+                    pk = jnp.stack([a.astype(jnp.float32) for a in (
+                        band_err, bound_err, seg_over_j, rsrtr_j,
+                        has_del_j, shc_j, scc_j, fscore_j, fchanged_j,
+                        fok_j)])
+                    seg_d8, pk = _fetch(seg_d8_j, pk)
+                    (band_err, bound_err, seg_over, rsrtr_np, has_del,
+                     f_shc, f_scc, f_score, f_changed, f_ok) = pk
+                else:
+                    (band_err, bound_err, seg_d8, seg_over, rsrtr_np,
+                     has_del, f_shc, f_scc, f_score, f_changed,
+                     f_ok) = _fetch(
+                        band_err, bound_err, seg_d8_j, seg_over_j,
+                        rsrtr_j, has_del_j, shc_j, scc_j, fscore_j,
+                        fchanged_j, fok_j)
+            elif pack_ok:
+                pk = jnp.stack([a.astype(jnp.float32) for a in (
+                    band_err, bound_err, seg_over_j, rsrtr_j,
+                    has_del_j)])
+                seg_d8, pk = _fetch(seg_d8_j, pk)
+                band_err, bound_err, seg_over, rsrtr_np, has_del = pk
             else:
                 (band_err, bound_err, seg_d8, seg_over, rsrtr_np,
                  has_del) = _fetch(band_err, bound_err, seg_d8_j,
