@@ -409,3 +409,45 @@ def test_alt_device_lane_matches_host(resquiggled, tmp_path, monkeypatch):
         np.testing.assert_array_equal(a["valid_cov"], b["valid_cov"])
         np.testing.assert_allclose(a["frac"], b["frac"], rtol=1e-9,
                                    equal_nan=True)
+
+
+def test_packed_counts_overflow_escape():
+    """Sub-spans whose per-site coverage exceeds a byte must re-fetch
+    exact int32 counts (the uint8 wire is an optimization, not a cap)."""
+    from tombo_tpu.stats.region import ReadLevels
+    from tombo_tpu.types import ReadData
+
+    rng = np.random.default_rng(8)
+    span_lo, span_n = 1000, 300
+    n_reads = 300          # coverage 300 > 255 at every interior site
+    levels = []
+    for i in range(n_reads):
+        rd = ReadData(start=span_lo, end=span_lo + span_n, filtered=False,
+                      read_start_rel_to_raw=0, strand="+", fn="f%d" % i,
+                      corr_group="g", rna=False, read_id="r%d" % i)
+        levels.append(ReadLevels(rd, rng.normal(0, 1, span_n), None,
+                                 "r%d" % i))
+    ref_m = rng.normal(0, 1, span_n)
+    ref_s = np.full(span_n, 0.5)
+    packer = dev.PackedRegionBatch(1, core=128)
+    packer.add_region(0, span_lo, span_n, ref_m, ref_s, levels,
+                      place_lo=span_lo, place_hi=span_lo + span_n,
+                      begin_lag=0, end_lag=0)
+    counts, _ = packer.dispatch(1, False, 0.5, 0.1, "two_way", False)
+    cov, valid, above = packer.unpack_region(0, span_lo, span_n, counts)
+    # host reference
+    stats_list, locs_list = [], []
+    import jax.numpy as jnp
+    for rl in levels:
+        z = np.abs((rl.means - ref_m) / ref_s)
+        p = kernels.pvals_from_z(z)
+        p = kernels.calc_window_fishers_method(p, 1)
+        keep = ~np.isnan(p)
+        stats_list.append(p[keep])
+        locs_list.append(np.arange(span_lo, span_lo + span_n)[keep])
+    cov_h, valid_h, above_h = dt.site_accumulators(
+        stats_list, locs_list, span_lo, span_n, 0.5, 0.1, "x")
+    assert cov.max() == n_reads            # proves the u8 wire overflowed
+    np.testing.assert_array_equal(cov, cov_h)
+    np.testing.assert_array_equal(valid, valid_h)
+    np.testing.assert_array_equal(above, above_h)
