@@ -411,6 +411,34 @@ def main():
         stage_budget.update(
             {("wire_" + k + "_mb"): round(v / 2 ** 20, 2)
              for k, v in pb.TRANSFER_BYTES.items()})
+        # end-to-end attachment roofline: wire bytes/read over the
+        # measured tunnel bandwidth, and host-core-ms/read (sum of
+        # non-fetch stage terms = host work; fetch terms = device+wire
+        # stall, overlappable by pipelining).  These two numbers are the
+        # attainable ceiling on this attachment — the device itself is
+        # ~2% utilized (see dp_* roofline).
+        n_prof = 2 * BATCH_SIZE
+        up_b = pb.TRANSFER_BYTES.get("upload", 0) / n_prof
+        dn_b = pb.TRANSFER_BYTES.get("fetch", 0) / n_prof
+        # top-level stages contain the sub-terms (seg_pack, *_fetch,
+        # finalize_native), so host time = top-level sum minus the
+        # blocking-fetch sub-terms (which are device+wire stall)
+        top = ("plan", "segment", "start", "adaptive", "static",
+               "finalize", "delfix")
+        host_s = max(
+            sum(v for k, v in pb.STAGE_TIMINGS.items() if k in top) -
+            sum(v for k, v in pb.STAGE_TIMINGS.items()
+                if k.endswith("_fetch")), 0.0)
+        stage_budget["wire_up_bytes_per_read"] = round(up_b, 1)
+        stage_budget["wire_down_bytes_per_read"] = round(dn_b, 1)
+        # measured link: ~48 MB/s up, ~14 MB/s down (docs/performance.md)
+        stage_budget["ceiling_wire_reads_per_s"] = round(
+            1.0 / max(up_b / 48e6, dn_b / 14e6), 1)
+        host_ms = host_s * 1e3 / n_prof
+        stage_budget["host_ms_per_read"] = round(host_ms, 3)
+        if host_ms > 0:
+            stage_budget["ceiling_host_reads_per_s"] = round(
+                1e3 / host_ms, 1)
     except Exception:  # noqa: BLE001
         pass
     finally:

@@ -70,6 +70,11 @@ def _profiling() -> bool:
     return os.environ.get("TOMBO_TPU_PROFILE", "") == "1"
 
 
+import threading as _threading
+
+_STAGE_TLS = _threading.local()
+
+
 def _timed_stage(name):
     def deco(fn):
         @functools.wraps(fn)
@@ -77,12 +82,37 @@ def _timed_stage(name):
             if not _profiling():
                 return fn(*a, **k)
             t0 = _time.perf_counter()
+            prev = getattr(_STAGE_TLS, "name", None)
+            _STAGE_TLS.name = name
             try:
                 return fn(*a, **k)
             finally:
+                _STAGE_TLS.name = prev
                 STAGE_TIMINGS[name] += _time.perf_counter() - t0
         return wrapper
     return deco
+
+
+class _sub:
+    """Sub-stage attribution context: splits a stage's wall into named
+    terms (host packing vs blocking device fetch vs native compute) so
+    the bench's stage budget localizes the wall to host, wire or device
+    instead of one opaque number (round-4 verdict: the single biggest
+    stage line item was unattributed)."""
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        if _profiling():
+            self.t0 = _time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if _profiling():
+            STAGE_TIMINGS[self.name] += _time.perf_counter() - self.t0
+        return False
 
 
 def jax_trace_ctx():
@@ -161,15 +191,23 @@ def _fetch(*arrs):
 
     Each blocking ``np.asarray`` pays a full link round trip (tens of ms
     through a tunneled device); starting all copies async first overlaps
-    them so a stage pays one latency instead of one per array."""
+    them so a stage pays one latency instead of one per array.  Under
+    TOMBO_TPU_PROFILE=1 the blocking wait is attributed to the enclosing
+    stage as ``<stage>_fetch`` — on async dispatch this wait is where
+    device compute + wire time surfaces, so the split separates host
+    work from device/wire stall within each stage."""
     for a in arrs:
         try:
             a.copy_to_host_async()
         except AttributeError:
             pass
+    if not _profiling():
+        return [np.asarray(a) for a in arrs]
+    t0 = _time.perf_counter()
     out = [np.asarray(a) for a in arrs]
-    if _profiling():
-        TRANSFER_BYTES["fetch"] += sum(a.nbytes for a in out)
+    stage = getattr(_STAGE_TLS, "name", None) or "other"
+    STAGE_TIMINGS[stage + "_fetch"] += _time.perf_counter() - t0
+    TRANSFER_BYTES["fetch"] += sum(a.nbytes for a in out)
     return out
 
 
@@ -189,9 +227,13 @@ def _fetch_row(a) -> np.ndarray:
     """Single-row on-demand fetch (rare paths: lazy cpts
     materialization, stall-overflow seg rows, static-fallback event
     means); counted so the transfer profile stays honest."""
+    if not _profiling():
+        return np.asarray(a)
+    t0 = _time.perf_counter()
     out = np.asarray(a)
-    if _profiling():
-        TRANSFER_BYTES["fetch"] += out.nbytes
+    stage = getattr(_STAGE_TLS, "name", None) or "other"
+    STAGE_TIMINGS[stage + "_fetch"] += _time.perf_counter() - t0
+    TRANSFER_BYTES["fetch"] += out.nbytes
     return out
 
 
@@ -1073,40 +1115,42 @@ class BatchedResquiggler:
                 # int8-delta ragged wire format: one delta byte per
                 # sample + a sparse escape list; exact reconstruction by
                 # integer cumsum on device (see _unflatten_delta_rows)
-                total = int(sig_lens.sum())
-                flat8 = np.zeros(_geo_bucket(total), np.int8)
-                firsts = np.zeros(B, np.int16)
-                offs = np.zeros(B, np.int32)
-                exc_dest_l, exc_res_l = [], []
-                o = 0
-                for i, s in enumerate(live):
-                    first, d8, epos, eres = s.delta8()
-                    n = d8.shape[0]
-                    flat8[o:o + n] = d8
-                    firsts[i] = first
-                    offs[i] = o
-                    o += n
-                    if epos.shape[0]:
-                        exc_dest_l.append(epos + 1 + i * S_max)
-                        exc_res_l.append(eres)
-                    s.dev_row = i
-                n_exc = sum(e.shape[0] for e in exc_dest_l)
-                E_b = _geo_bucket(max(n_exc, 1), lo=1 << 10)
-                exc_dest = np.zeros(E_b, np.int32)
-                exc_res = np.zeros(E_b, np.int32)
-                if n_exc:
-                    exc_dest[:n_exc] = np.concatenate(exc_dest_l)
-                    exc_res[:n_exc] = np.concatenate(exc_res_l)
-                flat_j = jnp.asarray(flat8)
-                exc_d_j = jnp.asarray(exc_dest)
-                exc_r_j = jnp.asarray(exc_res)
-                if _profiling():
-                    TRANSFER_BYTES["upload"] += (
-                        flat_j.nbytes + exc_d_j.nbytes + exc_r_j.nbytes)
-                raw_j = _unflatten_delta_rows(
-                    flat_j, self._up(offs, B_pad),
-                    self._up(sig_lens.astype(np.int32), B_pad),
-                    self._up(firsts, B_pad), exc_d_j, exc_r_j, S_max)
+                with _sub("seg_pack"):
+                    total = int(sig_lens.sum())
+                    flat8 = np.zeros(_geo_bucket(total), np.int8)
+                    firsts = np.zeros(B, np.int16)
+                    offs = np.zeros(B, np.int32)
+                    exc_dest_l, exc_res_l = [], []
+                    o = 0
+                    for i, s in enumerate(live):
+                        first, d8, epos, eres = s.delta8()
+                        n = d8.shape[0]
+                        flat8[o:o + n] = d8
+                        firsts[i] = first
+                        offs[i] = o
+                        o += n
+                        if epos.shape[0]:
+                            exc_dest_l.append(epos + 1 + i * S_max)
+                            exc_res_l.append(eres)
+                        s.dev_row = i
+                    n_exc = sum(e.shape[0] for e in exc_dest_l)
+                    E_b = _geo_bucket(max(n_exc, 1), lo=1 << 10)
+                    exc_dest = np.zeros(E_b, np.int32)
+                    exc_res = np.zeros(E_b, np.int32)
+                    if n_exc:
+                        exc_dest[:n_exc] = np.concatenate(exc_dest_l)
+                        exc_res[:n_exc] = np.concatenate(exc_res_l)
+                with _sub("seg_upload"):
+                    flat_j = jnp.asarray(flat8)
+                    exc_d_j = jnp.asarray(exc_dest)
+                    exc_r_j = jnp.asarray(exc_res)
+                    if _profiling():
+                        TRANSFER_BYTES["upload"] += (
+                            flat_j.nbytes + exc_d_j.nbytes + exc_r_j.nbytes)
+                    raw_j = _unflatten_delta_rows(
+                        flat_j, self._up(offs, B_pad),
+                        self._up(sig_lens.astype(np.int32), B_pad),
+                        self._up(firsts, B_pad), exc_d_j, exc_r_j, S_max)
             elif (all(s.raw_i16 is not None for s in live) and
                     self.mesh is None):
                 # ragged wire format: ship only the real samples as one
@@ -2020,9 +2064,11 @@ class BatchedResquiggler:
                 s.error = str(e)
 
         if del_jobs:
-            native_out = del_fix_batch(
-                [(s._norm_signal, s._dp_res.ref_means, s._dp_res.ref_sds,
-                  s._dp_res.segs) for s in del_jobs], self.params)
+            with _sub("finalize_native"):
+                native_out = del_fix_batch(
+                    [(s._norm_signal, s._dp_res.ref_means,
+                      s._dp_res.ref_sds, s._dp_res.segs)
+                     for s in del_jobs], self.params)
             if native_out is None:
                 for s in del_jobs:
                     try:
@@ -2055,7 +2101,8 @@ class BatchedResquiggler:
                              s._dp_res.ref_sds, np.array(s.dp_segs),
                              hd, samp))
             ts_mode = -1 if skip_seq_scaling else 1
-            nat = finalize_batch(jobs, self.params, ts_mode)
+            with _sub("finalize_native"):
+                nat = finalize_batch(jobs, self.params, ts_mode)
             (segs_l, ev_l, norm_l, slopes, inters, statuses) = nat
             for i, s in enumerate(native_reads):
                 st = int(statuses[i])
