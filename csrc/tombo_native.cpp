@@ -1316,3 +1316,72 @@ int static_base_assignment(const double* event_means, int64_t events_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wire packing: int8-delta encoding of int16 raw signal rows
+// (pipeline/batch.py seg_pack; the per-read numpy diff/clip/escape loop was
+// ~0.25 ms/read of host time on the hot path — one threaded pass here).
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// raws: per-read pointers to int16 sample buffers; lens: sample counts.
+// offs[i] (precomputed by the caller): destination of read i's deltas in
+// flat8 (d8 length == lens[i]-1; offs is their exclusive prefix sum).
+// Escapes (|delta| > 127) emit (read, pos, residual) triples into the
+// shared buffers, claimed per read with an atomic cursor; n_exc_out
+// reports the total written, and a total beyond exc_cap leaves the
+// overflow marked so the caller can retry with a larger buffer.
+void pack_delta8_batch(const int16_t** raws, const int64_t* lens,
+                       int64_t n_reads, const int64_t* offs, int8_t* flat8,
+                       int16_t* firsts, int32_t* exc_read, int32_t* exc_pos,
+                       int32_t* exc_res, int64_t exc_cap,
+                       int64_t* n_exc_out, int64_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = static_cast<int64_t>(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  n_threads = std::min<int64_t>(n_threads, std::max<int64_t>(n_reads, 1));
+  std::atomic<int64_t> next{0};
+  std::atomic<int64_t> exc_cursor{0};
+  auto worker = [&]() {
+    std::vector<int32_t> epos_local;
+    std::vector<int32_t> eres_local;
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_reads) break;
+      const int16_t* x = raws[i];
+      int64_t n = lens[i];
+      firsts[i] = n > 0 ? x[0] : 0;
+      if (n <= 1) continue;
+      int8_t* dst = flat8 + offs[i];
+      epos_local.clear();
+      eres_local.clear();
+      for (int64_t j = 1; j < n; ++j) {
+        int32_t d = static_cast<int32_t>(x[j]) - static_cast<int32_t>(x[j - 1]);
+        int32_t c = d < -128 ? -128 : (d > 127 ? 127 : d);
+        dst[j - 1] = static_cast<int8_t>(c);
+        if (d != c) {
+          epos_local.push_back(static_cast<int32_t>(j - 1));
+          eres_local.push_back(d - c);
+        }
+      }
+      if (!epos_local.empty()) {
+        int64_t k = exc_cursor.fetch_add(
+            static_cast<int64_t>(epos_local.size()));
+        for (size_t e = 0; e < epos_local.size(); ++e) {
+          if (k + static_cast<int64_t>(e) >= exc_cap) break;
+          exc_read[k + e] = static_cast<int32_t>(i);
+          exc_pos[k + e] = epos_local[e];
+          exc_res[k + e] = eres_local[e];
+        }
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  threads.reserve(static_cast<size_t>(n_threads));
+  for (int64_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  *n_exc_out = exc_cursor.load();
+}
+
+}  // extern "C"

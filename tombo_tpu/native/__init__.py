@@ -137,6 +137,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64]
+        lib.pack_delta8_batch.restype = None
+        lib.pack_delta8_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
         lib.resquiggle_read_baseline_rna.restype = ctypes.c_int
         lib.resquiggle_read_baseline_rna.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
@@ -209,6 +217,45 @@ def greedy_cpts_uncapped(scores: np.ndarray, min_base_obs: int) -> np.ndarray:
             _as_c(out, ctypes.c_int64))
         return out[:count]
     return _np_uncapped(scores, min_base_obs)
+
+
+def pack_delta8_batch(raws, lens: np.ndarray, flat8: np.ndarray,
+                      offs: np.ndarray, n_threads: int = 0):
+    """Threaded int8-delta wire packing of int16 raw-signal rows
+    (the batched lane's dominant host->device format; see
+    pipeline/batch.py seg_pack).
+
+    raws: list of C-contiguous int16 arrays; lens their sample counts;
+    offs[i]: destination offset of read i's (lens[i]-1) deltas in flat8.
+    Returns (firsts (B,) int16, exc_read, exc_pos, exc_res) or None when
+    the native library is unavailable (callers keep the numpy loop).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack_delta8_batch"):
+        return None
+    B = len(raws)
+    lens = np.ascontiguousarray(lens, np.int64)
+    offs64 = np.ascontiguousarray(offs, np.int64)
+    firsts = np.zeros(B, np.int16)
+    ptrs = (ctypes.c_void_p * B)(*(a.ctypes.data for a in raws))
+    exc_cap = 4096
+    while True:
+        exc_read = np.empty(exc_cap, np.int32)
+        exc_pos = np.empty(exc_cap, np.int32)
+        exc_res = np.empty(exc_cap, np.int32)
+        n_exc = np.zeros(1, np.int64)
+        lib.pack_delta8_batch(
+            ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+            _as_c(lens, ctypes.c_int64), B,
+            _as_c(offs64, ctypes.c_int64), _as_c(flat8, ctypes.c_int8),
+            _as_c(firsts, ctypes.c_int16), _as_c(exc_read, ctypes.c_int32),
+            _as_c(exc_pos, ctypes.c_int32), _as_c(exc_res, ctypes.c_int32),
+            exc_cap, _as_c(n_exc, ctypes.c_int64), n_threads)
+        total = int(n_exc[0])
+        if total <= exc_cap:
+            return (firsts, exc_read[:total], exc_pos[:total],
+                    exc_res[:total])
+        exc_cap = int(total + 64)
 
 
 def theil_sen_batch(ev: np.ndarray, mod: np.ndarray, n_points: np.ndarray,

@@ -432,6 +432,12 @@ class _ReadState:
 _GROUP_RATIO = 2.0      # max signal-length spread within a device group
 _MIN_GROUP = 24         # don't cut groups smaller than this
 
+# device deletion-fix window buckets: windows beyond these route the read
+# to the host native finalize lane (the reference errors out entirely
+# above MAX_RAW_CPTS=200 events; tombo/resquiggle.py:486)
+_DELFIX_NB_CAP = 32
+_DELFIX_T_CAP = 512
+
 
 def _length_groups(live: list) -> list:
     """Split a batch into signal-length groups before any device work.
@@ -705,6 +711,62 @@ def _stage_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens, samp, tri,
     score = (jnp.sum(jnp.where(valid, jnp.abs((em_s - rm) / rs), 0.0),
                      axis=1) / jnp.maximum(sl32, 1))
     return shift_corr, scale_corr, score, changed, fit_ok
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nb_pad", "t_pad", "min_obs", "winsorize", "do_fit", "sampled",
+    "shift_thresh", "scale_thresh"))
+def _stage_delfix_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens,
+                      win_i, win_bs, win_nb, win_t, win_sig_rel,
+                      max_half_z, samp, tri, nb_pad: int, t_pad: int,
+                      min_obs: int, winsorize: bool, do_fit: bool,
+                      sampled: bool, shift_thresh: float,
+                      scale_thresh: float):
+    """Fused device deletion fix + rescale fit: gather per-window signal
+    and expected levels from device-resident arrays, run the batched
+    raw-signal window DP (ops/delfix.py; reference:
+    tombo/resquiggle.py:402-545), scatter the recovered boundaries into
+    the segment table, then run the device fit on the FIXED table — the
+    ordering the reference mandates (fit after the raw-signal fix,
+    tombo/resquiggle.py:1168-1195).  Only window metadata goes up and
+    only boundaries + per-read fit scalars come back."""
+    from ..ops import delfix
+    win_i = win_i.astype(jnp.int32)
+    win_bs = win_bs.astype(jnp.int32)
+    rows_w = jnp.take(rows.astype(jnp.int32), win_i)
+    sig_abs = jnp.take(rsrtr, win_i) + win_sig_rel.astype(jnp.int32)
+
+    def slice_row(mat, row, start, width):
+        padded = jnp.pad(mat, ((0, 0), (0, width)))
+        return lax.dynamic_slice(padded[row], (start,), (width,))
+
+    sig_w = jax.vmap(
+        lambda r, s: slice_row(norm, r, s, t_pad))(rows_w, sig_abs)
+    mu_w = jax.vmap(
+        lambda r, s: slice_row(rm, r, s, nb_pad))(win_i, win_bs)
+    sd_raw = jax.vmap(
+        lambda r, s: slice_row(rs, r, s, nb_pad))(win_i, win_bs)
+    # pad baselines: sd rows are zero past the matrix edge; make them 1
+    # so the z-score division stays finite (those lanes are masked)
+    jb = jnp.arange(nb_pad, dtype=jnp.int32)[None, :]
+    sd_w = jnp.where(jb < win_nb[:, None], sd_raw, jnp.ones((), rs.dtype))
+    bounds, fail = delfix.raw_windows_dp(
+        sig_w, mu_w, sd_w, win_t, win_nb, max_half_z,
+        min_obs=min_obs, nb_pad=nb_pad, winsorize=winsorize)
+
+    # scatter boundaries back: resolved[ws+1+j] = bound_j + segs[ws]
+    seg_base = seq_segs[win_i, win_bs]
+    jcols = jnp.arange(nb_pad - 1, dtype=jnp.int32)[None, :]
+    valid = jcols < (win_nb[:, None] - 1)
+    cols = jnp.where(valid, win_bs[:, None] + 1 + jcols,
+                     jnp.int32(seq_segs.shape[1] + 1))   # OOB -> dropped
+    vals = (bounds + seg_base[:, None]).astype(seq_segs.dtype)
+    seq_segs_fx = seq_segs.at[win_i[:, None], cols].set(vals, mode="drop")
+
+    fit = _stage_fit(norm, rows, rsrtr, seq_segs_fx, rm, rs, seq_lens,
+                     samp, tri, do_fit=do_fit, sampled=sampled,
+                     shift_thresh=shift_thresh, scale_thresh=scale_thresh)
+    return bounds, fail, fit
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -1118,28 +1180,47 @@ class BatchedResquiggler:
                 with _sub("seg_pack"):
                     total = int(sig_lens.sum())
                     flat8 = np.zeros(_geo_bucket(total), np.int8)
-                    firsts = np.zeros(B, np.int16)
-                    offs = np.zeros(B, np.int32)
-                    exc_dest_l, exc_res_l = [], []
-                    o = 0
-                    for i, s in enumerate(live):
-                        first, d8, epos, eres = s.delta8()
-                        n = d8.shape[0]
-                        flat8[o:o + n] = d8
-                        firsts[i] = first
-                        offs[i] = o
-                        o += n
-                        if epos.shape[0]:
-                            exc_dest_l.append(epos + 1 + i * S_max)
-                            exc_res_l.append(eres)
-                        s.dev_row = i
-                    n_exc = sum(e.shape[0] for e in exc_dest_l)
-                    E_b = _geo_bucket(max(n_exc, 1), lo=1 << 10)
-                    exc_dest = np.zeros(E_b, np.int32)
-                    exc_res = np.zeros(E_b, np.int32)
-                    if n_exc:
-                        exc_dest[:n_exc] = np.concatenate(exc_dest_l)
-                        exc_res[:n_exc] = np.concatenate(exc_res_l)
+                    d8_lens = np.maximum(sig_lens - 1, 0)
+                    offs = np.zeros(B, np.int64)
+                    np.cumsum(d8_lens[:-1], out=offs[1:])
+                    from .. import native as _nat
+                    raws = [np.ascontiguousarray(s.raw_i16) for s in live]
+                    nat_out = _nat.pack_delta8_batch(
+                        raws, sig_lens, flat8, offs)
+                    if nat_out is not None:
+                        # threaded native pass: diff+clip+escape extraction
+                        # in one sweep (was ~0.25 ms/read of numpy loops)
+                        firsts, exc_rd, exc_pos, eres_np = nat_out
+                        for i, s in enumerate(live):
+                            s.dev_row = i
+                        n_exc = exc_rd.shape[0]
+                        E_b = _geo_bucket(max(n_exc, 1), lo=1 << 10)
+                        exc_dest = np.zeros(E_b, np.int32)
+                        exc_res = np.zeros(E_b, np.int32)
+                        if n_exc:
+                            exc_dest[:n_exc] = (exc_pos + 1 +
+                                                exc_rd * S_max)
+                            exc_res[:n_exc] = eres_np
+                    else:
+                        firsts = np.zeros(B, np.int16)
+                        exc_dest_l, exc_res_l = [], []
+                        for i, s in enumerate(live):
+                            first, d8, epos, eres = s.delta8()
+                            o = offs[i]
+                            flat8[o:o + d8.shape[0]] = d8
+                            firsts[i] = first
+                            if epos.shape[0]:
+                                exc_dest_l.append(epos + 1 + i * S_max)
+                                exc_res_l.append(eres)
+                            s.dev_row = i
+                        n_exc = sum(e.shape[0] for e in exc_dest_l)
+                        E_b = _geo_bucket(max(n_exc, 1), lo=1 << 10)
+                        exc_dest = np.zeros(E_b, np.int32)
+                        exc_res = np.zeros(E_b, np.int32)
+                        if n_exc:
+                            exc_dest[:n_exc] = np.concatenate(exc_dest_l)
+                            exc_res[:n_exc] = np.concatenate(exc_res_l)
+                    offs = offs.astype(np.int32)
                 with _sub("seg_upload"):
                     flat_j = jnp.asarray(flat8)
                     exc_d_j = jnp.asarray(exc_dest)
@@ -1817,18 +1898,21 @@ class BatchedResquiggler:
                 ctx["cpts"], rows_j, clips_j, segs_j, seq_lens_j,
                 dp_args[1], n_rows=L_max)
             # fused device fit: event means + exact Theil-Sen + score +
-            # changed mask ride the DP device program, freeing the host
-            # finalize hot path — but its result is CONSUMED only by reads
-            # without zero-length segments (the reference fits AFTER the
-            # raw-signal deletion fix, reference: tombo/resquiggle.py:
-            # 1168-1195, so has_del reads must use the host lane).  On
-            # real nanopore dwell distributions nearly every read has a
-            # deletion window, making the ~60 ms/batch selection pure
-            # waste; the gate tracks the observed has_del rate and skips
-            # the fit once it is majority-del (TOMBO_TPU_DEV_FIT=0/1
-            # forces it off/on).
+            # changed mask on device.  The reference fits AFTER the
+            # raw-signal deletion fix (tombo/resquiggle.py:1168-1195), so
+            # with the device deletion fix available (ops/delfix.py) the
+            # fit runs in a SECOND dispatch on the fixed segment table
+            # and serves every read; without it (f64 oracle mode, mesh,
+            # TOMBO_TPU_DEV_DELFIX=0) the fit rides this dispatch but is
+            # consumed only by no-deletion reads, gated by the observed
+            # has_del rate (TOMBO_TPU_DEV_FIT=0/1 forces it off/on).
             fit_env = os.environ.get("TOMBO_TPU_DEV_FIT", "")
+            use_dev_delfix = (
+                self.dtype != jnp.float64 and self.mesh is None and
+                ctx.get("norm") is not None and fit_env != "0" and
+                os.environ.get("TOMBO_TPU_DEV_DELFIX", "1") == "1")
             use_dev_fit = (
+                not use_dev_delfix and
                 self.dtype != jnp.float64 and
                 ctx.get("norm") is not None and fit_env != "0" and
                 (fit_env == "1" or not self._fit_mostly_wasted()))
@@ -1932,6 +2016,151 @@ class BatchedResquiggler:
             s.dp_segs = seq_segs
             s.dp_rsrtr = rsrtr
 
+        if use_dev_fin and use_dev_delfix:
+            self._delfix_and_fit(
+                live, ctx, rows_j, rsrtr_j, seq_segs_j, dp_args[2],
+                dp_args[3], seq_lens_j, B, B_pad)
+
+    def _delfix_and_fit(self, live, ctx, rows_j, rsrtr_j, seq_segs_j,
+                        rm_j, rs_j, seq_lens_j, B, B_pad):
+        """Second device dispatch of the adaptive stage: batched raw-
+        signal deletion fix + rescale fit on the FIXED segment table
+        (reference ordering: tombo/resquiggle.py:1168-1195).  Windows are
+        planned host-side from the fetched segment tables (cheap integer
+        scans); reads whose windows exceed the device buckets route to
+        the host native finalize lane unchanged."""
+        import types as _pytypes
+        p = self.params
+        win_i, win_bs, win_nb, win_t, win_rel = [], [], [], [], []
+        fit_reads = []
+        with _sub("delfix_plan"):
+            for i, s in enumerate(live):
+                if (s.error is not None or s.use_static or
+                        not hasattr(s, "dp_segs")):
+                    continue
+                if not s.has_del:
+                    fit_reads.append(s)
+                    continue
+                try:
+                    windows = rsq.plan_del_fix_windows(
+                        _pytypes.SimpleNamespace(segs=s.dp_segs), p)
+                except TomboTpuError as e:
+                    s.error = str(e)
+                    continue
+                if not windows:
+                    s.has_del = False
+                    fit_reads.append(s)
+                    continue
+                segs = s.dp_segs
+                if not all((we - ws) <= _DELFIX_NB_CAP and
+                           (segs[we] - segs[ws]) <= _DELFIX_T_CAP
+                           for ws, we in windows):
+                    s._host_fin = True      # host native finalize lane
+                    continue
+                s._del_windows = (windows, len(win_i))
+                for ws, we in windows:
+                    win_i.append(i)
+                    win_bs.append(ws)
+                    win_nb.append(we - ws)
+                    win_t.append(int(segs[we] - segs[ws]))
+                    win_rel.append(int(segs[ws]))
+                fit_reads.append(s)
+        if not fit_reads:
+            return
+        NW = len(win_i)
+
+        max_n = config.MAX_POINTS_FOR_THEIL_SEN
+        sampled = any(s.ref_means.shape[0] > max_n for s in live)
+        if sampled:
+            samp_np = np.zeros((B, max_n), np.int32)
+            for i, s in enumerate(live):
+                n = s.ref_means.shape[0]
+                if n > max_n:
+                    samp_np[i] = _ts_sample_idx(n, max_n)
+                else:
+                    samp_np[i, :n] = np.arange(n, dtype=np.int32)
+            samp_j = self._up(samp_np, B_pad)
+        else:
+            samp_j = jnp.zeros((1, 1), jnp.int32)
+        L_max = seq_segs_j.shape[1] - 1
+        tri_j = rescale_ops.tri_indices(max_n if sampled else L_max)
+
+        nb_pad = next(b for b in (8, 16, _DELFIX_NB_CAP)
+                      if b >= max(win_nb or [2]))
+        t_pad = next(b for b in (128, 256, _DELFIX_T_CAP)
+                     if b >= max(win_t or [2]))
+        # coarse window-count buckets: each (NW_pad, nb_pad, t_pad) combo
+        # compiles its own program (~20-40 s cold over the tunnel), and
+        # padded windows cost ~nothing, so favor few fat shapes
+        NW_pad = _pow2_bucket(max(NW, 1), 512)
+        wi = np.zeros(NW_pad, np.int32)
+        wbs = np.zeros(NW_pad, np.int32)
+        wnb = np.zeros(NW_pad, np.int32)
+        wt = np.full(NW_pad, 2, np.int32)
+        wrel = np.zeros(NW_pad, np.int32)
+        wi[:NW] = win_i
+        wbs[:NW] = win_bs
+        wnb[:NW] = win_nb
+        wt[:NW] = win_t
+        wrel[:NW] = win_rel
+        up = (jnp.asarray(wi), jnp.asarray(wbs), jnp.asarray(wnb),
+              jnp.asarray(wt), jnp.asarray(wrel))
+        if _profiling():
+            TRANSFER_BYTES["upload"] += sum(a.nbytes for a in up)
+        mhz = p.max_half_z_score
+        bounds_j, fail_j, fit = _stage_delfix_fit(
+            ctx["norm"], rows_j, rsrtr_j, seq_segs_j, rm_j, rs_j,
+            seq_lens_j, *up, float(mhz if mhz is not None else 0.0),
+            samp_j, tri_j, nb_pad=nb_pad, t_pad=t_pad,
+            min_obs=p.raw_min_obs_per_base, winsorize=mhz is not None,
+            do_fit=not self.skip_seq_scaling, sampled=sampled,
+            shift_thresh=float(config.SHIFT_CHANGE_THRESH),
+            scale_thresh=float(config.SCALE_CHANGE_THRESH))
+        shc_j, scc_j, fscore_j, fchanged_j, fok_j = fit
+        pk = jnp.stack([a.astype(jnp.float32) for a in (
+            shc_j, scc_j, fscore_j, fchanged_j, fok_j)])
+        bounds, fail, pk = _fetch(
+            bounds_j.astype(jnp.int16), fail_j, pk)
+        f_shc, f_scc, f_score, f_changed, f_ok = pk
+
+        with _sub("delfix_apply"):
+            for s in fit_reads:
+                dw = getattr(s, "_del_windows", None)
+                if dw is not None:
+                    windows, w0 = dw
+                    segs = s.dp_segs
+                    ok = True
+                    for k, (ws, we) in enumerate(windows):
+                        if fail[w0 + k]:
+                            s.error = ("Raw-signal traceback failed to "
+                                       "find boundary")
+                            ok = False
+                            break
+                        segs[ws + 1:we] = (
+                            bounds[w0 + k, :we - ws - 1].astype(np.int64)
+                            + segs[ws])
+                    if not ok:
+                        continue
+                    # reference validity checks
+                    # (tombo/resquiggle.py:470-500 via apply_del_fix)
+                    if np.diff(segs).min() < 1:
+                        s.error = ("New segments include zero length "
+                                   "events")
+                        continue
+                    if segs[0] < 0:
+                        s.error = "New segments start with negative index"
+                        continue
+                    s.del_fixed = True
+            # fit scalars: indexed by live position
+            fit_ids = {id(s) for s in fit_reads}
+            for i, s in enumerate(live):
+                if (s.error is None and id(s) in fit_ids and
+                        (s.has_del is False or
+                         getattr(s, "del_fixed", False))):
+                    s._dev_fit = (float(f_shc[i]), float(f_scc[i]),
+                                  float(f_score[i]), bool(f_changed[i]),
+                                  bool(f_ok[i]))
+
     @_timed_stage("static")
     def _static_reads(self, states: List[_ReadState], ctx):
         """Short-read static-band fallback (host; rare)."""
@@ -2018,7 +2247,8 @@ class BatchedResquiggler:
                 s.error = s.error or "DP did not produce a path"
                 continue
             dev_fit = getattr(s, "_dev_fit", None)
-            if dev_fit is not None and s.has_del is False:
+            if dev_fit is not None and (s.has_del is False or
+                                        getattr(s, "del_fixed", False)):
                 # fitted on device; defer all O(signal) host work to
                 # assembly (pass C)
                 s._dp_res = DpResults(
@@ -2425,7 +2655,8 @@ class BatchedResquiggler:
                 if hasattr(s, "dp_segs"):
                     del s.dp_segs
                 for attr in ("_dev_fit", "_dev_score", "_score_corr",
-                             "_sv_pre", "_ev_means_pre"):
+                             "_sv_pre", "_ev_means_pre", "del_fixed",
+                             "_del_windows", "_host_fin"):
                     if hasattr(s, attr):
                         delattr(s, attr)
             self._run_pass(redo, will_retry=it < max_scaling_iters - 2)
