@@ -2033,6 +2033,8 @@ class BatchedResquiggler:
         p = self.params
         win_i, win_bs, win_nb, win_t, win_rel = [], [], [], [], []
         fit_reads = []
+        w = rsq.DEL_FIX_WINDOW
+        min_sig_per_base = p.raw_min_obs_per_base * rsq.EXTRA_SIG_FACTOR
         with _sub("delfix_plan"):
             for i, s in enumerate(live):
                 if (s.error is not None or s.use_static or
@@ -2041,29 +2043,55 @@ class BatchedResquiggler:
                 if not s.has_del:
                     fit_reads.append(s)
                     continue
-                try:
-                    windows = rsq.plan_del_fix_windows(
-                        _pytypes.SimpleNamespace(segs=s.dp_segs), p)
-                except TomboTpuError as e:
-                    s.error = str(e)
-                    continue
-                if not windows:
+                segs = s.dp_segs
+                # vectorized fast path of plan_del_fix_windows: clusters
+                # of deletions with gaps > 2w+1 map one-to-one to merged
+                # windows, and a window is final unless too small (DNA
+                # dwell ~7 samples/base vs a min-obs budget of ~1.1
+                # samples/base makes expansion vanishingly rare) —
+                # anything else falls back to the exact host planner
+                dels = np.flatnonzero(np.diff(segs) == 0)
+                if dels.size == 0:
                     s.has_del = False
                     fit_reads.append(s)
                     continue
-                segs = s.dp_segs
-                if not all((we - ws) <= _DELFIX_NB_CAP and
-                           (segs[we] - segs[ws]) <= _DELFIX_T_CAP
-                           for ws, we in windows):
+                # extend the open window while del_pos < prev_del + 2w+1
+                # (reference merge rule), i.e. cluster-break at gap > 2w
+                brk = np.flatnonzero(np.diff(dels) > 2 * w) + 1
+                first = dels[np.concatenate([[0], brk])]
+                last = dels[np.concatenate([brk - 1, [dels.shape[0] - 1]])]
+                ws_arr = np.maximum(first - w, 0)
+                we_arr = np.minimum(last + w + 1, segs.shape[0] - 1)
+                n_ev = we_arr - ws_arr
+                sig_len = segs[we_arr] - segs[ws_arr]
+                if np.any(sig_len <= (n_ev + 1) * min_sig_per_base):
+                    # possible expansion: exact (loop) planner
+                    try:
+                        windows = rsq.plan_del_fix_windows(
+                            _pytypes.SimpleNamespace(segs=segs), p)
+                    except TomboTpuError as e:
+                        s.error = str(e)
+                        continue
+                    if not windows:
+                        s.has_del = False
+                        fit_reads.append(s)
+                        continue
+                    ws_arr = np.array([a for a, _ in windows])
+                    we_arr = np.array([b for _, b in windows])
+                    n_ev = we_arr - ws_arr
+                    sig_len = segs[we_arr] - segs[ws_arr]
+                if (n_ev.max() > _DELFIX_NB_CAP or
+                        sig_len.max() > _DELFIX_T_CAP):
                     s._host_fin = True      # host native finalize lane
                     continue
-                s._del_windows = (windows, len(win_i))
-                for ws, we in windows:
-                    win_i.append(i)
-                    win_bs.append(ws)
-                    win_nb.append(we - ws)
-                    win_t.append(int(segs[we] - segs[ws]))
-                    win_rel.append(int(segs[ws]))
+                s._del_windows = (list(zip(ws_arr.tolist(),
+                                           we_arr.tolist())),
+                                  len(win_i))
+                win_i.extend([i] * ws_arr.shape[0])
+                win_bs.extend(ws_arr.tolist())
+                win_nb.extend(n_ev.tolist())
+                win_t.extend(sig_len.tolist())
+                win_rel.extend(segs[ws_arr].tolist())
                 fit_reads.append(s)
         if not fit_reads:
             return
@@ -2085,10 +2113,11 @@ class BatchedResquiggler:
         L_max = seq_segs_j.shape[1] - 1
         tri_j = rescale_ops.tri_indices(max_n if sampled else L_max)
 
-        nb_pad = next(b for b in (8, 16, _DELFIX_NB_CAP)
-                      if b >= max(win_nb or [2]))
-        t_pad = next(b for b in (128, 256, _DELFIX_T_CAP)
-                     if b >= max(win_t or [2]))
+        # one fat default shape: batches flip-flopping between buckets
+        # cost a compilation-cache reload (~0.3 s) per flip over the
+        # tunnel, far more than the padded lanes cost to compute
+        nb_pad = (16 if max(win_nb or [2]) <= 16 else _DELFIX_NB_CAP)
+        t_pad = (256 if max(win_t or [2]) <= 256 else _DELFIX_T_CAP)
         # coarse window-count buckets: each (NW_pad, nb_pad, t_pad) combo
         # compiles its own program (~20-40 s cold over the tunnel), and
         # padded windows cost ~nothing, so favor few fat shapes
