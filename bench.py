@@ -138,7 +138,11 @@ def bench_stats():
     from tombo_tpu.stats import detect as dt
     from tombo_tpu.testing import make_synthetic_dataset
 
-    n_reads, read_len, ref_len = 400, 2000, 100000
+    # ~32x coverage: real detection datasets run 25-100x (the reference
+    # docs recommend >25x for fraction estimates); at the old 4x the
+    # device lane's fixed per-SITE costs (counts fetch, host unpack)
+    # dominated its per-site-OBS throughput
+    n_reads, read_len, ref_len = 400, 2000, 25000
     with tempfile.TemporaryDirectory() as tmp:
         fasta, _, fast5_dir = make_synthetic_dataset(
             tmp, n_reads=n_reads, seed=7, read_len=read_len, ref_len=ref_len)
@@ -196,10 +200,16 @@ def bench_stats():
         # device dispatch per ~1.5M site-obs (regions pre-loaded, no I/O
         # in the timed window)
         try:
+            # fresh RegionData for the device jobs: the preloaded host
+            # `regions` pin numpy levels, which would bypass the fused
+            # device-resident means path (stats/device_levels.py) the
+            # lane is designed around
             jobs = []
             for reg in regions:
+                dreg = dt.RegionData(reg.chrm, reg.strand, reg.start,
+                                     reg.end).add_reads(index)
                 try:
-                    jobs.append(dt._device_region_job(reg, params, None,
+                    jobs.append(dt._device_region_job(dreg, params, None,
                                                       fasta, model))
                 except Exception:  # noqa: BLE001 (empty regions)
                     jobs.append(None)

@@ -710,7 +710,11 @@ def _stage_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens, samp, tri,
     valid = jnp.arange(L, dtype=jnp.int32)[None, :] < sl32[:, None]
     score = (jnp.sum(jnp.where(valid, jnp.abs((em_s - rm) / rs), 0.0),
                      axis=1) / jnp.maximum(sl32, 1))
-    return shift_corr, scale_corr, score, changed, fit_ok
+    # em_s are the FINAL (rescaled) event means — identical (f32 ulp) to
+    # the values the writeback recomputes; kept device-resident so a
+    # following detection pass never re-uploads levels
+    # (stats/device_levels.py)
+    return shift_corr, scale_corr, score, changed, fit_ok, em_s
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -766,7 +770,7 @@ def _stage_delfix_fit(norm, rows, rsrtr, seq_segs, rm, rs, seq_lens,
     fit = _stage_fit(norm, rows, rsrtr, seq_segs_fx, rm, rs, seq_lens,
                      samp, tri, do_fit=do_fit, sampled=sampled,
                      shift_thresh=shift_thresh, scale_thresh=scale_thresh)
-    return bounds, fail, fit
+    return (bounds, fail) + fit
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
@@ -1940,7 +1944,8 @@ class BatchedResquiggler:
                 # pair-index vectors enter as runtime args (device-cached):
                 # baked-in multi-MB HLO constants slow compilation badly
                 tri_j = rescale_ops.tri_indices(max_n if sampled else L_max)
-                (shc_j, scc_j, fscore_j, fchanged_j, fok_j) = _stage_fit(
+                (shc_j, scc_j, fscore_j, fchanged_j, fok_j,
+                 _em_unused) = _stage_fit(
                     ctx["norm"], rows_j, rsrtr_j, seq_segs_j, dp_args[2],
                     dp_args[3], seq_lens_j, samp_j, tri_j,
                     do_fit=not self.skip_seq_scaling, sampled=sampled,
@@ -2137,7 +2142,8 @@ class BatchedResquiggler:
         if _profiling():
             TRANSFER_BYTES["upload"] += sum(a.nbytes for a in up)
         mhz = p.max_half_z_score
-        bounds_j, fail_j, fit = _stage_delfix_fit(
+        (bounds_j, fail_j, shc_j, scc_j, fscore_j, fchanged_j, fok_j,
+         em_j) = _stage_delfix_fit(
             ctx["norm"], rows_j, rsrtr_j, seq_segs_j, rm_j, rs_j,
             seq_lens_j, *up, float(mhz if mhz is not None else 0.0),
             samp_j, tri_j, nb_pad=nb_pad, t_pad=t_pad,
@@ -2145,7 +2151,6 @@ class BatchedResquiggler:
             do_fit=not self.skip_seq_scaling, sampled=sampled,
             shift_thresh=float(config.SHIFT_CHANGE_THRESH),
             scale_thresh=float(config.SCALE_CHANGE_THRESH))
-        shc_j, scc_j, fscore_j, fchanged_j, fok_j = fit
         pk = jnp.stack([a.astype(jnp.float32) for a in (
             shc_j, scc_j, fscore_j, fchanged_j, fok_j)])
         bounds, fail, pk = _fetch(
@@ -2182,6 +2187,7 @@ class BatchedResquiggler:
                     s.del_fixed = True
             # fit scalars: indexed by live position
             fit_ids = {id(s) for s in fit_reads}
+            lvl_entries = []
             for i, s in enumerate(live):
                 if (s.error is None and id(s) in fit_ids and
                         (s.has_del is False or
@@ -2189,6 +2195,14 @@ class BatchedResquiggler:
                     s._dev_fit = (float(f_shc[i]), float(f_scc[i]),
                                   float(f_score[i]), bool(f_changed[i]),
                                   bool(f_ok[i]))
+                    if f_ok[i]:
+                        rid = (s.map_res.align_info.read_id
+                               if s.map_res.align_info else "")
+                        lvl_entries.append((rid, i,
+                                            s.ref_means.shape[0]))
+            if lvl_entries:
+                from ..stats import device_levels
+                device_levels.register_batch(em_j, lvl_entries)
 
     @_timed_stage("static")
     def _static_reads(self, states: List[_ReadState], ctx):

@@ -731,7 +731,9 @@ def _device_region_job(reg_data: RegionData, params: TestParams,
     else:
         raise TomboTpuError(
             "Device stats lane supports de_novo and sample_compare only")
-    levels = reg_data.load_levels()
+    # fused resquiggle->detect: device-resident means skip the sidecar
+    # read AND the per-site level upload (stats/device_levels.py)
+    levels = reg_data.load_levels_packed()
     if not levels:
         raise TomboTpuError("Reads contain no statistics in this region.")
     return dict(reg=reg_data, span_lo=span_lo, span_n=span_n,

@@ -79,11 +79,25 @@ def model_test_pvals(r_means, ref_means, ref_sds, valid,
         width = 2 * fm_offset + 1
         logp = jnp.log(jnp.maximum(p, SMALLEST_PVAL))
         s = _window_logp_sum(logp, fm_offset)
-        # chi2.sf(-2s, 2*width) = gammaincc(width, -s)
-        p = gammaincc(jnp.asarray(float(width), dt), -s)
+        p = _chi2_sf_int(-s, width)
     if clamp_after:
         p = jnp.maximum(p, SMALLEST_PVAL)
     return p
+
+
+def _chi2_sf_int(x, width: int):
+    """chi2.sf(2x, 2*width) == Q(width, x) for INTEGER shape, in closed
+    form: Q(n, x) = e^-x * sum_{i<n} x^i/i! — a static ``width``-term
+    polynomial instead of XLA's iterative Igammac loop (which dominated
+    the packed detection kernel's device time; the closed form is the
+    exact value the iteration approximates, so host parity only
+    improves)."""
+    term = jnp.ones_like(x)
+    acc = jnp.ones_like(x)
+    for i in range(1, width):
+        term = term * (x / i)
+        acc = acc + term
+    return jnp.exp(-x) * acc
 
 
 @functools.partial(jax.jit, static_argnames=("mode",))
@@ -149,12 +163,55 @@ def _pow2_at_least(x: int, lo: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=(
     "W", "fm_offset", "clamp_after", "mode", "single_read_thresh",
+    "lower_thresh", "want_pvals", "any_host"))
+def packed_test_and_accumulate_fused(flat, ivec, dev_src, dev_flag,
+                                     dev_srow, dev_scol0, dev_sstep,
+                                     ref_means, ref_sds,
+                                     W: int, fm_offset: int,
+                                     clamp_after: bool,
+                                     single_read_thresh: float,
+                                     lower_thresh: float, mode: str,
+                                     want_pvals: bool, any_host: bool):
+    """``packed_test_and_accumulate`` with the device-resident level
+    gather folded into the SAME dispatch (fused resquiggle->detect:
+    stats/device_levels.py).  ``dev_flag``/``dev_srow``/``dev_scol0``/
+    ``dev_sstep`` align with ``ivec``'s rows; flagged rows build their
+    (B, W) level lanes by gathering the compacted source matrix
+    directly — this REPLACES the body's flat-buffer gather for those
+    rows (an extra per-element pass here measured slower than the
+    upload it saved), and with no host rows in the group the flat
+    buffer is never touched at all."""
+    m_off = ivec[1].astype(jnp.int32)[:, None]
+    col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    rel = col - m_off                                    # (B, W)
+    src_col = jnp.clip(dev_scol0[:, None] + rel * dev_sstep[:, None],
+                       0, dev_src.shape[1] - 1)
+    dev_vals = jnp.take_along_axis(
+        jnp.take(dev_src, dev_srow, axis=0), src_col, axis=1)
+    return _packed_body(flat, ivec, ref_means, ref_sds, W, fm_offset,
+                        clamp_after, single_read_thresh, lower_thresh,
+                        mode, want_pvals,
+                        dev_vals=(dev_vals, dev_flag, any_host))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "W", "fm_offset", "clamp_after", "mode", "single_read_thresh",
     "lower_thresh", "want_pvals"))
 def packed_test_and_accumulate(flat, ivec, ref_means, ref_sds,
                                W: int, fm_offset: int, clamp_after: bool,
                                single_read_thresh: float,
                                lower_thresh: float, mode: str,
                                want_pvals: bool):
+    return _packed_body(flat, ivec, ref_means, ref_sds, W, fm_offset,
+                        clamp_after, single_read_thresh, lower_thresh,
+                        mode, want_pvals)
+
+
+def _packed_body(flat, ivec, ref_means, ref_sds,
+                 W: int, fm_offset: int, clamp_after: bool,
+                 single_read_thresh: float,
+                 lower_thresh: float, mode: str,
+                 want_pvals: bool, dev_vals=None):
     """Fused packed-row test + per-(sub-span, site) reduction.
 
     Rows arrive RAGGED: ``flat`` concatenates each row's real level
@@ -187,11 +244,23 @@ def packed_test_and_accumulate(flat, ivec, ref_means, ref_sds,
     col = jnp.arange(W, dtype=jnp.int32)[None, :]
     m_off = m_off.astype(jnp.int32)[:, None]
     valid_m = (col >= m_off) & (col < m_off + m_len.astype(jnp.int32)[:, None])
-    idx = offs.astype(jnp.int32)[:, None] + (col - m_off)
-    r_means = jnp.where(
-        valid_m,
-        jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1)),
-        jnp.asarray(jnp.nan, flat.dtype))
+    if dev_vals is not None:
+        dvals, dflag, any_host = dev_vals
+        nan = jnp.asarray(jnp.nan, dvals.dtype)
+        if any_host:
+            idx = offs.astype(jnp.int32)[:, None] + (col - m_off)
+            hvals = jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1))
+            r_means = jnp.where(
+                valid_m,
+                jnp.where(dflag[:, None] != 0, dvals, hvals), nan)
+        else:
+            r_means = jnp.where(valid_m, dvals, nan)
+    else:
+        idx = offs.astype(jnp.int32)[:, None] + (col - m_off)
+        r_means = jnp.where(
+            valid_m,
+            jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1)),
+            jnp.asarray(jnp.nan, flat.dtype))
     zvalid = (col >= zv_lo.astype(jnp.int32)[:, None]) & \
              (col < zv_hi.astype(jnp.int32)[:, None])
     emit = (col >= em_lo.astype(jnp.int32)[:, None]) & \
@@ -219,7 +288,7 @@ def packed_test_and_accumulate(flat, ivec, ref_means, ref_sds,
         width = 2 * fm_offset + 1
         logp = jnp.log(jnp.maximum(p, SMALLEST_PVAL))
         s = _window_logp_sum(logp, fm_offset)
-        p = gammaincc(jnp.asarray(float(width), dt), -s)
+        p = _chi2_sf_int(-s, width)
     if clamp_after:
         p = jnp.maximum(p, SMALLEST_PVAL)
     ok = emit & ~jnp.isnan(p)
@@ -241,6 +310,50 @@ def packed_test_and_accumulate(flat, ivec, ref_means, ref_sds,
     return counts.astype(jnp.uint8), over, counts, out_p
 
 
+@functools.partial(jax.jit, static_argnames=("total_pad",))
+def _scatter_levels_jit(flat, src, dest, srow, scol0, sstep, lens,
+                        total_pad: int):
+    """Expand per-row (dest, src_row, src_col0, step, len) ranges on
+    device and scatter the gathered level values into the flat packed
+    buffer — the wire carries ~16 bytes per read-region intersection
+    instead of 4 bytes per site-observation (fused resquiggle->detect;
+    reference being beaten: per-test Events re-reads,
+    tombo/tombo_stats.py:3705,3803,4013)."""
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(lens).astype(jnp.int32)])
+    e = jnp.arange(total_pad, dtype=jnp.int32)
+    k = jnp.clip(jnp.searchsorted(cum, e, side="right") - 1, 0,
+                 lens.shape[0] - 1)
+    within = e - cum[k]
+    valid = e < cum[-1]
+    col = jnp.clip(scol0[k] + within * sstep[k], 0, src.shape[1] - 1)
+    vals = src[srow[k], col].astype(flat.dtype)
+    dest_idx = jnp.where(valid, dest[k] + within,
+                         jnp.int32(flat.shape[0] + 1))
+    return flat.at[dest_idx].set(vals, mode="drop")
+
+
+def _scatter_dev_levels(flat_j, arr, rows_g):
+    """Scatter one source array's device-resident rows into ``flat_j``;
+    row-count and total-site shapes are pow2-bucketed so repeated
+    dispatches reuse compiled programs."""
+    R = len(rows_g)
+    Rp = _pow2_at_least(R, 32)
+    dest = np.zeros(Rp, np.int32)
+    srow = np.zeros(Rp, np.int32)
+    scol0 = np.zeros(Rp, np.int32)
+    sstep = np.ones(Rp, np.int32)
+    lens = np.zeros(Rp, np.int32)
+    for j, (o, sr, c0, st, n) in enumerate(rows_g):
+        dest[j], srow[j], scol0[j], sstep[j], lens[j] = o, sr, c0, st, n
+    total = int(lens.sum())
+    total_pad = _pow2_at_least(max(total, 1), 1 << 12)
+    return _scatter_levels_jit(
+        flat_j, arr, jnp.asarray(dest), jnp.asarray(srow),
+        jnp.asarray(scol0), jnp.asarray(sstep), jnp.asarray(lens),
+        total_pad)
+
+
 class PackedRegionBatch:
     """Host-side packer: region jobs -> device inputs -> per-region
     dense accumulators (and per-read stat streams)."""
@@ -252,7 +365,8 @@ class PackedRegionBatch:
         self.core = core or int(os.environ.get(
             "TOMBO_TPU_STATS_SUBSPAN", "4096"))
         self.W = self.core + 2 * self.fm
-        self.rows = []          # (means_slice, emit_lo, emit_hi, sid)
+        self.rows = []          # (means_slice | site count, ..., sid)
+        self.row_dev = []       # per row: None | (arr, row, src0, step)
         self.row_meta = []      # (job_idx, read_idx, col0_abs)
         self.subs = []          # (job_idx, c_lo, c_hi, ref_m, ref_s)
         # codes mode: (means, sds) model arrays; sub-spans then carry
@@ -287,9 +401,12 @@ class PackedRegionBatch:
         reads = []
         for ridx, rl in enumerate(levels):
             r = rl.r_data
-            m = rl.means
-            if r.strand == "-":
-                m = m[::-1]
+            if rl.dev is not None:
+                m = None          # device-resident: gathered at dispatch
+            else:
+                m = rl.means
+                if r.strand == "-":
+                    m = m[::-1]
             g_lo = max(r.start, span_lo, place_lo)
             g_hi = min(r.end, span_lo + span_n, place_hi)
             if g_hi <= g_lo:
@@ -300,7 +417,8 @@ class PackedRegionBatch:
             e_hi = min(g_hi, c_hi_r - end_lag)
             if e_hi <= e_lo:
                 continue
-            reads.append((ridx, r.start, g_lo, g_hi, e_lo, e_hi, m))
+            reads.append((ridx, r.start, g_lo, g_hi, e_lo, e_hi, m,
+                          rl.dev, r.strand, r.end - r.start))
         n_sub = -(-span_n // core)
         for j in range(n_sub):
             c_lo = span_lo + j * core
@@ -326,7 +444,8 @@ class PackedRegionBatch:
                     rs[lo - col0:hi - col0] = ref_sds[lo - span_lo:
                                                       hi - span_lo]
                 self.subs.append((job_idx, c_lo, c_hi, rm, rs))
-            for ridx, r_start, g_lo, g_hi, e_lo, e_hi, m in reads:
+            for (ridx, r_start, g_lo, g_hi, e_lo, e_hi, m, dev, strand,
+                 r_len) in reads:
                 m_lo = max(g_lo, col0)
                 m_hi = min(g_hi, col0 + self.W)
                 em_lo = max(e_lo, c_lo)
@@ -335,13 +454,32 @@ class PackedRegionBatch:
                 zv_hi = min(e_hi, col0 + self.W)
                 if em_hi <= em_lo or m_hi <= m_lo:
                     continue
-                self.rows.append((m[m_lo - r_start:m_hi - r_start],
-                                  m_lo - col0, zv_lo - col0, zv_hi - col0,
-                                  em_lo - col0, em_hi - col0, sid))
+                if dev is not None:
+                    # genome position g maps to read-centric column
+                    # (g - r_start) on '+', (L-1 - (g - r_start)) on '-'
+                    if strand == "-":
+                        src0, step = r_len - 1 - (m_lo - r_start), -1
+                    else:
+                        src0, step = m_lo - r_start, 1
+                    self.rows.append((m_hi - m_lo,
+                                      m_lo - col0, zv_lo - col0,
+                                      zv_hi - col0, em_lo - col0,
+                                      em_hi - col0, sid))
+                    self.row_dev.append((dev[0], int(dev[1]), src0, step))
+                else:
+                    self.rows.append((m[m_lo - r_start:m_hi - r_start],
+                                      m_lo - col0, zv_lo - col0,
+                                      zv_hi - col0, em_lo - col0,
+                                      em_hi - col0, sid))
+                    self.row_dev.append(None)
                 self.row_meta.append((job_idx, ridx, col0))
 
+    @staticmethod
+    def _row_len(r0) -> int:
+        return r0 if isinstance(r0, int) else r0.shape[0]
+
     def site_obs(self) -> int:
-        return sum(r[0].shape[0] for r in self.rows)
+        return sum(self._row_len(r[0]) for r in self.rows)
 
     def dispatch(self, fm_offset, clamp_after, single_read_thresh,
                  lower_thresh, mode, want_pvals,
@@ -377,21 +515,34 @@ class PackedRegionBatch:
             Sg = g_s1 - g_s0
             Bp = _pow2_at_least(max(Bg, 1), 128)
             Sp = _round_up(Sg, 8)
-            total = sum(self.rows[i][0].shape[0] for i in range(r0, r1))
+            total = sum(self._row_len(self.rows[i][0])
+                        for i in range(r0, r1))
             Fp = _pow2_at_least(max(total, 1), 1 << 12)
             flat = np.zeros(Fp, dt)
             ivec = np.zeros((8, Bp), np.int32)
             (offs, m_off, m_len, zv_lo, zv_hi, em_lo, em_hi,
              sid) = ivec
+            # device-resident rows, grouped by source array: the flat
+            # buffer slots are reserved here and filled by an on-chip
+            # range gather after upload (fused resquiggle->detect path)
+            dev_groups: dict = {}
+            any_host = False
             o = 0
             for i in range(r0, r1):
                 m, mo, zl, zh, el, eh, s = self.rows[i]
                 j = i - r0
-                flat[o:o + m.shape[0]] = m
+                n = self._row_len(m)
+                if isinstance(m, int):
+                    arr, srow, src0, step = self.row_dev[i]
+                    dev_groups.setdefault(id(arr), (arr, []))[1].append(
+                        (o, srow, src0, step, n))
+                else:
+                    flat[o:o + n] = m
+                    any_host = True
                 offs[j] = o
                 m_off[j] = mo
-                m_len[j] = m.shape[0]
-                o += m.shape[0]
+                m_len[j] = n
+                o += n
                 zv_lo[j], zv_hi[j], em_lo[j], em_hi[j] = zl, zh, el, eh
                 sid[j] = s - g_s0
             if self.table is not None:
@@ -410,11 +561,46 @@ class PackedRegionBatch:
                     ref_s[s - g_s0] = self.subs[s][4]
                 ref_a = jnp.asarray(ref_m)
                 ref_b = jnp.asarray(ref_s)
-            u8, over, counts32, pv = packed_test_and_accumulate(
-                jnp.asarray(flat), jnp.asarray(ivec), ref_a, ref_b,
-                self.W, fm_offset, clamp_after,
-                float(single_read_thresh), float(lower_thresh), mode,
-                want_pvals)
+            if len(dev_groups) == 1:
+                # single compacted source (the common fused case): the
+                # gather rides the test dispatch itself — zero extra
+                # device calls, zero level bytes on the wire.  Metadata
+                # aligns with ivec's rows; pad rows get offs = total so
+                # the row-partition ends stay sorted for searchsorted.
+                arr, rows_g = next(iter(dev_groups.values()))
+                offs[Bg:] = o
+                dflag = np.zeros(Bp, np.int32)
+                dsrow = np.zeros(Bp, np.int32)
+                dscol = np.zeros(Bp, np.int32)
+                dstep = np.ones(Bp, np.int32)
+                rg = iter(rows_g)
+                for i in range(r0, r1):
+                    if isinstance(self.rows[i][0], int):
+                        o2, sr, c0, st2, n2 = next(rg)
+                        j2 = i - r0
+                        dflag[j2], dsrow[j2] = 1, sr
+                        dscol[j2], dstep[j2] = c0, st2
+                # all-device groups ship NO level buffer at all (a
+                # 1-element dummy stands in; the body never reads it)
+                flat_j = (jnp.zeros(1, dt) if not any_host
+                          else jnp.asarray(flat))
+                u8, over, counts32, pv = packed_test_and_accumulate_fused(
+                    flat_j, jnp.asarray(ivec), arr,
+                    jnp.asarray(dflag), jnp.asarray(dsrow),
+                    jnp.asarray(dscol), jnp.asarray(dstep),
+                    ref_a, ref_b,
+                    self.W, fm_offset, clamp_after,
+                    float(single_read_thresh), float(lower_thresh), mode,
+                    want_pvals, any_host)
+            else:
+                flat_j = jnp.asarray(flat)
+                for arr, rows_g in dev_groups.values():
+                    flat_j = _scatter_dev_levels(flat_j, arr, rows_g)
+                u8, over, counts32, pv = packed_test_and_accumulate(
+                    flat_j, jnp.asarray(ivec), ref_a, ref_b,
+                    self.W, fm_offset, clamp_after,
+                    float(single_read_thresh), float(lower_thresh), mode,
+                    want_pvals)
             for a in ((u8, over, pv) if want_pvals else (u8, over)):
                 try:
                     a.copy_to_host_async()

@@ -46,6 +46,10 @@ class ReadLevels:
     means: np.ndarray              # read-centric order
     seq: Optional[str] = None      # read-centric sequence
     read_id: Optional[str] = None
+    # device-resident means handle (array, row) from the fused
+    # resquiggle->detect path (stats/device_levels.py); when set,
+    # ``means`` may be None and the packed lane gathers on-chip
+    dev: Optional[tuple] = None
 
 
 def _load_levels_raw(r_data: ReadData):
@@ -141,6 +145,54 @@ class RegionData:
                     lambda r: _safe_load(r, with_seq), self.reads))
             self._levels = [r for r in out if r is not None]
         return self._levels
+
+    def load_levels_packed(self) -> List[ReadLevels]:
+        """Levels for the packed device lane: reads whose event means are
+        still device-resident from this process's resquiggle run
+        (stats/device_levels.py) return handle-only ReadLevels — no
+        sidecar/FAST5 read, no level upload; the rest load normally.
+        Host consumers (plotting, level tests, x64 oracle mode) keep
+        ``load_levels``."""
+        import os
+
+        import jax
+
+        from . import device_levels
+        # x64 (oracle) mode computes f64 detection statistics; cached f32
+        # means would silently downgrade it, so serve them only on the
+        # f32 production lane (TOMBO_TPU_DEV_LEVELS_FORCE=1 overrides —
+        # the CPU test harness enables x64 globally)
+        forced = os.environ.get("TOMBO_TPU_DEV_LEVELS_FORCE") == "1"
+        if (self._levels is not None or not device_levels.enabled() or
+                (jax.config.jax_enable_x64 and not forced)):
+            return self.load_levels()
+        hits: dict = {}
+        to_load = []
+        for r in self.reads:
+            h = device_levels.lookup(r.read_id, r.end - r.start)
+            if h is not None:
+                hits[id(r)] = h
+            else:
+                to_load.append(r)
+        if not hits:
+            return self.load_levels()
+        loaded = {}
+        if to_load:
+            with ThreadPoolExecutor(_N_IO_THREADS) as pool:
+                for r, rl in zip(to_load,
+                                 pool.map(lambda r: _safe_load(r, False),
+                                          to_load)):
+                    loaded[id(r)] = rl
+        out = []
+        for r in self.reads:
+            h = hits.get(id(r))
+            if h is not None:
+                out.append(ReadLevels(r, None, None, r.read_id, dev=h))
+            else:
+                rl = loaded.get(id(r))
+                if rl is not None:
+                    out.append(rl)
+        return out
 
     def get_base_levels(self) -> np.ndarray:
         """(reg_size, max_cov) genome-oriented level matrix, NaN-padded
