@@ -2545,6 +2545,18 @@ class BatchedResquiggler:
             except TomboTpuError as e:
                 s.error = str(e)
 
+        # host-lane and failed reads must not leave stale device-cached
+        # means behind: stats/device_levels.py serves detection and
+        # estimation, and a surviving entry from an earlier pass would
+        # no longer match what writeback records
+        if self.dtype != jnp.float64:
+            from ..stats import device_levels as _dl
+            for s in states:
+                if ((s.error is not None or
+                     not hasattr(s, "_dev_score")) and
+                        s.map_res.align_info is not None):
+                    _dl.unregister(s.map_res.align_info.read_id)
+
     def _host_norm(self, s: _ReadState, start: int = 0,
                    end: Optional[int] = None) -> np.ndarray:
         """Recompute the normalized signal in float64 from raw + scale

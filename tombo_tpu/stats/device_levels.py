@@ -146,6 +146,21 @@ def lookup(read_id: Optional[str], n_bases: int):
         return b[0], row
 
 
+def unregister(read_id: Optional[str]) -> None:
+    """Drop one read's entry (the read finalized through a host lane or
+    errored after an earlier pass registered it — its cached means no
+    longer match what writeback records)."""
+    if not read_id:
+        return
+    with _lock:
+        hit = _by_read.pop(read_id, None)
+        if hit is None:
+            return
+        b = _batches.get(hit[0])
+        if b is not None:
+            b[1].pop(read_id, None)
+
+
 def clear() -> None:
     global _total_bytes
     with _lock:

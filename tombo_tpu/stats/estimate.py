@@ -218,6 +218,16 @@ def extract_kmer_levels(reads_index, fasta, region_size, cov_thresh,
     for reg in regions:
         reg.add_reads(reads_index)
 
+    # device lane: per-site median/std over stacked levels in one
+    # packed dispatch per region chunk (stats/estimate_device.py);
+    # motif / valid-position variants keep the host lane
+    from . import estimate_device as est_dev
+    if est_dev.enabled() and motif is None and valid_poss is None:
+        with levels_cache.building():
+            return est_dev.get_region_kmer_levels_device(
+                regions, fasta, cov_thresh, upstrm_bases, dnstrm_bases,
+                cs_cov_thresh, est_mean, region_size, rng=rng)
+
     procs_env = os.environ.get("TOMBO_TPU_EST_PROCS", "auto")
     if procs_env == "auto":
         total_bases = sum(r.end - r.start
