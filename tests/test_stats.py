@@ -219,3 +219,50 @@ def test_cov_damp_counts_cli_flag(resquiggled, tmp_path):
         assert _np.allclose(blk["damp_frac"], blk["frac"])
     assert found
     stats.close()
+
+
+def test_packed_level_lane_matches_host(resquiggled):
+    """The packed multi-region device dispatch for the group level tests
+    (round-5: one call per chunk instead of one per region) produces the
+    same stats artifact as the host lane."""
+    import h5py
+
+    tmp, fasta, model, index = resquiggled
+    lv_params = dt.TestParams(stat_type=KS_TEST_TXT, region_size=500,
+                              min_test_reads=2, num_most_signif=500)
+
+    def run(flag, fn):
+        os.environ["TOMBO_TPU_STATS_DEVICE"] = flag
+        try:
+            dt.test_significance(index, lv_params, fn,
+                                 ctrl_reads_index=index, num_processes=2)
+        finally:
+            os.environ.pop("TOMBO_TPU_STATS_DEVICE", None)
+
+    host_fn = os.path.join(tmp, "lv_host.tombo.stats")
+    dev_fn = os.path.join(tmp, "lv_dev.tombo.stats")
+    run("0", host_fn)
+    run("1", dev_fn)
+
+    def load(fn):
+        out = {}
+        with h5py.File(fn, "r") as f:
+            def walk(name, obj):
+                if isinstance(obj, h5py.Dataset):
+                    out[name] = obj[...]
+            f.visititems(walk)
+        return out
+
+    a, b = load(host_fn), load(dev_fn)
+    assert set(a) == set(b)
+    for k in a:
+        if a[k].dtype.names:
+            for fld in a[k].dtype.names:
+                av, bv = a[k][fld], b[k][fld]
+                if av.dtype.kind == "f":
+                    np.testing.assert_allclose(av, bv, rtol=1e-9,
+                                               atol=1e-12)
+                else:
+                    np.testing.assert_array_equal(av, bv)
+        else:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -1010,17 +1010,99 @@ def compute_reg_stats(reg_data: RegionData, params: TestParams,
 # Group (level) testing (reference: tombo/tombo_stats.py:4335-4398)
 # --------------------------------------------------------------------------
 
-def compute_group_reg_stats(reg_data: RegionData,
-                            ctrl_reg_data: RegionData,
-                            params: TestParams):
-    fm_offset = params.fm_offset
-    stat_type = params.stat_type
+def _group_device_tests(samp_p, ctrl_p, stat_type) -> np.ndarray:
+    """One batched device call of the requested level test over a
+    (P, C) padded pair (P may concatenate MANY regions)."""
+    from . import device as dev
+    import jax.numpy as jnp
+    sj, cj = jnp.asarray(samp_p), jnp.asarray(ctrl_p)
+    if stat_type in (KS_TEST_TXT, KS_STAT_TEST_TXT):
+        out = dev.ks_tests(sj, cj, stat_type == KS_STAT_TEST_TXT)
+    elif stat_type in (U_TEST_TXT, U_STAT_TEST_TXT):
+        out = dev.u_tests(sj, cj, stat_type == U_STAT_TEST_TXT)
+    elif stat_type in (T_TEST_TXT, T_STAT_TEST_TXT):
+        out = dev.t_tests(sj, cj, stat_type == T_STAT_TEST_TXT)
+    else:
+        raise TomboTpuError("Unrecognized test type.")
+    return np.asarray(out, np.float64)
+
+
+def _group_levels_pair(reg_data: RegionData, ctrl_reg_data: RegionData,
+                       fm_offset: int):
     samp = reg_data.copy_update(
         reg_data.start - fm_offset,
         reg_data.end + fm_offset).get_base_levels()
     ctrl = ctrl_reg_data.copy_update(
         ctrl_reg_data.start - fm_offset,
         ctrl_reg_data.end + fm_offset).get_base_levels()
+    return samp, ctrl
+
+
+def compute_group_stats_device_batch(jobs, params: TestParams):
+    """Packed level-test lane: ONE device dispatch for a whole chunk of
+    regions (the per-site tests are position-independent, so regions
+    concatenate along the position axis; one call per ~10 kb region
+    previously paid a full link round trip each — reference per-site
+    loops being replaced: tombo/tombo_stats.py:4236-4334).
+
+    jobs: (reg_data, samp, ctrl) or None per region.  Returns one
+    ``compute_group_reg_stats``-shaped result list per job."""
+    from . import device as dev
+    live = [(i, r, s, c) for i, (j) in enumerate(jobs) if j is not None
+            for r, s, c in [j]]
+    if not live:
+        return [[] for _ in jobs]
+    C = max(max(s.shape[1], c.shape[1]) for _, _, s, c in live)
+    C8 = ((C + 7) // 8) * 8
+    pads = [dev.pad_levels_pair(
+        np.ascontiguousarray(s), np.ascontiguousarray(c), cov_mult=C8)
+        for _, _, s, c in live]
+    lens = [s.shape[0] for _, _, s, _ in live]
+    P = sum(lens)
+    Pp = 1 << max(P - 1, 1).bit_length()
+    Cp = pads[0][0].shape[1]
+    samp_all = np.full((Pp, Cp), np.nan)
+    ctrl_all = np.full((Pp, Cp), np.nan)
+    o = 0
+    for (sp, cp), n in zip(pads, lens):
+        samp_all[o:o + n] = sp
+        ctrl_all[o:o + n] = cp
+        o += n
+    stats_all = _group_device_tests(samp_all, ctrl_all, params.stat_type)
+    out = [[] for _ in jobs]
+    o = 0
+    for (i, reg, samp, ctrl), n in zip(live, lens):
+        out[i] = _group_post(reg, params, samp, ctrl,
+                             stats_all[o:o + n])
+        o += n
+    return out
+
+
+def compute_group_reg_stats(reg_data: RegionData,
+                            ctrl_reg_data: RegionData,
+                            params: TestParams):
+    fm_offset = params.fm_offset
+    stat_type = params.stat_type
+    samp, ctrl = _group_levels_pair(reg_data, ctrl_reg_data, fm_offset)
+    # device lane: per-site level tests are position-independent, so one
+    # batched call over the whole region computes every covered block's
+    # statistics at once; the block-local Fisher/mean windows stay
+    # on host, preserving the reference's block-edge semantics
+    dev_stats = None
+    if use_device_stats():
+        from . import device as dev
+        samp_p, ctrl_p = dev.pad_levels_pair(samp, ctrl)
+        dev_stats = _group_device_tests(samp_p, ctrl_p, stat_type)
+    return _group_post(reg_data, params, samp, ctrl, dev_stats)
+
+
+def _group_post(reg_data: RegionData, params: TestParams, samp, ctrl,
+                dev_stats):
+    """Host half of the group level tests: covered-block discovery,
+    Fisher/mean windows (block-edge semantics preserved), GroupStats
+    assembly (reference: tombo/tombo_stats.py:4236-4334)."""
+    fm_offset = params.fm_offset
+    stat_type = params.stat_type
     samp_cov = (~np.isnan(samp)).sum(axis=1)
     ctrl_cov = (~np.isnan(ctrl)).sum(axis=1)
     cov_regs = np.where(np.diff(np.concatenate([
@@ -1028,25 +1110,6 @@ def compute_group_reg_stats(reg_data: RegionData,
         (ctrl_cov >= params.min_test_reads), [False]])))[0]
     if len(cov_regs) == 0:
         return []
-    # device lane: per-site level tests are position-independent, so one
-    # batched call over the whole region computes every covered block's
-    # statistics at once; the block-local Fisher/mean windows below stay
-    # on host, preserving the reference's block-edge semantics
-    dev_stats = None
-    if use_device_stats():
-        from . import device as dev
-        import jax.numpy as jnp
-        samp_p, ctrl_p = dev.pad_levels_pair(samp, ctrl)
-        sj, cj = jnp.asarray(samp_p), jnp.asarray(ctrl_p)
-        if stat_type in (KS_TEST_TXT, KS_STAT_TEST_TXT):
-            dev_stats = dev.ks_tests(sj, cj, stat_type == KS_STAT_TEST_TXT)
-        elif stat_type in (U_TEST_TXT, U_STAT_TEST_TXT):
-            dev_stats = dev.u_tests(sj, cj, stat_type == U_STAT_TEST_TXT)
-        elif stat_type in (T_TEST_TXT, T_STAT_TEST_TXT):
-            dev_stats = dev.t_tests(sj, cj, stat_type == T_STAT_TEST_TXT)
-        else:
-            raise TomboTpuError("Unrecognized test type.")
-        dev_stats = np.asarray(dev_stats, np.float64)
 
     reg_stats, reg_poss, reg_cov, reg_ctrl_cov = [], [], [], []
     for cs, ce in zip(cov_regs[:-1:2], cov_regs[1::2]):
@@ -1427,6 +1490,47 @@ def test_significance(reads_index, params: TestParams, stats_fn: str,
                                  start) = pr_payload
                                 pr_files[name]._write_per_read_block(
                                     block, lookup, chrm, strand, start)
+                        if verbose:
+                            print("  processed %s:%s:%d" % (
+                                reg.chrm, reg.strand, reg.start))
+                for sf in stats_files.values():
+                    if sf.is_empty:
+                        raise TomboTpuError(
+                            "No genomic positions contain "
+                            "--minimum-test-reads.")
+                    sf.close()
+                for prf in pr_files.values():
+                    prf.close()
+                return stats_fn
+            if device_ok and is_level and ctrl_reads_index is not None:
+                # packed level-test lane: regions concatenate along the
+                # position axis into ONE device dispatch per chunk (one
+                # call per region paid a full tunnel round trip each;
+                # reference per-site loops: tombo/tombo_stats.py:4236-4334)
+                def prep_level(reg):
+                    reg.add_reads(reads_index)
+                    ctrl_reg = RegionData(
+                        reg.chrm, reg.strand, reg.start,
+                        reg.end).add_reads(ctrl_reads_index)
+                    try:
+                        samp, ctrl = _group_levels_pair(
+                            reg, ctrl_reg, params.fm_offset)
+                        return (reg, samp, ctrl)
+                    except TomboTpuError:
+                        return None
+
+                chunk_regs = int(os.environ.get(
+                    "TOMBO_TPU_LEVEL_CHUNK_REGS", "16"))
+                i = 0
+                while i < len(regions):
+                    c_regs = regions[i:i + chunk_regs]
+                    i += chunk_regs
+                    jobs = list(pool.map(prep_level, c_regs))
+                    res_per_reg = compute_group_stats_device_batch(
+                        jobs, params)
+                    for reg, results in zip(c_regs, res_per_reg):
+                        for name, reg_stats in results:
+                            stats_files[name]._write_stat_block(reg_stats)
                         if verbose:
                             print("  processed %s:%s:%d" % (
                                 reg.chrm, reg.strand, reg.start))
