@@ -66,12 +66,14 @@ def main():
     aligner = ExactAligner(fasta)
 
     # warmup outside the timed window: compile/load the device programs
-    # for this process (shared on-disk jax cache)
-    resquiggle_all_reads(
-        fast5_dir, aligner, model, sst, sst_params,
-        RunConfig(overwrite=True, batch_size=32, num_io_threads=2,
-                  dist=dist, skip_index=True, dry_run=True,
-                  ignore_read_locks=True))
+    # for this process (shared on-disk jax cache); later sweeps of the
+    # median-of-3 protocol skip it — the disk caches are already warm
+    if os.environ.get("TOMBO_TPU_MH_WARM", "1") == "1":
+        resquiggle_all_reads(
+            fast5_dir, aligner, model, sst, sst_params,
+            RunConfig(overwrite=True, batch_size=32, num_io_threads=2,
+                      dist=dist, skip_index=True, dry_run=True,
+                      ignore_read_locks=True))
 
     t0 = time.perf_counter()
     summary, _ = resquiggle_all_reads(
@@ -97,9 +99,11 @@ def main():
                          std_ref=model, num_processes=1, dist=dist)
     det_s = time.perf_counter() - t0
 
+    from tombo_tpu.parallel import distributed as dst
     with open(out_json, "w") as fp:
         json.dump({"host": pid, "n_hosts": n, "rsq_s": rsq_s,
-                   "det_s": det_s, "n_success": summary.n_success},
+                   "det_s": det_s, "n_success": summary.n_success,
+                   "psum_path": dst.LAST_PSUM_PATH["path"]},
                   fp)
 
 

@@ -69,12 +69,14 @@ def run_hosts(n, ds_dir, env):
         "per_host_rsq_s": [round(r["rsq_s"], 3) for r in res],
         "per_host_det_s": [round(r["det_s"], 3) for r in res],
         "per_host_reads": [r["n_success"] for r in res],
+        "psum_path": res[0].get("psum_path"),
     }
 
 
 def main():
     n_reads = int(sys.argv[1]) if len(sys.argv) > 1 else 160
     read_len = int(sys.argv[2]) if len(sys.argv) > 2 else 800
+    n_runs = int(os.environ.get("TOMBO_TPU_MH_RUNS", "3"))
 
     from tombo_tpu.testing import make_synthetic_dataset
 
@@ -85,38 +87,58 @@ def main():
     result = {"metric": "multihost_scaling_cpu_emulated",
               "n_reads": n_reads, "read_len": read_len,
               "note": ("each emulated host pinned to ONE cpu core; "
-                       "efficiency = T1 / (n * Tn) at fixed total work")}
+                       "efficiency = T1 / (n * Tn) at fixed total work; "
+                       "median of %d full runs (round-5 protocol: one "
+                       "run cannot distinguish a regression from "
+                       "shared-vCPU noise)" % n_runs)}
+    runs = []
     with tempfile.TemporaryDirectory() as tmp:
         make_synthetic_dataset(tmp, n_reads=n_reads, seed=23,
                                read_len=read_len, ref_len=50000)
-        fps = {}
-        for n in (1, 2, 4):
-            _clean_run_state(tmp)
-            t0 = time.perf_counter()
-            r = run_hosts(n, tmp, env)
-            r["wall_s"] = time.perf_counter() - t0
-            assert r["n_success"] >= n_reads * 0.95, r
-            result["hosts_%d" % n] = r
-            fps[n] = _stats_fingerprint(
-                os.path.join(tmp, "mh%d.tombo.stats" % n))
-            print("n=%d rsq %.2fs det %.2fs (%d ok)" % (
-                n, r["rsq_s"], r["det_s"], r["n_success"]), flush=True)
+        for run_i in range(n_runs):
+            rr = {}
+            fps = {}
+            for n in (1, 2, 4):
+                _clean_run_state(tmp)
+                # compile/disk caches are warm after the first sweep;
+                # later sweeps skip the in-worker warmup pass
+                env["TOMBO_TPU_MH_WARM"] = "1" if run_i == 0 else "0"
+                t0 = time.perf_counter()
+                r = run_hosts(n, tmp, env)
+                r["wall_s"] = time.perf_counter() - t0
+                assert r["n_success"] >= n_reads * 0.95, r
+                rr["hosts_%d" % n] = r
+                fps[n] = _stats_fingerprint(
+                    os.path.join(tmp, "mh%d.tombo.stats" % n))
+                print("run %d n=%d rsq %.2fs det %.2fs (%d ok)" % (
+                    run_i, n, r["rsq_s"], r["det_s"], r["n_success"]),
+                    flush=True)
+            # host-count invariance: identical merged statistics, every run
+            rr["invariant_1_vs_2"] = fps[1] == fps[2]
+            rr["invariant_1_vs_4"] = fps[1] == fps[4]
+            assert rr["invariant_1_vs_2"], "2-host stats differ"
+            assert rr["invariant_1_vs_4"], "4-host stats differ"
+            for n in (2, 4):
+                for phase in ("rsq_s", "det_s"):
+                    t1 = rr["hosts_1"][phase]
+                    tn = rr["hosts_%d" % n][phase]
+                    rr["eff_%s_%dhosts" % (phase[:3], n)] = round(
+                        t1 / (n * tn), 3)
+            runs.append(rr)
 
-        # host-count invariance: identical merged statistics
-        result["invariant_1_vs_2"] = fps[1] == fps[2]
-        result["invariant_1_vs_4"] = fps[1] == fps[4]
-        assert result["invariant_1_vs_2"], "2-host stats differ from 1-host"
-        assert result["invariant_1_vs_4"], "4-host stats differ from 1-host"
-
-    for n in (2, 4):
-        for phase in ("rsq_s", "det_s"):
-            t1 = result["hosts_1"][phase]
-            tn = result["hosts_%d" % n][phase]
-            result["eff_%s_%dhosts" % (phase[:3], n)] = round(
-                t1 / (n * tn), 3)
-    with open(os.path.join(REPO, "MULTIHOST_r04.json"), "w") as fp:
+    import statistics
+    result["runs"] = runs
+    for key in ("eff_rsq_2hosts", "eff_det_2hosts", "eff_rsq_4hosts",
+                "eff_det_4hosts"):
+        vals = [r[key] for r in runs]
+        result[key] = round(statistics.median(vals), 3)
+        result[key + "_runs"] = vals
+    result["invariant_all_runs"] = all(
+        r["invariant_1_vs_2"] and r["invariant_1_vs_4"] for r in runs)
+    result["psum_path"] = runs[-1]["hosts_4"].get("psum_path")
+    with open(os.path.join(REPO, "MULTIHOST_r05.json"), "w") as fp:
         json.dump(result, fp, indent=1)
-    print(json.dumps(result))
+    print(json.dumps({k: v for k, v in result.items() if k != "runs"}))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,8 @@ def main():
     dt.test_significance(index, params, out_prefix + ".denovo",
                          fasta=fasta, std_ref=model, num_processes=2,
                          dist=dist)
+    from tombo_tpu.parallel import distributed as dst
+    print("PSUM_PATH=%s" % dst.LAST_PSUM_PATH["path"])
 
     params = dt.TestParams(
         stat_type=KS_TEST_TXT, single_read_thresh=None, lower_thresh=None,

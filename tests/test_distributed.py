@@ -175,6 +175,9 @@ def test_two_hosts_match_single(dist_dataset):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, "worker %d failed:\n%s" % (pid, out)
         assert "WORKER_%d_DONE" % pid in out
+        # the production cross-host merge must ride the device
+        # collective (SURVEY §5.8); the host allgather is fallback-only
+        assert "PSUM_PATH=device" in out, out
 
     # de novo (read-sharded + psum): identical per-site stats
     a = _model_blocks(single_dn, chrm)

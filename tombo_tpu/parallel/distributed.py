@@ -100,12 +100,130 @@ def init_distributed(coordinator_address: Optional[str] = None,
                        host_id=jax.process_index())
 
 
+# which reduction path served the last multi-host run (recorded by the
+# scaling bench artifacts; SURVEY §5.8 asks for a production device
+# collective, with the host allgather kept as fallback)
+LAST_PSUM_PATH = {"path": None}
+
+_HOST_MESH_CACHE: dict = {}
+
+
+def _hosts_mesh(ctx: DistContext):
+    """One-device-per-host mesh in fixed process order (collectives ride
+    ICI/NCCL-equivalent transports on real platforms, gloo on CPU)."""
+    import jax
+    from jax.sharding import Mesh
+    m = _HOST_MESH_CACHE.get(ctx.n_hosts)
+    if m is None:
+        devs = []
+        for pidx in range(ctx.n_hosts):
+            cand = [d for d in jax.devices() if d.process_index == pidx]
+            if not cand:
+                return None
+            devs.append(cand[0])
+        m = Mesh(np.array(devs), ("hosts",))
+        _HOST_MESH_CACHE[ctx.n_hosts] = m
+    return m
+
+
+_PSUM_JIT = None
+
+
+def psum_hosts_device(ctx: DistContext, *arrays):
+    """Device-collective cross-host sum: each host contributes its slice
+    of a (n_hosts, N) global array on ITS device; one jitted reduction
+    runs the allreduce through the platform's collective transport and
+    every host reads back the identical replicated total.  int32 wire,
+    int64 results (counts are far below 2^31)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    global _PSUM_JIT
+    mesh = _hosts_mesh(ctx)
+    if mesh is None:
+        raise RuntimeError("no device for some host")
+    sh = NamedSharding(mesh, P("hosts"))
+    rep = NamedSharding(mesh, P())
+    my_dev = mesh.devices[ctx.host_id]
+    if _PSUM_JIT is None:
+        _PSUM_JIT = jax.jit(lambda x: jnp.sum(x, axis=0),
+                            out_shardings=rep)
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        int_in = np.issubdtype(a.dtype, np.integer)
+        flat = a.reshape(-1)
+        # pow2 width buckets so repeated regions reuse the compiled
+        # collective
+        width = 1 << max(int(flat.shape[0]) - 1, 1).bit_length()
+        wire = np.zeros(width, np.int32 if int_in else flat.dtype)
+        wire[:flat.shape[0]] = flat.astype(wire.dtype)
+        local = jax.device_put(wire[None], my_dev)
+        garr = jax.make_array_from_single_device_arrays(
+            (ctx.n_hosts, width), sh, [local])
+        tot = _PSUM_JIT(garr)
+        res = np.asarray(tot.addressable_data(0))[:flat.shape[0]]
+        out.append(res.astype(np.int64 if int_in else a.dtype)
+                   .reshape(a.shape))
+    return tuple(out)
+
+
+def psum_collective_dryrun(devices) -> None:
+    """Single-process exercise of the production device-collective merge
+    program (the exact jitted reduction ``psum_hosts_device`` runs):
+    one int32 shard per device over a ("hosts",) mesh, replicated sum
+    out, value-checked.  Driven by the multichip dryrun contract
+    (__graft_entry__.dryrun_multichip)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    devices = list(devices)
+    n = len(devices)
+    mesh = Mesh(np.array(devices), ("hosts",))
+    sh = NamedSharding(mesh, P("hosts"))
+    rep = NamedSharding(mesh, P())
+    width = 1024
+    shards = [jax.device_put(np.full((1, width), i + 1, np.int32), d)
+              for i, d in enumerate(devices)]
+    g = jax.make_array_from_single_device_arrays((n, width), sh, shards)
+    tot = jax.jit(lambda x: jnp.sum(x, axis=0), out_shardings=rep)(g)
+    got = int(np.asarray(tot.addressable_data(0))[0])
+    assert got == n * (n + 1) // 2, (got, n)
+
+
+def _device_collective_ok(ctx: DistContext, arrays) -> bool:
+    import os
+    env = os.environ.get("TOMBO_TPU_DEV_COLLECTIVE", "")
+    if env == "0":
+        return False
+    try:
+        import jax
+        if jax.process_count() != ctx.n_hosts:
+            return False
+    except Exception:  # noqa: BLE001
+        return False
+    # f64 payloads (group-test dense stats) keep the host path: the
+    # production device lane runs without x64, and truncating the merge
+    # would change results vs the single-host run
+    import numpy as _np
+    for a in arrays:
+        a = _np.asarray(a)
+        if (not _np.issubdtype(a.dtype, _np.integer) and
+                a.dtype != _np.float32):
+            return False
+    return True
+
+
 def psum_hosts(ctx: DistContext, *arrays):
     """Element-wise sum of each array across all hosts.
 
-    Every host receives the identical totals (allgather over the fixed
-    process order, then a local sum — deterministic float reduction
-    order).  Single-host: returns the inputs unchanged.
+    Every host receives the identical totals.  Production path: a
+    device collective over a one-device-per-host mesh
+    (``psum_hosts_device`` — on real multi-chip platforms this rides
+    ICI instead of the host network).  Fallback (f64 payloads, no
+    per-host device): allgather over the fixed process order + local
+    sum — deterministic float reduction order.  Single-host: returns
+    the inputs unchanged.
 
     Integer count arrays ride the wire as int32 (per-host site counts
     are bounded by per-host coverage, far below 2^31; the width must be
@@ -113,6 +231,14 @@ def psum_hosts(ctx: DistContext, *arrays):
     and sum in int64 — half the bytes per detection collective."""
     if ctx.n_hosts <= 1:
         return arrays
+    if _device_collective_ok(ctx, arrays):
+        try:
+            out = psum_hosts_device(ctx, *arrays)
+            LAST_PSUM_PATH["path"] = "device"
+            return out
+        except Exception:  # noqa: BLE001 — never fail a merge over
+            pass           # a collective-transport limitation
+    LAST_PSUM_PATH["path"] = "host"
     from jax.experimental import multihost_utils
     out = []
     for a in arrays:

@@ -248,3 +248,8 @@ def dryrun(n_devices: int, bandwidth: int = 16, n_rows: int = 32,
 
     sharded_production_step(mesh)
     production_lane_dryrun(mesh)
+
+    # production cross-host merge program (device collective; SURVEY
+    # §5.8): same jitted reduction psum_hosts runs multi-process
+    from .distributed import psum_collective_dryrun
+    psum_collective_dryrun(devices[:n_devices])

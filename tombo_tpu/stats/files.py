@@ -289,11 +289,21 @@ class ModelStats(_StatsFileBase):
         damp_frac = calc_damp_fraction(
             (self.cov_damp_counts["unmod"], self.cov_damp_counts["mod"]),
             reg_stats.reg_frac_standard_base, reg_stats.valid_cov)
-        rows = [t for t in zip(
-            damp_frac, reg_stats.reg_frac_standard_base, reg_stats.reg_poss,
-            reg_stats.reg_cov, reg_stats.ctrl_cov, reg_stats.valid_cov)
-            if not np.isnan(t[0])]
-        reg_stats_arr = np.array(rows, dtype=_MODEL_DTYPE)
+        # vectorized row build (a per-site python tuple loop here was
+        # the leader's dominant serial cost in multi-host detection);
+        # columns clip to the shortest array exactly as zip() did
+        cols = [np.asarray(damp_frac),
+                np.asarray(reg_stats.reg_frac_standard_base),
+                np.asarray(reg_stats.reg_poss),
+                np.asarray(reg_stats.reg_cov),
+                np.asarray(reg_stats.ctrl_cov),
+                np.asarray(reg_stats.valid_cov)]
+        m = min(c.shape[0] for c in cols)
+        keep = ~np.isnan(cols[0][:m].astype(np.float64))
+        reg_stats_arr = np.empty(int(keep.sum()), dtype=_MODEL_DTYPE)
+        for name, c in zip(("damp_frac", "frac", "pos", "cov",
+                            "control_cov", "valid_cov"), cols):
+            reg_stats_arr[name] = c[:m][keep]
         block_data.create_dataset("block_stats", data=reg_stats_arr,
                                   compression="gzip")
         self._add_to_most_signif(reg_stats_arr, reg_stats.chrm,
@@ -356,11 +366,15 @@ class LevelStats(_StatsFileBase):
         block_data.attrs["chrm"] = grp_stats.chrm
         block_data.attrs["strand"] = grp_stats.strand
         block_data.attrs["start"] = grp_stats.start
-        rows = [t for t in zip(
-            grp_stats.reg_stats, grp_stats.reg_poss,
-            grp_stats.reg_cov, grp_stats.ctrl_cov)
-            if not np.isnan(t[0])]
-        arr = np.array(rows, dtype=_LEVEL_DTYPE)
+        cols = [np.asarray(grp_stats.reg_stats),
+                np.asarray(grp_stats.reg_poss),
+                np.asarray(grp_stats.reg_cov),
+                np.asarray(grp_stats.ctrl_cov)]
+        m = min(c.shape[0] for c in cols)
+        keep = ~np.isnan(cols[0][:m].astype(np.float64))
+        arr = np.empty(int(keep.sum()), dtype=_LEVEL_DTYPE)
+        for name, c in zip(("stat", "pos", "cov", "control_cov"), cols):
+            arr[name] = c[:m][keep]
         block_data.create_dataset("block_stats", data=arr,
                                   compression="gzip")
         self._add_to_most_signif(arr, grp_stats.chrm, grp_stats.strand)
