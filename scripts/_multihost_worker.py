@@ -94,6 +94,12 @@ def main():
         stat_type=DE_NOVO_TXT, single_read_thresh=thresh[1],
         lower_thresh=thresh[0], region_size=1000)
     stats_fn = os.path.join(ds_dir, "mh%d.tombo.stats" % n)
+    # warm pass: the merge collectives' jitted programs compile on
+    # first use (one per width bucket); timing them would measure the
+    # compiler, not the distribution machinery (resquiggle is warmed
+    # the same way above)
+    dt.test_significance(index, params, stats_fn + ".warm", fasta=fasta,
+                         std_ref=model, num_processes=1, dist=dist)
     t0 = time.perf_counter()
     dt.test_significance(index, params, stats_fn, fasta=fasta,
                          std_ref=model, num_processes=1, dist=dist)

@@ -100,9 +100,12 @@ def main():
             fps = {}
             for n in (1, 2, 4):
                 _clean_run_state(tmp)
-                # compile/disk caches are warm after the first sweep;
-                # later sweeps skip the in-worker warmup pass
-                env["TOMBO_TPU_MH_WARM"] = "1" if run_i == 0 else "0"
+                # ALWAYS warm: a measured attempt to skip the warmup
+                # pass on later sweeps put cold compile-cache loads and
+                # first-touch I/O inside the timed window (and produced
+                # one timing-dependent read failure), poisoning exactly
+                # the run-to-run comparison the protocol exists for
+                env["TOMBO_TPU_MH_WARM"] = "1"
                 t0 = time.perf_counter()
                 r = run_hosts(n, tmp, env)
                 r["wall_s"] = time.perf_counter() - t0

@@ -96,8 +96,38 @@ def init_distributed(coordinator_address: Optional[str] = None,
             "backend was initialized before init_distributed() (import "
             "order / platform plugin touched jax.devices() first?)"
             % (jax.process_count(), num_processes))
-    return DistContext(n_hosts=jax.process_count(),
-                       host_id=jax.process_index())
+    ctx = DistContext(n_hosts=jax.process_count(),
+                      host_id=jax.process_index())
+    _establish_device_collective(ctx)
+    return ctx
+
+
+def _establish_device_collective(ctx: DistContext) -> None:
+    """Bring up the device-collective transport NOW, while all hosts
+    are still in lock-step at startup.
+
+    A collective's first contact has a ~30 s rendezvous timeout; probing
+    it lazily at the first mid-run merge meant host-to-host workload
+    skew could exceed the timeout, and a per-call try/except fallback
+    then had different hosts entering DIFFERENT collectives — the
+    classic mismatched-rendezvous cascade.  The probe runs here (skew =
+    process startup, seconds), its outcome is agreed across hosts via
+    one allgather (which also warms the fallback transport), and
+    ``psum_hosts`` never switches paths mid-run."""
+    import os
+    if os.environ.get("TOMBO_TPU_DEV_COLLECTIVE", "") == "0":
+        _DEV_COLLECTIVE_STATE["ok"] = False
+        return
+    ok = 1
+    try:
+        (tot,) = psum_hosts_device(ctx, np.zeros(8, np.int32))
+        ok = int(tot.shape == (8,))
+    except Exception:  # noqa: BLE001 — transport/platform limitation
+        ok = 0
+    from jax.experimental import multihost_utils
+    all_ok = np.asarray(multihost_utils.process_allgather(
+        np.array([ok], np.int32)))
+    _DEV_COLLECTIVE_STATE["ok"] = bool(all_ok.min() == 1)
 
 
 # which reduction path served the last multi-host run (recorded by the
@@ -153,9 +183,11 @@ def psum_hosts_device(ctx: DistContext, *arrays):
         a = np.asarray(a)
         int_in = np.issubdtype(a.dtype, np.integer)
         flat = a.reshape(-1)
-        # pow2 width buckets so repeated regions reuse the compiled
-        # collective
-        width = 1 << max(int(flat.shape[0]) - 1, 1).bit_length()
+        # pow2 width buckets (floor 2048) so every region span reuses
+        # ONE compiled collective — a fresh compile mid-run would add
+        # host-skew inside a rendezvous window
+        width = max(1 << max(int(flat.shape[0]) - 1, 1).bit_length(),
+                    2048)
         wire = np.zeros(width, np.int32 if int_in else flat.dtype)
         wire[:flat.shape[0]] = flat.astype(wire.dtype)
         local = jax.device_put(wire[None], my_dev)
@@ -191,25 +223,23 @@ def psum_collective_dryrun(devices) -> None:
     assert got == n * (n + 1) // 2, (got, n)
 
 
+# device-collective availability, decided ONCE at init_distributed on
+# every host identically (see _establish_device_collective); per-call
+# probing or fallback would let hosts enter mismatched collectives
+_DEV_COLLECTIVE_STATE = {"ok": False}
+
+
 def _device_collective_ok(ctx: DistContext, arrays) -> bool:
-    import os
-    env = os.environ.get("TOMBO_TPU_DEV_COLLECTIVE", "")
-    if env == "0":
-        return False
-    try:
-        import jax
-        if jax.process_count() != ctx.n_hosts:
-            return False
-    except Exception:  # noqa: BLE001
+    if not _DEV_COLLECTIVE_STATE["ok"]:
         return False
     # f64 payloads (group-test dense stats) keep the host path: the
     # production device lane runs without x64, and truncating the merge
-    # would change results vs the single-host run
-    import numpy as _np
+    # would change results vs the single-host run.  The dtype choice is
+    # value-independent, so every host picks the same path.
     for a in arrays:
-        a = _np.asarray(a)
-        if (not _np.issubdtype(a.dtype, _np.integer) and
-                a.dtype != _np.float32):
+        a = np.asarray(a)
+        if (not np.issubdtype(a.dtype, np.integer) and
+                a.dtype != np.float32):
             return False
     return True
 
@@ -232,12 +262,12 @@ def psum_hosts(ctx: DistContext, *arrays):
     if ctx.n_hosts <= 1:
         return arrays
     if _device_collective_ok(ctx, arrays):
-        try:
-            out = psum_hosts_device(ctx, *arrays)
-            LAST_PSUM_PATH["path"] = "device"
-            return out
-        except Exception:  # noqa: BLE001 — never fail a merge over
-            pass           # a collective-transport limitation
+        # no try/except here: every host picked this path by the same
+        # deterministic predicate, and a mid-collective fallback would
+        # leave the others waiting in a mismatched rendezvous
+        out = psum_hosts_device(ctx, *arrays)
+        LAST_PSUM_PATH["path"] = "device"
+        return out
     LAST_PSUM_PATH["path"] = "host"
     from jax.experimental import multihost_utils
     out = []

@@ -565,10 +565,8 @@ class PackedRegionBatch:
                 # single compacted source (the common fused case): the
                 # gather rides the test dispatch itself — zero extra
                 # device calls, zero level bytes on the wire.  Metadata
-                # aligns with ivec's rows; pad rows get offs = total so
-                # the row-partition ends stay sorted for searchsorted.
+                # aligns with ivec's rows.
                 arr, rows_g = next(iter(dev_groups.values()))
-                offs[Bg:] = o
                 dflag = np.zeros(Bp, np.int32)
                 dsrow = np.zeros(Bp, np.int32)
                 dscol = np.zeros(Bp, np.int32)
